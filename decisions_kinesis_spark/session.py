@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test harness; the settings below are chosen so the
+same code runs unchanged on a multi-executor cluster:
+
+- AQE on (runtime coalesce / skew-join re-plan at any scale),
+- Arrow on (Pandas-UDF fast path for the few non-JVM operators),
+- UTC session timezone (stable oracle comparison vs DuckDB),
+- shuffle partitions sized by env (cores locally, per-cluster config
+  in production — the engine never hardcodes a cluster-shaped value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = max(8, os.cpu_count() or 8)
+
+
+def get_session(
+    app_name: str = "decisions-kinesis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[N]`` from ``$SPARK_GRAFT_CPUS`` (or all
+    cores); on a real cluster pass ``master=None`` with an externally
+    configured spark-submit and these session-level confs still apply.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores ts as TIMESTAMP(NANOS) (FIXTURES.md);
+        # Spark reads it as long-nanos with this flag, converted back to
+        # a timestamp in sources.tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
