@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke on sf0.001.
+``queries()`` — every implemented operator (SURVEY.md §2 + §7).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (the correctness gate).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+
+def _registries():
+    from decisions_kinesis_spark.operators import payload, relational
+
+    modules = [payload, relational]
+    try:
+        from decisions_kinesis_spark.operators import asof
+
+        modules.append(asof)
+    except ImportError:
+        pass
+    try:
+        from decisions_kinesis_spark.operators import dedup, similarity, textops
+
+        modules.extend([dedup, similarity, textops])
+    except ImportError:
+        pass
+    try:
+        from decisions_kinesis_spark.operators import multimodal
+
+        modules.append(multimodal)
+    except ImportError:
+        pass
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for m in modules:
+        queries.update(m.QUERIES)
+        oracles.update(m.ORACLES)
+    return queries, oracles
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from decisions_kinesis_spark.operators.payload import flagship_premium_filter
+
+    return flagship_premium_filter(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registries()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registries()[1]

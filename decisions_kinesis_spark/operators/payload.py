@@ -1,0 +1,121 @@
+"""Reference-capability queries: payload filtering + envelope projection.
+
+These are the operators the reference actually has (SURVEY.md §2
+D1-D5, F1-F2), run over the driver's ``events`` table as the batch
+stand-in for a Kinesis stream (FIXTURES.md envelope mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.config import FilterVerb, KinesisQueueConfig, PayloadFilter
+from decisions_kinesis_spark.functions.filters import apply_payload_filters
+from decisions_kinesis_spark.sources.tables import load_table
+
+
+def flagship_premium_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship scenario (README.md:361-381): filter a
+    stream on a JSON payload property + an attribute, AND-combined,
+    then project the record envelope.
+
+    Semantics: ``props.k > '50'`` is the *lexicographic* Greater Than
+    verb (KinesisThreadJobs.cs:778-779) — '6' > '50' but '100' < '50'.
+    The whole predicate compiles to one codegen'd Filter over the scan.
+    """
+    cfg = KinesisQueueConfig(
+        stream_name="events",
+        payload_filters=[PayloadFilter("k", FilterVerb.GREATER_THAN, "50")],
+        use_or=False,
+    ).require_valid()
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "purchase")
+    out = apply_payload_filters(ev, "props", cfg.payload_filters, cfg.use_or)
+    return out.select(
+        F.col("event_id").alias("sequence_number"),
+        F.col("user_id").cast("string").alias("partition_key"),
+        F.col("ts").alias("arrival_ts"),
+        F.get_json_object(F.col("props"), "$.k").alias("k_value"),
+    )
+
+
+def payload_filter_or_verbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR combinator over three verbs on the same payload property
+    (missing-property → skip rule folds to False per SURVEY §2)."""
+    filters = [
+        PayloadFilter("k", FilterVerb.STARTS_WITH, "9"),
+        PayloadFilter("k", FilterVerb.ENDS_WITH, "3"),
+        PayloadFilter("k", FilterVerb.EQUALS, "42"),
+    ]
+    ev = load_table(spark, "events", sf_dir)
+    return apply_payload_filters(ev, "props", filters, use_or=True).select(
+        "event_id", "event_type", F.get_json_object("props", "$.k").alias("k_value")
+    )
+
+
+def payload_filter_ci_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive verbs + AND band predicate on the event_type
+    attribute treated as payload (Equals CI / GTE / LTE family)."""
+    filters = [
+        PayloadFilter("k", FilterVerb.GREATER_THAN_OR_EQUAL, "2"),
+        PayloadFilter("k", FilterVerb.LESS_THAN_OR_EQUAL, "7"),
+        PayloadFilter("k", FilterVerb.NOT_EQUALS, "42"),
+    ]
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.lower(F.col("event_type")) == "error"
+    )
+    return apply_payload_filters(ev, "props", filters, use_or=False).select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_value")
+    )
+
+
+def envelope_metadata_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 metadata projection over the envelope mapping (KinesisUtils.cs:146-163)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        F.col("user_id").cast("string").alias("partitionKey"),
+        F.col("event_id").cast("string").alias("sequenceNumber"),
+        F.col("ts").alias("approximateArrivalTimestamp"),
+    )
+
+
+QUERIES = {
+    "flagship_premium_filter": flagship_premium_filter,
+    "payload_filter_or_verbs": payload_filter_or_verbs,
+    "payload_filter_ci_band": payload_filter_ci_band,
+    "envelope_metadata_projection": envelope_metadata_projection,
+}
+
+ORACLES = {
+    "flagship_premium_filter": """
+        SELECT event_id AS sequence_number,
+               user_id::VARCHAR AS partition_key,
+               ts AS arrival_ts,
+               json_extract_string(props, '$.k') AS k_value
+        FROM events
+        WHERE event_type = 'purchase'
+          AND json_extract_string(props, '$.k') > '50'
+    """,
+    "payload_filter_or_verbs": """
+        SELECT event_id, event_type,
+               json_extract_string(props, '$.k') AS k_value
+        FROM events
+        WHERE starts_with(json_extract_string(props, '$.k'), '9')
+           OR ends_with(json_extract_string(props, '$.k'), '3')
+           OR json_extract_string(props, '$.k') = '42'
+    """,
+    "payload_filter_ci_band": """
+        SELECT event_id, json_extract_string(props, '$.k') AS k_value
+        FROM events
+        WHERE lower(event_type) = 'error'
+          AND json_extract_string(props, '$.k') >= '2'
+          AND json_extract_string(props, '$.k') <= '7'
+          AND json_extract_string(props, '$.k') <> '42'
+    """,
+    "envelope_metadata_projection": """
+        SELECT user_id::VARCHAR AS partitionKey,
+               event_id::VARCHAR AS sequenceNumber,
+               ts AS approximateArrivalTimestamp
+        FROM events
+    """,
+}

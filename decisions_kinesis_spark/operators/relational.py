@@ -1,0 +1,615 @@
+"""Relational query surface (SURVEY.md §7 M4).
+
+The reference has zero relational operators (SURVEY.md §2: "no join/agg/
+window/sort/set-op" — its handler flows delegate to the host platform).
+This module supplies the full surface a user of the reference would get
+from the platform, expressed as idiomatic Catalyst plans:
+
+- joins: broadcast dim joins, sort-merge fact joins, semi/anti;
+- aggregations: hash agg, rollup/cube/grouping sets, distinct, pivot;
+- windows: top-k per group, running frames, lag, sessionization;
+- sort/limit/top-k, set operations, scalar function library.
+
+Scale notes (100 TB posture) are per-function docstrings.  Every
+function takes ``(spark, sf_dir)`` and returns a DataFrame whose column
+names match the DuckDB oracle in ``ORACLES`` exactly.  Double-typed
+aggregates are rounded on BOTH sides (sum order differs between engines
+at the ulp level; rounding makes the hash comparison stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# TPC-H-flavored analytics over the driver's star schema
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single scan → hash agg, no join, no shuffle skew.
+
+    At scale: partial aggregation map-side (4 groups) makes the shuffle
+    negligible; the shipdate filter pushes to the parquet scan.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer ⋈ orders ⋈ lineitem, group, top-10 by revenue.
+
+    customer is small relative to the facts → broadcast; orders⋈lineitem
+    shuffles on the join key (co-partitioned at scale via bucketing on
+    o_orderkey/l_orderkey).  Ranking uses the ROUNDED revenue so the
+    top-10 cut is stable across engines.
+    """
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join: two broadcast dims + three fact-side joins.
+
+    region/nation/supplier/customer are dimension-sized → broadcast;
+    only orders⋈lineitem shuffles.  The c_nationkey = s_nationkey
+    constraint is the classic TPC-H local-supplier condition.
+    """
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + scalar agg — pure pushdown test (no shuffle at all)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer, top 20 (rounded-revenue ranking)."""
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Join forms
+# --------------------------------------------------------------------------
+
+
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation ⋈ region: the canonical broadcast join (no shuffle)."""
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers having ≥1 high-value order."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 200000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Aggregation forms
+# --------------------------------------------------------------------------
+
+
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag, linestatus) — hierarchical subtotals."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (orderstatus, orderpriority) — all subtotal combinations."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same text runs in DuckDB)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (expand + two-phase agg in Spark)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def agg_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → columns; explicit value list keeps one pass."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — row_number + filter (the
+    scalable top-k: partial top-k per partition, no global sort)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def window_running_sum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum over event time (ROWS UNBOUNDED PRECEDING)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def window_lag_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG + delta per user — change-point primitive."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - prev, 6).alias("delta_value"),
+    )
+
+
+def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5-min gap): lag + flag-sum.
+
+    Integer µs arithmetic keeps it engine-exact.  At scale this is one
+    shuffle on user_id then a linear pass — the standard approach.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 300_000_000), 1).otherwise(0)
+    return (
+        ev.select("user_id", new_sess.alias("new_sess"))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops / scalar functions
+# --------------------------------------------------------------------------
+
+
+def sort_limit_topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 by price — Spark runs TakeOrderedAndProject (per-
+    partition top-k + driver merge), not a full sort."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(25)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def set_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two customer segments."""
+    cust = load_table(spark, "customer", sf_dir)
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    return a.union(b).distinct()
+
+
+def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers appearing in both order-priority classes."""
+    orders = load_table(spark, "orders", sf_dir)
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.intersect(b)
+
+
+def set_except_nonbuyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: all custkeys minus urgent-order custkeys."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.exceptAll(urgent.distinct()).distinct()
+
+
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar library on one projection (all codegen'd)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_u"),
+        F.lower(F.col("o_orderpriority")).alias("prio_l"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.length(F.col("o_orderpriority")).cast("bigint").alias("prio_len"),
+        F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.year(F.col("o_orderdate")).cast("bigint").alias("o_year"),
+        F.month(F.col("o_orderdate")).cast("bigint").alias("o_month"),
+        F.dayofmonth(F.col("o_orderdate")).cast("bigint").alias("o_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.round(F.col("o_totalprice"), 0).alias("price_r0"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("price_floor"),
+        F.ceil(F.col("o_totalprice")).cast("bigint").alias("price_ceil"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("price_dev"),
+        F.round(F.log(F.col("o_totalprice")), 6).alias("price_ln"),
+        F.round(F.sqrt(F.col("o_totalprice")), 6).alias("price_sqrt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry + DuckDB oracles
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "join_broadcast_dims": join_broadcast_dims,
+    "join_semi_customers_with_orders": join_semi_customers_with_orders,
+    "join_anti_customers_without_orders": join_anti_customers_without_orders,
+    "agg_rollup_lineitem": agg_rollup_lineitem,
+    "agg_cube_orders": agg_cube_orders,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_pivot_event_counts": agg_pivot_event_counts,
+    "window_topk_orders_per_customer": window_topk_orders_per_customer,
+    "window_running_sum_events": window_running_sum_events,
+    "window_lag_delta_events": window_lag_delta_events,
+    "window_sessionize_events": window_sessionize_events,
+    "sort_limit_topk_lineitems": sort_limit_topk_lineitems,
+    "set_union_segments": set_union_segments,
+    "set_intersect_buyers": set_intersect_buyers,
+    "set_except_nonbuyers": set_except_nonbuyers,
+    "scalar_function_suite": scalar_function_suite,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name, r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name, r_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "join_broadcast_dims": """
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "join_semi_customers_with_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+    "join_anti_customers_without_orders": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "agg_rollup_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_cube_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS sum_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "agg_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "agg_count_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "agg_pivot_event_counts": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'error') AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS signup,
+               count(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    "window_topk_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+                       AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+    "window_running_sum_events": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW), 4)
+                   AS running_value
+        FROM events
+    """,
+    "window_lag_delta_events": """
+        SELECT user_id, event_id,
+               round(value - lag(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 6)
+                   AS delta_value
+        FROM events
+    """,
+    "window_sessionize_events": """
+        SELECT user_id, sum(new_sess)::BIGINT AS n_sessions FROM (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) GROUP BY user_id
+    """,
+    "sort_limit_topk_lineitems": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 25
+    """,
+    "set_union_segments": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    "set_intersect_buyers": """
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    "set_except_nonbuyers": """
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "scalar_function_suite": """
+        SELECT o_orderkey,
+               upper(o_orderstatus) AS status_u,
+               lower(o_orderpriority) AS prio_l,
+               substr(o_orderpriority, 1, 1) AS prio_code,
+               length(o_orderpriority)::BIGINT AS prio_len,
+               concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+               year(o_orderdate)::BIGINT AS o_year,
+               month(o_orderdate)::BIGINT AS o_month,
+               day(o_orderdate)::BIGINT AS o_day,
+               date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+               round(o_totalprice, 0) AS price_r0,
+               floor(o_totalprice)::BIGINT AS price_floor,
+               ceil(o_totalprice)::BIGINT AS price_ceil,
+               round(abs(o_totalprice - 100000.0), 2) AS price_dev,
+               round(ln(o_totalprice), 6) AS price_ln,
+               round(sqrt(o_totalprice), 6) AS price_sqrt
+        FROM orders
+    """,
+}

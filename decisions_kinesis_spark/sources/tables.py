@@ -30,6 +30,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    # The driver owns the SparkSession; pin UTC at read time so timestamp
+    # values compare stably against the DuckDB oracle regardless of the
+    # host session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS): Spark has no nanosecond timestamp
         # type, so read it as long-nanos and truncate to microseconds —
