@@ -15,31 +15,27 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 
+_OPERATOR_MODULES = (
+    "payload",
+    "relational",
+    "asof",
+    "dedup",
+    "similarity",
+    "textops",
+    "multimodal",
+)
+
+
 def _registries():
-    from decisions_kinesis_spark.operators import payload, relational
+    import importlib
 
-    modules = [payload, relational]
-    try:
-        from decisions_kinesis_spark.operators import asof
-
-        modules.append(asof)
-    except ImportError:
-        pass
-    try:
-        from decisions_kinesis_spark.operators import dedup, similarity, textops
-
-        modules.extend([dedup, similarity, textops])
-    except ImportError:
-        pass
-    try:
-        from decisions_kinesis_spark.operators import multimodal
-
-        modules.append(multimodal)
-    except ImportError:
-        pass
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for m in modules:
+    for name in _OPERATOR_MODULES:
+        try:
+            m = importlib.import_module(f"decisions_kinesis_spark.operators.{name}")
+        except ImportError:
+            continue
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     return queries, oracles

@@ -1,0 +1,134 @@
+"""As-of and range joins (SURVEY.md §7 M4 "range/as-of on events.ts").
+
+Spark has no native ASOF JOIN; the scalable implementation is a
+cogroup + ``pd.merge_asof`` per key group (Arrow-batched, one shuffle
+per side on the join key — the same data movement a native as-of
+would need).  The range join composes equi-join on the key with a
+range predicate, which Catalyst executes as a shuffled equi-join plus
+filter; at 100 TB you'd additionally bucketize the time axis so the
+range predicate prunes (noted below).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.sources.tables import load_table
+
+_ASOF_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, "
+    "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+)
+
+
+def _merge_asof_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-user as-of merge: latest order with o_orderdate <= ts.
+
+    Right side is pre-deduplicated to one row per (custkey, orderdate)
+    (max o_orderkey) so the match is deterministic across engines.
+    """
+    left = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if right.empty:
+        out = left.copy()
+        out["o_orderkey"] = pd.Series([None] * len(out), dtype="Int64")
+        out["o_orderdate"] = pd.Series([None] * len(out), dtype=left["ts"].dtype)
+        out["o_totalprice"] = pd.Series([None] * len(out), dtype="float64")
+        return out[
+            ["event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice"]
+        ]
+    right = right.sort_values("o_orderdate").reset_index(drop=True)
+    merged = pd.merge_asof(
+        left,
+        right[["o_orderkey", "o_orderdate", "o_totalprice"]],
+        left_on="ts",
+        right_on="o_orderdate",
+        direction="backward",
+    )
+    merged["o_orderkey"] = merged["o_orderkey"].astype("Int64")
+    return merged[
+        ["event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ]
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the customer's most recent order as of the event
+    time (backward as-of on user_id = o_custkey).
+
+    Scale: ``cogroup().applyInPandas`` shuffles each side once by key —
+    identical movement to a shuffled join — then runs a linear two-
+    pointer merge per group in Arrow batches.  Skewed users are handled
+    by AQE-skew-friendly partitioning of the cogroup key.
+    """
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, "orders", sf_dir)
+    # deterministic right side: one row per (custkey, orderdate), max orderkey
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    dedup = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    return (
+        events.groupBy("user_id")
+        .cogroup(dedup.groupBy("o_custkey"))
+        .applyInPandas(lambda left, right: _merge_asof_group(left, right), _ASOF_SCHEMA)
+    )
+
+
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of event pairs within a 5-minute forward window.
+
+    Equi-join on user_id + integer-µs range predicate; Catalyst runs a
+    shuffled equi-join with the range as a post-filter.  At 100 TB,
+    bucketize ts into 5-min buckets and join on (user, bucket∈{b,b+1})
+    so each row only meets candidates from adjacent buckets.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.col("event_id").alias("eid"), F.unix_micros("ts").alias("us")
+    )
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    pairs = e1.join(
+        e2,
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.us") > F.col("e1.us"))
+        & (F.col("e2.us") <= F.col("e1.us") + 300_000_000),
+    )
+    return (
+        pairs.groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+QUERIES = {
+    "asof_join_events_orders": asof_join_events_orders,
+    "range_join_event_pairs": range_join_event_pairs,
+}
+
+ORACLES = {
+    "asof_join_events_orders": """
+        WITH dedup AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+                SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                             ORDER BY o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_orderdate, o.o_totalprice
+        FROM events e
+        ASOF LEFT JOIN dedup o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "range_join_event_pairs": """
+        SELECT e1.user_id, count(*) AS n_pairs
+        FROM events e1
+        JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND epoch_us(e2.ts) > epoch_us(e1.ts)
+         AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
+        GROUP BY e1.user_id
+    """,
+}

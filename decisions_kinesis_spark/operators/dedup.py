@@ -1,0 +1,357 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families over the ``documents`` table (north-star extensions,
+SURVEY.md §7 M6):
+
+- exact duplicate detection (content-hash groupBy);
+- MinHash signatures + banded LSH candidate pairs with exact Jaccard
+  verification (the 100 TB near-dup path: shingle→minhash→band→
+  bucket-join, all shuffle-on-key operations with bounded fanout);
+- SimHash (bitwise majority over token hashes);
+- exact n-gram Jaccard for verification.
+
+Cross-engine determinism: every hash is
+``bigint(first 15 hex chars of md5(s))`` — identical in Spark
+(``conv(substring(md5(s),1,15),16,10)``) and DuckDB
+(``('0x'||substr(md5(s),1,15))::BIGINT``) — so the DuckDB oracles
+check VALUES, not just shapes.
+
+The fixture corpus has no natural duplicates, so the dedup queries
+inject 20 exact copies (doc_id+100000 for doc_id<20) on BOTH sides —
+making the detected-duplicate set non-trivially verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.sources.tables import load_table
+
+#: Spark-side 60-bit md5 hash of a string expression (see module doc).
+def _bighash(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+#: Tokenize: lowercase, split on whitespace, drop empties (both engines).
+_TOKS = r"filter(split(lower(text), '\\s+'), x -> x != '')"
+
+#: Word 3-gram shingles from the token array (1-based element_at).
+_SHINGLES = (
+    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',"
+    " element_at(toks, i + 2)))"
+)
+
+_N_SEEDS = 8  # minhash signature length; 4 bands × 2 rows
+_DUP_SQL_CORPUS = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+"""
+
+
+def _with_injected_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ 20 exact copies (doc_id+100000) — see module doc."""
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        docs.withColumn("toks", F.expr(_TOKS))
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash; keeper = min doc_id per hash.
+
+    Scale: one groupBy-shuffle on the 128-bit hash — the canonical
+    exact-dedup plan; hash distribution is uniform so no skew.
+    """
+    corpus = _with_injected_dups(load_table(spark, "documents", sf_dir))
+    w = Window.partitionBy("fp")
+    return (
+        corpus.withColumn("fp", F.md5(F.col("text")))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .select("doc_id", "fp", "keep")
+    )
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, long format: (doc_id, seed, minhash).
+
+    Scale: explode-to-shingles → seeded hash → min-agg.  Map-side
+    partial min keeps the shuffle at |docs|×|seeds| rows regardless of
+    document length.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sh = _doc_shingles(docs)
+    return (
+        sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(_N_SEEDS - 1))))
+        .withColumn(
+            "h",
+            F.expr(_bighash("concat(cast(seed as string), ':', shingle)")),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def _band_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig): banded LSH keys from minhash signatures."""
+    sig = (
+        sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(_N_SEEDS - 1))))
+        .withColumn(
+            "h", F.expr(_bighash("concat(cast(seed as string), ':', shingle)"))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+    return sig.groupBy(
+        "doc_id", (F.col("seed") / 2).cast("int").alias("band")
+    ).agg(
+        F.expr(
+            "concat_ws(',', transform(array_sort(collect_list(struct(seed, minhash))),"
+            " x -> cast(x.minhash as string)))"
+        ).alias("band_sig")
+    )
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs, verified with exact shingle Jaccard.
+
+    Scale: candidates come from equi-joining band keys (shuffle on the
+    band signature, fanout bounded by bucket size); only candidates pay
+    the exact-Jaccard verification join.  This is the standard
+    MinHash-LSH dedup topology for 100 TB corpora.
+    """
+    corpus = _with_injected_dups(load_table(spark, "documents", sf_dir))
+    sh = _doc_shingles(corpus)
+    bands = _band_table(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (majority vote over token-hash bits).
+
+    Scale: |docs|×|distinct tokens|×32 intermediate rows shrink via
+    map-side partial sums; output is one row per doc.  Near-dup pairs
+    are then found by hamming distance on the 32-bit key (grouping on
+    rotated key segments), not implemented as a pair query here.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = (
+        docs.withColumn("toks", F.expr(_TOKS))
+        .select("doc_id", F.explode("toks").alias("token"))
+        .distinct()
+        .withColumn("h", F.expr(_bighash("token")))
+    )
+    bits = (
+        toks.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+        .withColumn(
+            "sgn",
+            F.when(F.expr("(h div cast(pow(2, b) as bigint)) % 2") == 1, 1).otherwise(
+                -1
+            ),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("sgn").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("cast(pow(2, b) as bigint)")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard within blocking groups (lang).
+
+    The exact counterpart to MinHash: array_intersect/array_union on
+    distinct token sets, pairs generated only within blocks so the
+    quadratic term is bounded per block.  Output: per-lang near-dup
+    stats at Jaccard ≥ 0.8.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    t = docs.withColumn("tokset", F.expr(f"array_sort(array_distinct({_TOKS}))"))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.round(
+            F.expr(
+                "size(array_intersect(a.tokset, b.tokset)) /"
+                " size(array_union(a.tokset, b.tokset))"
+            ),
+            4,
+        ).alias("jac"),
+    )
+    return pairs.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("jac") >= 0.8).cast("bigint")).alias("n_neardup"),
+        F.round(F.avg("jac"), 4).alias("avg_jac"),
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard_blocked": dedup_ngram_jaccard_blocked,
+}
+
+_DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_DUCK_BIGHASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+_DUCK_SHINGLE_CTE = f"""
+        toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM corpus),
+        sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+            ) s
+        )
+"""
+
+ORACLES = {
+    "dedup_exact": f"""
+        WITH corpus AS ({_DUP_SQL_CORPUS})
+        SELECT doc_id, md5(text) AS fp,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM corpus
+    """,
+    "dedup_minhash_signatures": f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        {_DUCK_SHINGLE_CTE},
+        seeds AS (SELECT unnest(generate_series(0, {_N_SEEDS - 1})) AS seed)
+        SELECT doc_id, seed,
+               min({_DUCK_BIGHASH.format(e="seed::VARCHAR || ':' || shingle")})
+                   AS minhash
+        FROM sh, seeds
+        GROUP BY doc_id, seed
+    """,
+    "dedup_minhash_lsh_pairs": f"""
+        WITH corpus AS ({_DUP_SQL_CORPUS}),
+        {_DUCK_SHINGLE_CTE},
+        seeds AS (SELECT unnest(generate_series(0, {_N_SEEDS - 1})) AS seed),
+        sig AS (
+            SELECT doc_id, seed,
+                   min({_DUCK_BIGHASH.format(e="seed::VARCHAR || ':' || shingle")})
+                       AS minhash
+            FROM sh, seeds GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, (seed // 2) AS band,
+                   string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+            FROM sig GROUP BY doc_id, (seed // 2)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) >= 0.5
+    """,
+    "dedup_simhash": f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        toks AS (
+            SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS token FROM corpus
+        ),
+        hashed AS (
+            SELECT doc_id, {_DUCK_BIGHASH.format(e="token")} AS h FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, b.b AS b,
+                   sum(CASE WHEN (h // (2::BIGINT ^ b.b)::BIGINT) % 2 = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM hashed, LATERAL (
+                SELECT unnest(generate_series(0, 31)) AS b
+            ) b
+            GROUP BY doc_id, b.b
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (2::BIGINT ^ b)::BIGINT ELSE 0 END)::BIGINT
+                   AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "dedup_ngram_jaccard_blocked": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_sort(list_distinct({_DUCK_TOKS})) AS tokset
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.lang,
+                   round(len(list_intersect(a.tokset, b.tokset))::DOUBLE /
+                         len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
+                       AS jac
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        )
+        SELECT lang, count(*) AS n_pairs,
+               sum((jac >= 0.8)::BIGINT) AS n_neardup,
+               round(avg(jac), 4) AS avg_jac
+        FROM pairs GROUP BY lang
+    """,
+}
