@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (north-star, SURVEY.md §7 M6).
+
+- Brute-force cosine top-k: the correctness baseline.  Broadcast the
+  (small) query set against the corpus; all arithmetic in JVM
+  higher-order functions (zip_with/aggregate) — no Python in the loop.
+- LSH-bucketed ANN: the scale path.  Deterministic hyperplanes derived
+  from the cross-engine md5 hash so the DuckDB oracle verifies values.
+  At 100 TB the bucket id becomes the shuffle/partition key; each query
+  touches one bucket instead of the corpus.
+- Norm stats: per-label embedding statistics.
+
+All cosine math is done in double precision (inputs are float32 read
+identically by both engines) and rounded for hash-stable comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.sources.tables import load_table
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOP_K = 5
+_N_PLANES = 8  # LSH hyperplane count → 256 buckets
+
+#: dot(a, b) over double arrays via JVM higher-order functions.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0.0 as double), (acc, x) -> acc + x)"
+)
+_NORM = "sqrt(" + _DOT.format(a="{v}", b="{v}") + ")"
+
+
+def _as_double(col: str) -> F.Column:
+    return F.col(col).cast("array<double>")
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first 10 vectors as queries.
+
+    Scale: broadcast-join the query set (k rows) against the corpus —
+    one scan of the corpus, no shuffle of the big side; per-partition
+    top-k via window on (query, rounded score).
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="v", b="qv"))
+                / (
+                    F.expr(_NORM.format(v="v"))
+                    * F.expr(_NORM.format(v="qv"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics (vectorized JVM aggregate)."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "label", _as_double("embedding").alias("v")
+    )
+    norm = F.expr(_NORM.format(v="v"))
+    return (
+        emb.withColumn("nrm", norm)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+def _bucket_expr() -> F.Column:
+    """256-bucket LSH key: sign bits of 8 deterministic hyperplane dots.
+
+    plane(b, d) = +1 if bigint(md5('b,d')) is odd else −1 — identical
+    in both engines, so bucket ids are value-comparable.
+    """
+    planes = []
+    for b in range(_N_PLANES):
+        proj = (
+            f"aggregate(zip_with(v, sequence(1, size(v)), (x, d) ->"
+            f" x * (cast(conv(substring(md5(concat('{b}', ',', cast(d as string))),"
+            f" 1, 15), 16, 10) as bigint) % 2 * 2 - 1)),"
+            f" cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        planes.append(f"(case when ({proj}) > 0 then {1 << b} else 0 end)")
+    return F.expr(" + ".join(planes)).cast("bigint")
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: per query, best same-bucket neighbor by cosine.
+
+    Scale: bucket id is computed scan-side (codegen'd); the candidate
+    join is an equi-join on bucket — each query meets ~N/256 rows
+    instead of N.  Output keeps n_candidates so recall is observable.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    bucketed = emb.withColumn("bucket", _bucket_expr())
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="v", b="qv"))
+            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="qv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    best = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("best_neighbor"),
+            F.col("cos").alias("best_cos"),
+        )
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    return (
+        q.select("query_id", F.col("qbucket").alias("bucket"))
+        .join(n_cand, "query_id", "left")
+        .join(best, "query_id", "left")
+        .na.fill({"n_candidates": 0})
+    )
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "embedding_norm_stats": embedding_norm_stats,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+_DUCK_COS = (
+    "round(list_dot_product(a.v, q.qv) /"
+    " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+)
+
+_DUCK_BUCKET = " + ".join(
+    f"""(CASE WHEN (
+        SELECT sum(v[d.d] * ((('0x' || substr(md5('{b}' || ',' || d.d::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1))
+        FROM (SELECT unnest(generate_series(1, len(v))) AS d) d
+    ) > 0 THEN {1 << b} ELSE 0 END)"""
+    for b in range(_N_PLANES)
+)
+
+ORACLES = {
+    "ann_cosine_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id, {_DUCK_COS} AS cos
+            FROM e a JOIN q ON a.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {_TOP_K}
+    """,
+    "embedding_norm_stats": """
+        WITH e AS (
+            SELECT label,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       AS nrm
+            FROM embeddings
+        )
+        SELECT label, count(*) AS n,
+               round(avg(nrm), 6) AS avg_norm,
+               round(min(nrm), 6) AS min_norm,
+               round(max(nrm), 6) AS max_norm
+        FROM e GROUP BY label
+    """,
+    "ann_lsh_bucketed": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bucketed AS (SELECT vec_id, v, ({_DUCK_BUCKET})::BIGINT AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+              FROM bucketed WHERE vec_id < {_N_QUERIES}),
+        cand AS (
+            SELECT q.query_id, a.vec_id, {_DUCK_COS} AS cos
+            FROM bucketed a JOIN q
+              ON a.bucket = q.qbucket AND a.vec_id <> q.query_id
+        ),
+        best AS (
+            SELECT query_id, vec_id AS best_neighbor, cos AS best_cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, vec_id ASC) AS rk
+                  FROM cand)
+            WHERE rk = 1
+        ),
+        n_cand AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id)
+        SELECT q.query_id, q.qbucket AS bucket,
+               coalesce(n_cand.n_candidates, 0) AS n_candidates,
+               best.best_neighbor, best.best_cos
+        FROM q
+        LEFT JOIN n_cand ON n_cand.query_id = q.query_id
+        LEFT JOIN best ON best.query_id = q.query_id
+    """,
+}

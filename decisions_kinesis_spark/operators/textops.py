@@ -1,0 +1,199 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7 M6).
+
+Language-ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and winnowing-style document
+fingerprints — all pure Column expressions (codegen'd, shuffle-free
+per-row transforms: they run at scan speed at any corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.sources.tables import load_table
+
+_TOKS = r"filter(split(lower(text), '\\s+'), x -> x != '')"
+
+#: ASCII-only word/punct tokenizer — identical regex semantics in both
+#: engines (avoids \w unicode-class differences).
+_BPE_PAT = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]"
+
+_EN_STOP = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _EN_STOP)
+
+_BIGHASH = "cast(conv(substring(md5({e}), 1, 15), 16, 10) as bigint)"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, avg token
+    length, BPE-ish regex token count."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.withColumn("toks", F.expr(_TOKS)).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").cast("bigint").alias("n_distinct"),
+        F.round(
+            F.expr("aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x))")
+            / F.size("toks"),
+            4,
+        ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: English stopword ratio vs threshold,
+    compared against the labeled ``lang`` column."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.withColumn("toks", F.expr(_TOKS))
+        .withColumn(
+            "en_ratio",
+            F.round(
+                F.expr(f"size(filter(toks, x -> x in ({_STOP_SQL})))")
+                / F.size("toks"),
+                4,
+            ),
+        )
+        .select(
+            "doc_id",
+            "en_ratio",
+            F.when(F.col("en_ratio") >= 0.05, F.lit("en"))
+            .otherwise(F.lit("unk"))
+            .alias("pred_lang"),
+            "lang",
+        )
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length / punctuation / stopword /
+    token-shape signals (the usual pre-training heuristics)."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_chars = F.length("text").cast("double")
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double")
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
+    return (
+        docs.withColumn("toks", F.expr(_TOKS))
+        .withColumn("n_tok", F.size("toks").cast("double"))
+        .withColumn(
+            "stop_ratio",
+            F.expr(f"size(filter(toks, x -> x in ({_STOP_SQL})))") / F.col("n_tok"),
+        )
+        .withColumn("punct_ratio", punct / n_chars)
+        .withColumn("digit_ratio", digits / n_chars)
+        .select(
+            "doc_id",
+            F.round("stop_ratio", 4).alias("stop_ratio"),
+            F.round("punct_ratio", 4).alias("punct_ratio"),
+            F.round("digit_ratio", 4).alias("digit_ratio"),
+            # floor-based round: Spark round() is HALF_UP, DuckDB's is
+            # HALF_EVEN — floor(x*1e4 + 0.5)/1e4 is the same IEEE op
+            # sequence in both engines, so half-way cases agree.
+            (
+                F.floor(
+                    (
+                        F.lit(0.4) * F.col("stop_ratio")
+                        + F.lit(0.3) * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+                        + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("quality"),
+        )
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints: min hash over all char-8-gram
+    positions, two seeds — the rolling-hash document signature."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = docs.withColumn("t", F.lower("text"))
+    cols = []
+    for seed in (0, 1):
+        h = _BIGHASH.format(e=f"concat('{seed}:', substring(t, p, 8))")
+        cols.append(
+            F.expr(
+                f"array_min(transform(sequence(1, greatest(length(t) - 7, 1)),"
+                f" p -> {h}))"
+            ).alias(f"fp{seed}")
+        )
+    return out.select("doc_id", *cols)
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_lang_id": text_lang_id,
+    "text_quality_score": text_quality_score,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+_DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_DUCK_BIGHASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+ORACLES = {
+    "text_token_stats": f"""
+        WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks))::BIGINT AS n_distinct,
+               round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                     / len(toks), 4) AS avg_token_len,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]'))::BIGINT
+                   AS n_bpe_tokens
+        FROM t
+    """,
+    "text_lang_id": f"""
+        WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+        r AS (
+            SELECT doc_id, lang,
+                   round(len(list_filter(toks, x -> x IN ({_STOP_SQL})))::DOUBLE
+                         / len(toks), 4) AS en_ratio
+            FROM t
+        )
+        SELECT doc_id, en_ratio,
+               CASE WHEN en_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang,
+               lang
+        FROM r
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ({_STOP_SQL})))::DOUBLE
+                       / len(toks)::DOUBLE AS stop_ratio,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE AS punct_ratio,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE AS digit_ratio,
+                   len(toks)::DOUBLE AS n_tok
+            FROM t
+        )
+        SELECT doc_id,
+               round(stop_ratio, 4) AS stop_ratio,
+               round(punct_ratio, 4) AS punct_ratio,
+               round(digit_ratio, 4) AS digit_ratio,
+               floor((0.4 * stop_ratio + 0.3 * least(n_tok / 100.0, 1.0)
+                      + 0.3 * (1.0 - punct_ratio)) * 10000 + 0.5) / 10000.0
+                   AS quality
+        FROM m
+    """,
+    "doc_fingerprint": f"""
+        WITH t AS (SELECT doc_id, lower(text) AS t FROM documents)
+        SELECT doc_id,
+               list_min(list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                   p -> {_DUCK_BIGHASH.format(e="'0:' || substr(t, p, 8)")}))
+                   AS fp0,
+               list_min(list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                   p -> {_DUCK_BIGHASH.format(e="'1:' || substr(t, p, 8)")}))
+                   AS fp1
+        FROM t
+    """,
+}
