@@ -1,0 +1,98 @@
+"""Kinesis connector configuration surface (S1-S4, L3, P2, P3).
+
+Maps the reference's queue/settings config onto the option set of the
+public Spark Kinesis connectors (spark-sql-kinesis style).  No AWS
+call happens here — this is pure option marshaling, integration-tested
+as such (SURVEY.md §7 M5: "no AWS in CI"); ``boto3``-backed helpers
+are gated behind an import-try.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from decisions_kinesis_spark.config import (
+    AUTH_STATIC,
+    START_FROM_LATEST,
+    START_FROM_OLDEST,
+    KinesisQueueConfig,
+)
+
+try:  # optional; absent in this container
+    import boto3  # type: ignore
+except ImportError:
+    boto3 = None
+
+
+def connector_options(config: KinesisQueueConfig, region: str | None = None) -> dict[str, str]:
+    """KinesisQueueConfig → connector option map.
+
+    Starting-position resolution mirrors C6 (KinesisThreadJobs.cs:
+    533-556): a checkpoint dir always wins (Structured Streaming reads
+    its own offsets first); otherwise oldest → TRIM_HORIZON, latest →
+    LATEST.
+    """
+    config.require_valid()
+    s = config.settings
+    opts: dict[str, str] = {
+        "streamName": config.stream_name,
+        "region": region or s.region,
+        "startingposition": (
+            "TRIM_HORIZON"
+            if config.initial_stream_position == START_FROM_OLDEST
+            else "LATEST"
+        ),
+        "maxFetchRecordsPerShard": str(config.max_records_per_request),
+        "retryTimeoutMs": str(config.request_timeout_s * 1000),
+        "maxRetries": str(config.max_retries),
+        "describeShardInterval": f"{config.shard_poll_interval_s}s",
+    }
+    if config.use_enhanced_fan_out:
+        opts["consumerType"] = "EFO"
+        if config.consumer_arn:
+            opts["consumerArn"] = config.consumer_arn
+        if config.consumer_name:
+            opts["consumerName"] = config.consumer_name
+    if config.override_settings and s.authentication_method == AUTH_STATIC:
+        opts["awsAccessKeyId"] = s.access_key_id or ""
+        opts["awsSecretKey"] = s.secret_access_key or ""
+    if config.override_settings and s.use_role_arn and s.role_arn:
+        opts["roleArn"] = s.role_arn
+        opts["roleSessionName"] = "DecisionsKinesisSession"
+    return opts
+
+
+def read_kinesis_stream(spark: SparkSession, config: KinesisQueueConfig) -> DataFrame:
+    """S1/S2 — real connector source (requires the kinesis connector jar
+    on the classpath; raises a clear error here where it is absent)."""
+    return (
+        spark.readStream.format("aws-kinesis")
+        .options(**connector_options(config))
+        .load()
+    )
+
+
+def push_message(config: KinesisQueueConfig, message_id: str, data: bytes) -> dict[str, Any]:
+    """P2 — producer sink (KinesisMessageQueueImpl.cs:99-126): single
+    synchronous put with PartitionKey = message id."""
+    if boto3 is None:
+        raise NotImplementedError("boto3 not available in this container")
+    client = boto3.client("kinesis", region_name=config.settings.region)
+    return client.put_record(
+        StreamName=config.stream_name, Data=data, PartitionKey=message_id
+    )
+
+
+def test_connection(config: KinesisQueueConfig) -> str:
+    """P3 — connection test (KinesisMessageQueueImpl.cs:56-97): describe
+    the stream, report status + shard count."""
+    if boto3 is None:
+        raise NotImplementedError("boto3 not available in this container")
+    client = boto3.client("kinesis", region_name=config.settings.region)
+    desc = client.describe_stream(StreamName=config.stream_name)["StreamDescription"]
+    return (
+        f"Stream {config.stream_name}: status={desc['StreamStatus']}, "
+        f"shards={len(desc['Shards'])}"
+    )

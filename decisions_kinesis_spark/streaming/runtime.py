@@ -1,0 +1,146 @@
+"""Streaming consume pipeline (SURVEY.md §7 M5).
+
+Re-expresses the reference's consumer lifecycle on Structured
+Streaming (SURVEY.md §3 lifecycle mapping):
+
+  reference                              this engine
+  ---------                              -----------
+  ReceiveMessages poll loop              micro-batch planner + trigger
+  shard lease acquire/renew/release      task scheduler (exclusive tasks)
+  kinesis_checkpoint table (C4-C6)       checkpointLocation offsets/commits WAL
+  ShardPollInterval / BatchWaitTime      trigger(processingTime=...)
+  MaxRecordsPerRequest                   maxFilesPerTrigger / rate caps
+  ProcessRecordAsync decode+filter       DataFrame decode + compiled predicate
+  ProcessMessage dispatch (P1)           foreachBatch handler
+  at-least-once via checkpoint-after-    at-least-once via foreachBatch retry +
+  batch (KinesisThreadJobs.cs:405-408)   commit-after-success
+  BackoffRetry (R1, :35-118)             exponential backoff in dispatch loop
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from decisions_kinesis_spark.config import KinesisQueueConfig
+from decisions_kinesis_spark.functions.envelope import ENVELOPE_SCHEMA
+from decisions_kinesis_spark.functions.filters import compile_payload_filters
+
+
+@dataclass
+class BackoffPolicy:
+    """Exponential backoff with jitter (KinesisThreadJobs.cs:107-117, :226).
+
+    delay = base * 2^attempt + U(0,1) seconds, capped at ``max_delay_s``.
+    Reference defaults: base 5 s, cap 32 s, 3 retries.
+    """
+
+    max_retries: int = 3
+    base_delay_s: float = 5.0
+    max_delay_s: float = 32.0
+
+    def delay(self, attempt: int) -> float:
+        return min(
+            self.base_delay_s * (2**attempt) + random.random(), self.max_delay_s
+        )
+
+
+def read_envelope_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """File-based envelope stream: the harness stand-in for the Kinesis
+    source (S1/S2).  One staged parquet file ≈ one GetRecords batch;
+    ``maxFilesPerTrigger`` plays the role of MaxRecordsPerRequest.
+    """
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def filtered_stream(stream: DataFrame, config: KinesisQueueConfig) -> DataFrame:
+    """Decode + compiled payload predicate over the envelope stream —
+    the D1/F1/F2 pipeline of ProcessRecordAsync (KinesisThreadJobs.cs:
+    690-709) as one codegen'd projection+filter."""
+    decoded = stream.withColumn("messageText", F.decode(F.col("data"), "UTF-8"))
+    pred = compile_payload_filters(
+        F.col("messageText"), config.payload_filters, config.use_or
+    )
+    return decoded.filter(pred)
+
+
+def start_dispatch(
+    stream: DataFrame,
+    handler: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    config: KinesisQueueConfig | None = None,
+    backoff: BackoffPolicy | None = None,
+    trigger_interval: str | None = None,
+    sleeper: Callable[[float], None] = time.sleep,
+) -> StreamingQuery:
+    """At-least-once dispatch (P1 + R1): foreachBatch with retry.
+
+    Matches the reference's delivery contract exactly: the handler runs
+    before the checkpoint commit, so a crash between handler success
+    and commit redelivers the batch (at-least-once,
+    KinesisThreadJobs.cs:405-408); a handler failure after all retries
+    fails the batch → the query stops → restart redelivers.
+    """
+    if backoff is None:
+        backoff = BackoffPolicy(
+            max_retries=config.max_retries if config else 3,
+            base_delay_s=float(config.error_backoff_time_s) if config else 5.0,
+        )
+
+    def _dispatch(batch_df: DataFrame, epoch_id: int) -> None:
+        attempt = 0
+        while True:
+            try:
+                handler(batch_df, epoch_id)
+                return
+            except Exception:
+                if attempt >= backoff.max_retries:
+                    raise
+                sleeper(backoff.delay(attempt))
+                attempt += 1
+
+    writer = stream.writeStream.foreachBatch(_dispatch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def consume(
+    spark: SparkSession,
+    source_path: str,
+    config: KinesisQueueConfig,
+    handler: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_interval: str | None = None,
+) -> StreamingQuery:
+    """Full consumer pipeline: source → decode/filter → dispatch.
+
+    The one-call equivalent of the reference's queue-enabled lifecycle
+    (SURVEY.md §3 entry point 1).
+    """
+    config.require_valid()
+    stream = read_envelope_stream(
+        spark, source_path, max_files_per_trigger=None
+    )
+    return start_dispatch(
+        filtered_stream(stream, config),
+        handler,
+        checkpoint_dir,
+        config=config,
+        trigger_interval=trigger_interval,
+    )

@@ -1,0 +1,125 @@
+"""Operator invariants on sf0.001 (full value-equality vs DuckDB is the
+oracle harness's job — tools/oracle_check.py; these are fast sanity +
+plumbing tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.operators.asof import asof_join_events_orders
+from decisions_kinesis_spark.operators.dedup import dedup_exact, dedup_minhash_lsh_pairs
+from decisions_kinesis_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from decisions_kinesis_spark.operators.similarity import ann_cosine_topk
+from decisions_kinesis_spark.sources.kinesis import connector_options
+from decisions_kinesis_spark.sources.tables import load_table
+from decisions_kinesis_spark.config import (
+    START_FROM_LATEST,
+    FilterVerb,
+    KinesisQueueConfig,
+    KinesisSettings,
+    PayloadFilter,
+)
+
+
+def test_asof_join_matches_latest_order(spark, sf_dir):
+    out = asof_join_events_orders(spark, sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    assert out.count() == events.count()  # left join keeps every event
+    # every matched order actually precedes the event
+    bad = out.filter(
+        F.col("o_orderkey").isNotNull() & (F.col("o_orderdate") > F.col("ts"))
+    ).count()
+    assert bad == 0
+
+
+def test_dedup_exact_flags_injected_copies(spark, sf_dir):
+    out = dedup_exact(spark, sf_dir)
+    dups = out.filter(~F.col("keep"))
+    assert dups.count() == 20
+    assert dups.filter(F.col("doc_id") >= 100000).count() == 20
+
+
+def test_minhash_lsh_finds_exact_dups(spark, sf_dir):
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).collect()
+    injected = {(r.doc_a, r.doc_b) for r in pairs if r.doc_b == r.doc_a + 100000}
+    assert len(injected) == 20
+    assert all(r.jaccard == 1.0 for r in pairs if r.doc_b == r.doc_a + 100000)
+
+
+def test_ann_topk_self_similarity_excluded(spark, sf_dir):
+    out = ann_cosine_topk(spark, sf_dir)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
+    assert out.filter((F.col("cos") > 1.000001) | (F.col("cos") < -1.000001)).count() == 0
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    media = documents_as_media(spark, sf_dir)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    assert all(len(r.features) == 4 for r in rows)
+    # deterministic: first feature is the byte length
+    sizes = {r.media_id: r.features[0] for r in rows}
+    for r in media.select("media_id", "n_bytes").collect():
+        assert sizes[r.media_id] == float(r.n_bytes)
+
+
+def test_frame_sample_covers_blob(spark, sf_dir):
+    media = documents_as_media(spark, sf_dir).limit(10)
+    frames = frame_sample(media, every_n_bytes=64)
+    joined = (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum(F.octet_length("frame_bytes")).alias("covered"),
+        )
+        .join(media.select("media_id", "n_bytes"), "media_id")
+        .collect()
+    )
+    for r in joined:
+        assert r.n_frames == max(r.n_bytes // 64, 1)
+        assert r.covered <= r.n_bytes
+
+
+def test_connector_options_mapping():
+    cfg = KinesisQueueConfig(
+        stream_name="s",
+        initial_stream_position=START_FROM_LATEST,
+        max_records_per_request=500,
+        request_timeout_s=7,
+        shard_poll_interval_s=15,
+    )
+    opts = connector_options(cfg)
+    assert opts["startingposition"] == "LATEST"
+    assert opts["maxFetchRecordsPerShard"] == "500"
+    assert opts["retryTimeoutMs"] == "7000"
+    assert opts["describeShardInterval"] == "15s"
+    assert "consumerType" not in opts
+
+
+def test_connector_options_efo_and_static_auth():
+    cfg = KinesisQueueConfig(
+        stream_name="s",
+        use_enhanced_fan_out=True,
+        consumer_name="c1",
+        override_settings=True,
+        settings=KinesisSettings(
+            authentication_method="StaticCredentials",
+            access_key_id="AK",
+            secret_access_key="SK",
+            use_role_arn=True,
+            role_arn="arn:aws:iam::1:role/r",
+        ),
+    )
+    opts = connector_options(cfg)
+    assert opts["consumerType"] == "EFO"
+    assert opts["consumerName"] == "c1"
+    assert opts["awsAccessKeyId"] == "AK"
+    assert opts["roleArn"].endswith("role/r")
+    assert opts["roleSessionName"] == "DecisionsKinesisSession"

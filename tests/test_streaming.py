@@ -1,0 +1,180 @@
+"""Streaming runtime tests (SURVEY.md §5 plan #3).
+
+File-source micro-batches over staged ``events`` slices; asserts on
+filtering, checkpoint recovery (C4-C6 analog), at-least-once
+redelivery, and the retry/backoff dispatch wrapper (P1 + R1).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.config import (
+    FilterVerb,
+    KinesisQueueConfig,
+    PayloadFilter,
+)
+from decisions_kinesis_spark.functions.envelope import events_to_envelope
+from decisions_kinesis_spark.sources.tables import load_table
+from decisions_kinesis_spark.streaming.runtime import (
+    BackoffPolicy,
+    consume,
+    filtered_stream,
+    read_envelope_stream,
+    start_dispatch,
+)
+
+
+@pytest.fixture()
+def staged(spark, sf_dir):
+    """Stage the envelope-mapped events as N parquet files = N batches."""
+    tmp = tempfile.mkdtemp(prefix="dks-stream-")
+    src = f"{tmp}/source"
+    env = events_to_envelope(load_table(spark, "events", sf_dir))
+    env.repartition(4).write.parquet(src)
+    yield tmp, src, env
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _purchase_config() -> KinesisQueueConfig:
+    return KinesisQueueConfig(
+        stream_name="events",
+        payload_filters=[PayloadFilter("k", FilterVerb.GREATER_THAN, "50")],
+    )
+
+
+def test_consume_filters_and_dispatches(spark, staged):
+    tmp, src, env = staged
+    cfg = _purchase_config()
+    seen: list[int] = []
+
+    def handler(batch_df, epoch_id):
+        seen.append(batch_df.count())
+
+    q = consume(spark, src, cfg, handler, f"{tmp}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    # lexicographic '>' on k: matches the batch oracle exactly
+    expected = (
+        env.withColumn("text", F.decode("data", "UTF-8"))
+        .filter(F.get_json_object("text", "$.k") > "50")
+        .count()
+    )
+    assert sum(seen) == expected > 0
+
+
+def test_checkpoint_no_redelivery_on_restart(spark, staged):
+    """C4 analog: a restarted query resumes after the last committed
+    batch — already-processed files are not redelivered."""
+    tmp, src, env = staged
+    cfg = KinesisQueueConfig(stream_name="events")
+    counts: list[int] = []
+
+    def handler(batch_df, epoch_id):
+        counts.append(batch_df.count())
+
+    q = consume(spark, src, cfg, handler, f"{tmp}/ckpt2")
+    q.processAllAvailable()
+    q.stop()
+    total_first = sum(counts)
+    assert total_first == env.count()
+
+    counts.clear()
+    q = consume(spark, src, cfg, handler, f"{tmp}/ckpt2")
+    q.processAllAvailable()
+    q.stop()
+    assert sum(counts) == 0  # nothing redelivered
+
+
+def test_at_least_once_redelivery_after_crash(spark, staged):
+    """P1 contract: handler success without checkpoint commit ⇒ the
+    batch is redelivered on restart (at-least-once, not exactly-once).
+
+    Simulated by crashing the query AFTER the handler ran (raise on the
+    first batch after side effect), then restarting.
+    """
+    tmp, src, env = staged
+    cfg = KinesisQueueConfig(stream_name="events")
+    delivered: list[tuple[int, int]] = []
+    crash = {"armed": True}
+
+    def handler(batch_df, epoch_id):
+        n = batch_df.count()
+        delivered.append((epoch_id, n))
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("simulated crash after side effect")
+
+    stream = read_envelope_stream(spark, src, max_files_per_trigger=1)
+    q = start_dispatch(
+        stream,
+        handler,
+        f"{tmp}/ckpt3",
+        backoff=BackoffPolicy(max_retries=0, base_delay_s=0.0),
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    n_before = sum(n for _, n in delivered)
+    assert n_before > 0
+
+    q = start_dispatch(
+        stream,
+        handler,
+        f"{tmp}/ckpt3",
+        backoff=BackoffPolicy(max_retries=0, base_delay_s=0.0),
+    )
+    q.processAllAvailable()
+    q.stop()
+    total = sum(n for _, n in delivered)
+    # the crashed batch was delivered twice: total > dataset size
+    assert total == env.count() + n_before
+
+
+def test_retry_backoff_then_success(spark, staged):
+    """R1: transient handler failures are retried with backoff; the
+    batch commits after eventual success (no redelivery)."""
+    tmp, src, env = staged
+    fails = {"left": 2}
+    sleeps: list[float] = []
+    delivered: list[int] = []
+
+    def flaky(batch_df, epoch_id):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise RuntimeError("transient")
+        delivered.append(batch_df.count())
+
+    stream = read_envelope_stream(spark, src, max_files_per_trigger=None)
+    q = start_dispatch(
+        stream,
+        flaky,
+        f"{tmp}/ckpt4",
+        backoff=BackoffPolicy(max_retries=3, base_delay_s=0.01, max_delay_s=0.05),
+        sleeper=sleeps.append,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sum(delivered) == env.count()
+    assert len(sleeps) == 2  # two retries slept
+    assert all(0 < s <= 0.05 for s in sleeps)
+
+
+def test_backoff_policy_formula():
+    """delay = base·2^attempt + U(0,1), capped (KinesisThreadJobs.cs:107-117)."""
+    p = BackoffPolicy(max_retries=5, base_delay_s=5.0, max_delay_s=32.0)
+    d0, d1, d3 = p.delay(0), p.delay(1), p.delay(3)
+    assert 5.0 <= d0 <= 6.0
+    assert 10.0 <= d1 <= 11.0
+    assert d3 == 32.0  # 40 + jitter capped
+
+
+def test_filtered_stream_is_streaming_plan(spark, staged):
+    tmp, src, env = staged
+    cfg = _purchase_config()
+    out = filtered_stream(read_envelope_stream(spark, src), cfg)
+    assert out.isStreaming
+    assert "messageText" in out.columns
