@@ -1,0 +1,61 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect).  ``value`` is the summed wall-clock seconds
+across all queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry_mod
+    from decisions_kinesis_spark.session import get_session
+
+    spark = get_session(app_name="dks-bench")
+    # warm up the JVM + parquet footer cache outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # Deliberately-alternate implementations (kept in queries() for
+    # correctness coverage of the extension-point API, not the
+    # recommended execution path) are excluded from the headline total.
+    alternates = {"asof_join_events_orders_pandas"}
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        if name in alternates:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

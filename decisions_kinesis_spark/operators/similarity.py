@@ -89,18 +89,30 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr() -> F.Column:
-    """256-bucket LSH key: sign bits of 8 deterministic hyperplane dots.
+_N_DIMS = 64  # embedding dimensionality of the fixtures
 
-    plane(b, d) = +1 if bigint(md5('b,d')) is odd else −1 — identical
-    in both engines, so bucket ids are value-comparable.
-    """
+
+def _plane_signs(b: int) -> list[float]:
+    """Deterministic hyperplane: sign(d) = +1 if bigint(md5('b,d')) is
+    odd else −1.  Computed ONCE here (plane weights are constants) and
+    inlined as literals in both engines — no per-row hashing."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{b},{d}".encode()).hexdigest()[:15], 16) % 2 else -1.0
+        for d in range(1, _N_DIMS + 1)
+    ]
+
+
+def _bucket_expr() -> F.Column:
+    """256-bucket LSH key: sign bits of 8 constant hyperplane dots."""
     planes = []
     for b in range(_N_PLANES):
+        signs = "array(" + ", ".join(
+            f"{s:.1f}D" for s in _plane_signs(b)
+        ) + ")"
         proj = (
-            f"aggregate(zip_with(v, sequence(1, size(v)), (x, d) ->"
-            f" x * (cast(conv(substring(md5(concat('{b}', ',', cast(d as string))),"
-            f" 1, 15), 16, 10) as bigint) % 2 * 2 - 1)),"
+            f"aggregate(zip_with(v, {signs}, (x, s) -> x * s),"
             f" cast(0.0 as double), (acc, x) -> acc + x)"
         )
         planes.append(f"(case when ({proj}) > 0 then {1 << b} else 0 end)")
@@ -164,13 +176,18 @@ _DUCK_COS = (
     " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
 )
 
-_DUCK_BUCKET = " + ".join(
-    f"""(CASE WHEN (
-        SELECT sum(v[d.d] * ((('0x' || substr(md5('{b}' || ',' || d.d::VARCHAR), 1, 15))::BIGINT % 2) * 2 - 1))
-        FROM (SELECT unnest(generate_series(1, len(v))) AS d) d
-    ) > 0 THEN {1 << b} ELSE 0 END)"""
-    for b in range(_N_PLANES)
-)
+def _duck_bucket() -> str:
+    parts = []
+    for b in range(_N_PLANES):
+        signs = "[" + ", ".join(f"{s:.1f}" for s in _plane_signs(b)) + "]"
+        parts.append(
+            f"(CASE WHEN list_dot_product(v, {signs}::DOUBLE[]) > 0"
+            f" THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+_DUCK_BUCKET = _duck_bucket()
 
 ORACLES = {
     "ann_cosine_topk": f"""

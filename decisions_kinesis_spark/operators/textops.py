@@ -111,19 +111,31 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints: min hash over all char-8-gram
-    positions, two seeds — the rolling-hash document signature."""
+    positions — the rolling-hash document signature.
+
+    One md5 per position; the two independent 60-bit fingerprints are
+    disjoint slices of the same digest (hex chars 1-15 and 17-31),
+    halving hash work vs one digest per seed.
+    """
     docs = load_table(spark, "documents", sf_dir)
-    out = docs.withColumn("t", F.lower("text"))
-    cols = []
-    for seed in (0, 1):
-        h = _BIGHASH.format(e=f"concat('{seed}:', substring(t, p, 8))")
-        cols.append(
-            F.expr(
-                f"array_min(transform(sequence(1, greatest(length(t) - 7, 1)),"
-                f" p -> {h}))"
-            ).alias(f"fp{seed}")
-        )
-    return out.select("doc_id", *cols)
+    out = docs.withColumn("t", F.lower("text")).withColumn(
+        "ms",
+        F.expr(
+            "transform(sequence(1, greatest(length(t) - 7, 1)),"
+            " p -> md5(substring(t, p, 8)))"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(ms, h ->"
+            " cast(conv(substring(h, 1, 15), 16, 10) as bigint)))"
+        ).alias("fp0"),
+        F.expr(
+            "array_min(transform(ms, h ->"
+            " cast(conv(substring(h, 17, 15), 16, 10) as bigint)))"
+        ).alias("fp1"),
+    )
 
 
 QUERIES = {
@@ -185,15 +197,19 @@ ORACLES = {
                    AS quality
         FROM m
     """,
-    "doc_fingerprint": f"""
-        WITH t AS (SELECT doc_id, lower(text) AS t FROM documents)
+    "doc_fingerprint": """
+        WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        m AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, greatest(length(t) - 7, 1)),
+                                  p -> md5(substr(t, p, 8))) AS ms
+            FROM t
+        )
         SELECT doc_id,
-               list_min(list_transform(generate_series(1, greatest(length(t) - 7, 1)),
-                   p -> {_DUCK_BIGHASH.format(e="'0:' || substr(t, p, 8)")}))
+               list_min(list_transform(ms, h -> ('0x' || substr(h, 1, 15))::BIGINT))
                    AS fp0,
-               list_min(list_transform(generate_series(1, greatest(length(t) - 7, 1)),
-                   p -> {_DUCK_BIGHASH.format(e="'1:' || substr(t, p, 8)")}))
+               list_min(list_transform(ms, h -> ('0x' || substr(h, 17, 15))::BIGINT))
                    AS fp1
-        FROM t
+        FROM m
     """,
 }
