@@ -18,11 +18,13 @@ sys.path.insert(0, "/root/repo")
 _OPERATOR_MODULES = (
     "payload",
     "relational",
+    "windows_ext",
     "asof",
     "dedup",
     "similarity",
     "textops",
     "multimodal",
+    "udfs",
 )
 
 

@@ -388,6 +388,61 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_outer_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-preserving aggregation: every customer,
+    including the order-less (count(o_orderkey) skips nulls)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+def join_full_outer_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-customer aggregates — rows survive
+    from either side with nulls on the other."""
+    orders = load_table(spark, "orders", sf_dir)
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("cust_u"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    high = (
+        orders.filter(F.col("o_orderpriority") == "2-HIGH")
+        .groupBy(F.col("o_custkey").alias("cust_h"))
+        .agg(F.count("*").alias("n_high"))
+    )
+    return urgent.join(
+        high, urgent.cust_u == high.cust_h, "full_outer"
+    ).select(
+        F.coalesce(F.col("cust_u"), F.col("cust_h")).alias("custkey"),
+        F.coalesce(F.col("n_urgent"), F.lit(0)).alias("n_urgent"),
+        F.coalesce(F.col("n_high"), F.lit(0)).alias("n_high"),
+    )
+
+
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: stddev/variance/median (exact
+    interpolated percentile)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+        F.round(F.stddev_samp("value"), 6).alias("std_v"),
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_v"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -415,6 +470,9 @@ QUERIES = {
     "set_intersect_buyers": set_intersect_buyers,
     "set_except_nonbuyers": set_except_nonbuyers,
     "scalar_function_suite": scalar_function_suite,
+    "join_outer_customer_order_counts": join_outer_customer_order_counts,
+    "join_full_outer_priority_sets": join_full_outer_priority_sets,
+    "agg_stats_suite": agg_stats_suite,
 }
 
 ORACLES = {
@@ -611,5 +669,38 @@ ORACLES = {
                round(ln(o_totalprice), 6) AS price_ln,
                round(sqrt(o_totalprice), 6) AS price_sqrt
         FROM orders
+    """,
+    "join_outer_customer_order_counts": """
+        SELECT c_custkey, c_mktsegment,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
+    "join_full_outer_priority_sets": """
+        WITH urgent AS (
+            SELECT o_custkey AS cust_u, count(*) AS n_urgent
+            FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+        ),
+        high AS (
+            SELECT o_custkey AS cust_h, count(*) AS n_high
+            FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY o_custkey
+        )
+        SELECT coalesce(cust_u, cust_h) AS custkey,
+               coalesce(n_urgent, 0) AS n_urgent,
+               coalesce(n_high, 0) AS n_high
+        FROM urgent FULL OUTER JOIN high ON cust_u = cust_h
+    """,
+    "agg_stats_suite": """
+        SELECT event_type,
+               count(*) AS n,
+               round(avg(value), 6) AS avg_v,
+               round(stddev_samp(value), 6) AS std_v,
+               round(var_samp(value), 6) AS var_v,
+               round(quantile_cont(value, 0.5), 6) AS median_v,
+               round(min(value), 6) AS min_v,
+               round(max(value), 6) AS max_v
+        FROM events
+        GROUP BY event_type
     """,
 }

@@ -1,0 +1,61 @@
+"""UDF surface (SURVEY.md §2: the reference's extension point is the
+host platform's handler flows; this engine's equivalents).
+
+Demonstrates every Python extension tier with the fast (Arrow) paths:
+
+- scalar ``pandas_udf``       — vectorized per-batch column math;
+- ``applyInPandas``           — per-group transforms (see operators/asof);
+- ``mapInPandas``             — per-partition batch streams (see
+                                operators/multimodal);
+- ``foreachBatch``            — sink-side dispatch (see streaming/runtime).
+
+Row-at-a-time Python UDFs are deliberately absent — they are the slow
+path (SURVEY.md §4) and nothing in the surface needs them.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from decisions_kinesis_spark.sources.tables import load_table
+
+
+@F.pandas_udf(T.DoubleType())
+def log_engagement(value: pd.Series) -> pd.Series:
+    """Vectorized scoring: 2·ln(1+value) over Arrow batches."""
+    import numpy as np
+
+    return 2.0 * np.log1p(value)
+
+
+def pandas_udf_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas-UDF demo with a value-checked SQL oracle.
+
+    Scale note: this is the pattern for math that genuinely needs
+    numpy/scipy; for anything expressible in ``pyspark.sql.functions``
+    (like this toy formula) the built-in stays JVM-side and ~10× faster
+    — which is why every other operator in this engine avoids UDFs.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "view")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(log_engagement(F.col("value")), 6).alias("engagement"),
+    )
+
+
+QUERIES = {
+    "pandas_udf_engagement_score": pandas_udf_engagement_score,
+}
+
+ORACLES = {
+    "pandas_udf_engagement_score": """
+        SELECT event_id, user_id,
+               round(2.0 * ln(1.0 + value), 6) AS engagement
+        FROM events
+        WHERE event_type = 'view'
+    """,
+}

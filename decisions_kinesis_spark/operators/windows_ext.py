@@ -1,0 +1,147 @@
+"""Event-time window extensions (SURVEY.md §7 M6).
+
+The reference has NO event-time windows (SURVEY.md §2: the only time
+notion is arrival timestamp as metadata).  These are the engine's
+extension surface: tumbling / sliding / session windows over
+``events.ts``, expressed with Spark's native ``window()`` /
+``session_window()`` operators in batch mode (identical semantics to
+the streaming versions — same expressions, plus a watermark, covered
+in tests/test_streaming_windows.py).
+
+DuckDB oracles rebuild the window grids arithmetically (epoch-µs
+integer math), proving the window-assignment semantics — not just row
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.sources.tables import load_table
+
+
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: counts + rounded sums per event_type.
+
+    Scale: window assignment is a pure projection (one window per row);
+    the aggregation is an ordinary hash agg on (window, type).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 30 min slide): each event lands in 2
+    overlapping windows.
+
+    Scale: slide explode multiplies rows by size/slide (2×) before the
+    hash agg — the standard cost model; wider overlap ratios should
+    switch to per-grid aggregation + rollup merge.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n",
+        )
+    )
+
+
+def window_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (5-min gap) per user: bounds + event count.
+
+    Spark semantics: session end = last event + gap; sessions merge
+    while each event arrives within gap of the session's current end.
+    The oracle rebuilds identical sessions with lag + running flag-sum.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+QUERIES = {
+    "window_tumbling_hourly": window_tumbling_hourly,
+    "window_sliding_counts": window_sliding_counts,
+    "window_session_bounds": window_session_bounds,
+}
+
+_HOUR_US = 3_600_000_000
+_HALF_US = 1_800_000_000
+_GAP_US = 300_000_000
+
+ORACLES = {
+    "window_tumbling_hourly": f"""
+        SELECT make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US}) AS w_start,
+               make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US}
+                              + {_HOUR_US}) AS w_end,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "window_sliding_counts": f"""
+        WITH assigned AS (
+            SELECT make_timestamp(((epoch_us(ts) // {_HALF_US}) - i.i) * {_HALF_US})
+                       AS w_start,
+                   ts
+            FROM events, LATERAL (SELECT unnest([0, 1]) AS i) i
+            WHERE epoch_us(ts) >= ((epoch_us(ts) // {_HALF_US}) - i.i) * {_HALF_US}
+              AND epoch_us(ts) <  ((epoch_us(ts) // {_HALF_US}) - i.i) * {_HALF_US}
+                                  + {_HOUR_US}
+        )
+        SELECT w_start,
+               w_start + INTERVAL 1 HOUR AS w_end,
+               count(*) AS n
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+    "window_session_bounds": f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS sess_start,
+               max(ts) + INTERVAL 5 MINUTE AS sess_end,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sess_id
+    """,
+}

@@ -1,0 +1,90 @@
+"""Plan-shape tests: the 100 TB criteria as assertions (pushdown,
+pruning, broadcast choice, no accidental Python, bounded shuffles)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.config import FilterVerb, PayloadFilter
+from decisions_kinesis_spark.functions.filters import apply_payload_filters
+from decisions_kinesis_spark.operators import relational, similarity
+from decisions_kinesis_spark.operators.asof import asof_join_events_orders
+from decisions_kinesis_spark.operators.payload import flagship_premium_filter
+from decisions_kinesis_spark.plans.audit import audit_plan
+from decisions_kinesis_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flagship_filter_pushdown_and_codegen(spark):
+    a = audit_plan(flagship_premium_filter(spark, SF))
+    # the attribute predicate reaches the parquet scan...
+    a.assert_pushed("EqualTo(event_type,purchase)")
+    # ...and the whole JSON predicate stays JVM-side
+    a.assert_no_python()
+    assert a.shuffles == 0  # pure scan→filter→project pipeline
+
+
+def test_q1_column_pruning(spark):
+    a = audit_plan(relational.q1_pricing_summary(spark, SF))
+    # 11-column table pruned to the 7 used columns
+    a.assert_pruned_to(0, 7)
+    a.assert_pushed("LessThanOrEqual(l_shipdate")
+    a.assert_no_python()
+
+
+def test_q3_broadcasts_dimension(spark):
+    a = audit_plan(relational.q3_shipping_priority(spark, SF))
+    a.assert_broadcasts(1)  # customer side explicitly broadcast
+    a.assert_pushed("EqualTo(c_mktsegment,BUILDING)")
+    a.assert_no_python()
+
+
+def test_q5_broadcasts_all_dims(spark):
+    a = audit_plan(relational.q5_local_supplier_volume(spark, SF))
+    a.assert_broadcasts(4)  # customer, supplier, nation, region
+    a.assert_no_python()
+
+
+def test_asof_union_carry_single_shuffle_sort(spark):
+    a = audit_plan(asof_join_events_orders(spark, SF))
+    a.assert_no_python()
+    # one exchange per union branch on user_id, then the window sort —
+    # no join explosion, no Python
+    a.assert_max_shuffles(2)
+
+
+def test_filter_compiler_stays_codegen(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    filters = [
+        PayloadFilter("k", FilterVerb.GREATER_THAN, "10"),
+        PayloadFilter("k", FilterVerb.LESS_THAN, "90"),
+        PayloadFilter("k", FilterVerb.CONTAINS_CI, "5"),
+    ]
+    a = audit_plan(apply_payload_filters(ev, "props", filters))
+    a.assert_no_python()
+    assert a.codegen_spans >= 1
+    assert a.shuffles == 0
+
+
+def test_ann_uses_broadcast_not_shuffle_join(spark):
+    a = audit_plan(similarity.ann_cosine_topk(spark, SF))
+    a.assert_broadcasts(1)  # query side broadcast against the corpus
+    a.assert_no_python()
+
+
+def test_pandas_paths_are_arrow_not_row_python(spark):
+    from decisions_kinesis_spark.operators.asof import (
+        asof_join_events_orders_pandas,
+    )
+
+    a = audit_plan(asof_join_events_orders_pandas(spark, SF))
+    assert a.arrow_eval  # cogroup runs via Arrow
+    assert not a.python_eval  # never row-at-a-time
+
+
+def test_events_scan_prunes_props_when_unused(spark):
+    ev = load_table(spark, "events", SF)
+    a = audit_plan(ev.groupBy("event_type").count())
+    a.assert_pruned_to(0, 1)

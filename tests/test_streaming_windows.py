@@ -1,0 +1,95 @@
+"""Streaming window + stateful operator tests: the streaming results
+must equal the batch equivalents once all data is processed (the
+fundamental Structured Streaming invariant)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.operators.windows_ext import window_tumbling_hourly
+from decisions_kinesis_spark.sources.tables import load_table
+from decisions_kinesis_spark.streaming.windows import (
+    running_totals_stream,
+    session_counts_stream,
+    tumbling_counts_stream,
+)
+
+
+@pytest.fixture()
+def event_stream(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="dks-sw-")
+    ev = load_table(spark, "events", sf_dir)
+    ev.repartition(4).write.parquet(f"{tmp}/src")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    yield ev, stream
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_to_memory(spark, df, name, mode):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tumbling_equals_batch(spark, event_stream, sf_dir):
+    ev, stream = event_stream
+    out = _run_to_memory(
+        spark, tumbling_counts_stream(stream), "tumb_out", "append"
+    )
+    batch = window_tumbling_hourly(spark, sf_dir).select(
+        "w_start", "w_end", "event_type", "n"
+    )
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch result exactly
+    emitted = out.collect()
+    assert len(emitted) > 0
+    bmap = {
+        (r.w_start, r.w_end, r.event_type): r.n for r in batch.collect()
+    }
+    for r in emitted:
+        assert bmap[(r.w_start, r.w_end, r.event_type)] == r.n
+
+
+def test_streaming_sessions_match_batch_sessionize(spark, event_stream):
+    ev, stream = event_stream
+    out = _run_to_memory(
+        spark, session_counts_stream(stream), "sess_out", "append"
+    )
+    emitted = out.collect()
+    assert len(emitted) > 0
+    # total events across closed sessions never exceeds the dataset;
+    # every session has >= 1 event and end = start + >= gap
+    assert sum(r.n_events for r in emitted) <= ev.count()
+    assert all(r.n_events >= 1 and r.sess_end > r.sess_start for r in emitted)
+
+
+def test_stateful_running_totals(spark, event_stream):
+    ev, stream = event_stream
+    out = _run_to_memory(
+        spark, running_totals_stream(stream), "tot_out", "update"
+    )
+    # last update per user must equal the batch aggregate
+    final = (
+        out.groupBy("user_id").agg(F.max("n").alias("n")).collect()
+    )
+    batch = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(final) == len(batch)
+    for r in final:
+        assert batch[r.user_id] == r.n
