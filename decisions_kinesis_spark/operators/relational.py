@@ -428,6 +428,46 @@ def join_full_outer_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def agg_approx_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL distinct + quantile sketch.
+
+    No DuckDB oracle — sketch implementations differ across engines by
+    design (the driver records a rows-only check).  At 100 TB these
+    replace their exact counterparts: approx_count_distinct avoids the
+    expand+dedup shuffle, percentile_approx streams one pass.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (hot-key pattern) — results must be
+    IDENTICAL to the direct groupBy, which the oracle verifies: the
+    salt is an execution detail, not a semantic one."""
+    from decisions_kinesis_spark.functions.skew import salted_aggregate
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": F.sum("l_quantity"),
+            "n_rows": F.count("*"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
 def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per group: stddev/variance/median (exact
     interpolated percentile)."""
@@ -473,6 +513,8 @@ QUERIES = {
     "join_outer_customer_order_counts": join_outer_customer_order_counts,
     "join_full_outer_priority_sets": join_full_outer_priority_sets,
     "agg_stats_suite": agg_stats_suite,
+    "agg_approx_suite": agg_approx_suite,  # no oracle: sketches are engine-specific
+    "agg_salted_skew": agg_salted_skew,
 }
 
 ORACLES = {
@@ -702,5 +744,12 @@ ORACLES = {
                round(max(value), 6) AS max_v
         FROM events
         GROUP BY event_type
+    """,
+    "agg_salted_skew": """
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
 }
