@@ -83,8 +83,11 @@ def _with_injected_dups(docs: DataFrame) -> DataFrame:
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct pairs."""
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
     return (
-        docs.withColumn("toks", F.expr(_TOKS))
+        ensure_parallelism(docs)
+        .withColumn("toks", F.expr(_TOKS))
         .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle"))
         .distinct()
     )
@@ -199,7 +202,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are then found by hamming distance on the 32-bit key (grouping on
     rotated key segments), not implemented as a pair query here.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     toks = (
         docs.withColumn("toks", F.expr(_TOKS))
         .select("doc_id", F.explode("toks").alias("token"))
@@ -277,8 +284,89 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph: each document in an
+    LSH-verified pair gets a cluster id = min doc_id reachable through
+    near-dup edges — the canonical "pick one representative per
+    duplicate cluster" step after pair detection.
+
+    ITERATIVE algorithm (driver-controlled label propagation to a
+    fixpoint): labels = min(label of self, labels of neighbors),
+    repeated until no label changes.  Converges in O(graph diameter)
+    rounds; each round is one shuffle join — the standard large-scale
+    pattern (the same loop shape at 100 TB, with the label frame
+    cached between rounds).  Oracle: DuckDB recursive CTE computing
+    min-label reachability — same fixpoint, declaratively.
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # Adaptive strategy: the near-dup graph is far smaller than the
+    # corpus.  Below the threshold, a driver-side union-find finishes in
+    # microseconds (standard tail strategy for distributed CC); above
+    # it, run distributed label propagation.  Same fixpoint either way.
+    edge_rows = pairs.count()
+    if edge_rows <= 1_000_000:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in pairs.collect():
+            ra, rb = find(r.doc_a), find(r.doc_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted((n, find(n)) for n in parent)
+        pairs.unpersist()
+        return spark.createDataFrame(rows, "doc_id long, cluster long")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .coalesce(8)  # few partitions for the small frames
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    # labels only ever DECREASE, so sum(label) strictly decreases iff any
+    # label changed — convergence needs one cheap agg per round, not a
+    # join+count.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.node)
+            .groupBy(F.col("doc_b").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()  # labels are materialized; edge cache no longer needed
+    pairs.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_components": dedup_components,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_simhash": dedup_simhash,
@@ -298,25 +386,9 @@ _DUCK_SHINGLE_CTE = f"""
         )
 """
 
-ORACLES = {
-    "dedup_exact": f"""
-        WITH corpus AS ({_DUP_SQL_CORPUS})
-        SELECT doc_id, md5(text) AS fp,
-               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
-        FROM corpus
-    """,
-    "dedup_minhash_signatures": f"""
-        WITH corpus AS (SELECT doc_id, text FROM documents),
-        {_DUCK_SHINGLE_CTE},
-        hashed AS (SELECT doc_id, {_BASE40_DUCK} AS h40 FROM sh),
-        seeds AS (SELECT unnest(generate_series(0, {_N_SEEDS - 1})) AS seed)
-        SELECT doc_id, seed,
-               min({_seeded("seed", "h40", "duck")}) AS minhash
-        FROM hashed, seeds
-        GROUP BY doc_id, seed
-    """,
-    "dedup_minhash_lsh_pairs": f"""
-        WITH corpus AS ({_DUP_SQL_CORPUS}),
+#: Shared CTE chain producing `pairsel` = LSH-verified near-dup pairs
+#: (used by both the pair query and the connected-components oracle).
+_DUCK_LSH_CTES = f"""corpus AS ({_DUP_SQL_CORPUS}),
         {_DUCK_SHINGLE_CTE},
         hashed AS (SELECT doc_id, shingle, {_BASE40_DUCK} AS h40 FROM sh),
         seeds AS (SELECT unnest(generate_series(0, {_N_SEEDS - 1})) AS seed),
@@ -343,13 +415,51 @@ ORACLES = {
             JOIN sh sa ON sa.doc_id = c.doc_a
             JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
             GROUP BY c.doc_a, c.doc_b
+        ),
+        pairsel AS (
+            SELECT i.doc_a, i.doc_b,
+                   round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.doc_a
+            JOIN sizes zb ON zb.doc_id = i.doc_b
+            WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) >= 0.5
+        )"""
+
+ORACLES = {
+    "dedup_exact": f"""
+        WITH corpus AS ({_DUP_SQL_CORPUS})
+        SELECT doc_id, md5(text) AS fp,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM corpus
+    """,
+    "dedup_minhash_signatures": f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        {_DUCK_SHINGLE_CTE},
+        hashed AS (SELECT doc_id, {_BASE40_DUCK} AS h40 FROM sh),
+        seeds AS (SELECT unnest(generate_series(0, {_N_SEEDS - 1})) AS seed)
+        SELECT doc_id, seed,
+               min({_seeded("seed", "h40", "duck")}) AS minhash
+        FROM hashed, seeds
+        GROUP BY doc_id, seed
+    """,
+    "dedup_minhash_lsh_pairs": f"""
+        WITH {_DUCK_LSH_CTES}
+        SELECT doc_a, doc_b, jaccard FROM pairsel
+    """,
+    "dedup_components": f"""
+        WITH RECURSIVE {_DUCK_LSH_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairsel
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairsel
+        ),
+        reach(node, label) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
         )
-        SELECT i.doc_a, i.doc_b,
-               round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
-        FROM inter i
-        JOIN sizes za ON za.doc_id = i.doc_a
-        JOIN sizes zb ON zb.doc_id = i.doc_b
-        WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) >= 0.5
+        SELECT node AS doc_id, min(label) AS cluster
+        FROM reach GROUP BY node
     """,
     "dedup_simhash": f"""
         WITH corpus AS (SELECT doc_id, text FROM documents),

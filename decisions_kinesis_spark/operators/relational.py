@@ -428,6 +428,141 @@ def join_full_outer_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: customer-nation × supplier-nation trade volume by
+    year (multi-join + date extraction + pair grouping)."""
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            # exact DECIMAL sum (per-item revenue is an exact 4-dp value):
+            # float sums differ between engines in addition order, and
+            # rounding floats lands on .xx5 boundaries — decimal is exact
+            # and engine-identical, no rounding needed.
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo share of
+    revenue) over a fact⋈dim join."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family: rank / dense_rank / percent_rank /
+    cume_dist / ntile over orders per customer."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+def window_rolling_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour sum over event
+    time (range frame on epoch-µs ordering — integer-exact)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h_value"),
+    )
+
+
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect: per returnflag, the sorted distinct linestatus
+    values (string-joined for engine-portable comparison)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias(
+            "statuses"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def sql_cte_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: CTE + correlated scalar subquery (customers whose top
+    order is above their segment's average top order)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    return spark.sql(_SQL_CTE_CORRELATED)
+
+
+_SQL_CTE_CORRELATED = """
+    WITH tops AS (
+        SELECT c_custkey, c_mktsegment,
+               (SELECT max(o_totalprice) FROM orders
+                WHERE o_custkey = c_custkey) AS top_order
+        FROM customer
+    ),
+    seg AS (
+        SELECT c_mktsegment, avg(top_order) AS seg_avg
+        FROM tops WHERE top_order IS NOT NULL GROUP BY c_mktsegment
+    )
+    SELECT t.c_custkey, t.c_mktsegment,
+           round(t.top_order, 2) AS top_order,
+           round(s.seg_avg, 4) AS seg_avg
+    FROM tops t JOIN seg s ON t.c_mktsegment = s.c_mktsegment
+    WHERE t.top_order > s.seg_avg
+"""
+
+
 def agg_approx_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates: HLL distinct + quantile sketch.
 
@@ -515,6 +650,12 @@ QUERIES = {
     "agg_stats_suite": agg_stats_suite,
     "agg_approx_suite": agg_approx_suite,  # no oracle: sketches are engine-specific
     "agg_salted_skew": agg_salted_skew,
+    "q7_nation_volume": q7_nation_volume,
+    "q14_promo_revenue": q14_promo_revenue,
+    "window_rank_suite": window_rank_suite,
+    "window_rolling_1h_sum": window_rolling_1h_sum,
+    "agg_array_collect": agg_array_collect,
+    "sql_cte_correlated": sql_cte_correlated,
 }
 
 ORACLES = {
@@ -752,4 +893,59 @@ ORACLES = {
         FROM lineitem
         GROUP BY l_returnflag
     """,
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               year(l_shipdate)::BIGINT AS l_year,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4)))::DOUBLE AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 *
+                   sum(CASE WHEN starts_with(p_type, 'PROMO')
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END) /
+                   sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+    "window_rank_suite": """
+        SELECT o_custkey, o_orderkey,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               round(percent_rank() OVER w, 6) AS prnk,
+               round(cume_dist() OVER w, 6) AS cdist,
+               ntile(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    "window_rolling_1h_sum": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts)
+                                      RANGE BETWEEN 3600000000 PRECEDING
+                                                AND CURRENT ROW), 4)
+                   AS rolling_1h_value
+        FROM events
+    """,
+    "agg_array_collect": """
+        SELECT l_returnflag,
+               array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+                   AS statuses,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "sql_cte_correlated": _SQL_CTE_CORRELATED,
 }

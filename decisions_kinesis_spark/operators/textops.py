@@ -117,7 +117,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint slices of the same digest (hex chars 1-15 and 17-31),
     halving hash work vs one digest per seed.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir))
     out = docs.withColumn("t", F.lower("text")).withColumn(
         "ms",
         F.expr(

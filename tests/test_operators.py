@@ -50,6 +50,19 @@ def test_minhash_lsh_finds_exact_dups(spark, sf_dir):
     assert all(r.jaccard == 1.0 for r in pairs if r.doc_b == r.doc_a + 100000)
 
 
+def test_dedup_components_cluster_to_min_id(spark, sf_dir):
+    from decisions_kinesis_spark.operators.dedup import dedup_components
+
+    comp = {r.doc_id: r.cluster for r in dedup_components(spark, sf_dir).collect()}
+    # every injected copy (doc_id+100000) clusters with its original,
+    # and the cluster id is the minimum member
+    for orig in range(20):
+        copy = orig + 100000
+        assert comp.get(copy) == comp.get(orig)
+        assert comp[copy] <= orig
+    assert all(c <= d for d, c in comp.items())
+
+
 def test_ann_topk_self_similarity_excluded(spark, sf_dir):
     out = ann_cosine_topk(spark, sf_dir)
     assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
