@@ -165,3 +165,29 @@ class KinesisQueueConfig:
         if issues:
             raise ValueError("Invalid queue config: " + "; ".join(issues))
         return self
+
+    # -- (de)serialization (≙ L2 Read/Save round-trip,
+    #    KinesisMessageQueue.cs:392-416 — JSON instead of the custom
+    #    binary filters_Count/filters_{i} format) -------------------------
+
+    def to_json(self) -> str:
+        import dataclasses
+        import json
+
+        d = dataclasses.asdict(self)
+        for f in d["payload_filters"]:
+            f["verb"] = (
+                f["verb"].value if isinstance(f["verb"], FilterVerb) else f["verb"]
+            )
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> KinesisQueueConfig:
+        import json
+
+        d = json.loads(text)
+        d["payload_filters"] = [
+            PayloadFilter(**f) for f in d.get("payload_filters", [])
+        ]
+        d["settings"] = KinesisSettings(**d.get("settings", {}))
+        return cls(**d)

@@ -88,7 +88,8 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         broadcast_joins=plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
         sortmerge_joins=plan.count("SortMergeJoin"),
-        shuffles=plan.count("Exchange"),
+        # BroadcastExchange is not a shuffle — only count data shuffles
+        shuffles=plan.count("Exchange") - plan.count("BroadcastExchange"),
         codegen_spans=len(span_ids),
         python_eval="BatchEvalPython" in plan,
         arrow_eval=("ArrowEvalPython" in plan)

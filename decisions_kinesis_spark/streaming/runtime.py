@@ -51,6 +51,22 @@ class BackoffPolicy:
         )
 
 
+def reset_checkpoint(checkpoint_dir: str) -> bool:
+    """C5 — checkpoint invalidation (KinesisThreadJobs.cs:667-674): on a
+    stale/invalid checkpoint the reference clears it and restarts from
+    the configured InitialStreamPosition; here that is deleting the
+    checkpoint dir so the next ``start()`` resolves the starting
+    position fresh.  Returns True if a checkpoint existed."""
+    import shutil
+    from pathlib import Path
+
+    p = Path(checkpoint_dir)
+    existed = p.exists()
+    if existed:
+        shutil.rmtree(p, ignore_errors=True)
+    return existed
+
+
 def read_envelope_stream(
     spark: SparkSession,
     path: str,

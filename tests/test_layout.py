@@ -1,0 +1,135 @@
+"""Data-layout scale evidence: partition pruning on partitioned writes,
+and bucketed joins that skip the shuffle entirely."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.plans.audit import audit_plan
+from decisions_kinesis_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes_scan(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dks-part-")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(f"{tmp}/ev")
+        back = spark.read.parquet(f"{tmp}/ev").filter(
+            F.col("event_type") == "purchase"
+        )
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        # the partition filter prunes directories BEFORE the scan —
+        # at 100 TB this is the difference between reading one
+        # partition and reading everything
+        assert "PartitionFilters" in plan and "purchase" in plan
+        assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketing both fact tables on the join key co-locates them:
+    the join plan contains NO Exchange — the shuffle happened once at
+    write time, amortized over every future join."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        a = audit_plan(joined)
+        assert a.sortmerge_joins >= 1
+        # the JOIN itself is shuffle-free: the only exchange allowed is
+        # the one for the final small groupBy
+        assert a.shuffles <= 1, a.plan
+        expected = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        )
+        got = {r.o_orderpriority: r.n for r in joined.collect()}
+        assert got == {r.o_orderpriority: r["count"] for r in expected}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_config_json_roundtrip():
+    from decisions_kinesis_spark.config import (
+        FilterVerb,
+        KinesisQueueConfig,
+        PayloadFilter,
+    )
+
+    cfg = KinesisQueueConfig(
+        stream_name="s",
+        payload_filters=[
+            PayloadFilter("user.type", FilterVerb.EQUALS_CI, "premium"),
+            PayloadFilter("amount", FilterVerb.GREATER_THAN, "50"),
+        ],
+        use_or=True,
+        max_records_per_request=500,
+    )
+    back = KinesisQueueConfig.from_json(cfg.to_json())
+    assert back == cfg
+
+
+def test_checkpoint_reset_restarts_from_initial(spark, sf_dir):
+    from decisions_kinesis_spark.config import KinesisQueueConfig
+    from decisions_kinesis_spark.functions.envelope import events_to_envelope
+    from decisions_kinesis_spark.streaming.runtime import consume, reset_checkpoint
+
+    tmp = tempfile.mkdtemp(prefix="dks-reset-")
+    try:
+        env = events_to_envelope(load_table(spark, "events", sf_dir))
+        env.repartition(2).write.parquet(f"{tmp}/src")
+        cfg = KinesisQueueConfig(stream_name="events")
+        seen: list[int] = []
+
+        def handler(df, _):
+            seen.append(df.count())
+
+        q = consume(spark, f"{tmp}/src", cfg, handler, f"{tmp}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        first = sum(seen)
+        assert first == env.count()
+
+        # C5: invalidate → full redelivery from the initial position
+        assert reset_checkpoint(f"{tmp}/ckpt") is True
+        seen.clear()
+        q = consume(spark, f"{tmp}/src", cfg, handler, f"{tmp}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        assert sum(seen) == first
+        assert reset_checkpoint(f"{tmp}/nonexistent") is False
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
