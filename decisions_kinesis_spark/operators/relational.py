@@ -563,6 +563,62 @@ _SQL_CTE_CORRELATED = """
 """
 
 
+def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar library #2: arithmetic, boundaries, parts."""
+    orders = load_table(spark, "orders", sf_dir)
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("plus_30d"),
+        F.date_sub(d, 7).alias("minus_7d"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d)
+        .cast("bigint")
+        .alias("days_to_y2k"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.round(F.months_between(F.lit("2000-01-01").cast("date"), d), 6).alias(
+            "months_to_y2k"
+        ),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): wide measures → long (measure, value) rows."""
+    li = load_table(spark, "lineitem", sf_dir)
+    long = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, value)"
+        ),
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+def json_typed_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON path: from_json with an explicit schema (vs the
+    string-typed get_json_object used by the filter DSL) — numeric
+    comparison ('9' < '50' here, unlike the lexicographic verb)."""
+    ev = load_table(spark, "events", sf_dir)
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "struct<k:bigint>")
+    )
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.k").cast("bigint").alias("sum_k"),
+        )
+    )
+
+
 def agg_approx_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates: HLL distinct + quantile sketch.
 
@@ -656,6 +712,9 @@ QUERIES = {
     "window_rolling_1h_sum": window_rolling_1h_sum,
     "agg_array_collect": agg_array_collect,
     "sql_cte_correlated": sql_cte_correlated,
+    "scalar_date_suite": scalar_date_suite,
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
+    "json_typed_extraction": json_typed_extraction,
 }
 
 ORACLES = {
@@ -948,4 +1007,39 @@ ORACLES = {
         GROUP BY l_returnflag
     """,
     "sql_cte_correlated": _SQL_CTE_CORRELATED,
+    "scalar_date_suite": """
+        SELECT o_orderkey,
+               o_orderdate::DATE + 30 AS plus_30d,
+               o_orderdate::DATE - 7 AS minus_7d,
+               date_diff('day', o_orderdate::DATE, DATE '2000-01-01')::BIGINT
+                   AS days_to_y2k,
+               last_day(o_orderdate::DATE) AS month_end,
+               dayofweek(o_orderdate::DATE)::BIGINT + 1 AS dow,
+               quarter(o_orderdate::DATE)::BIGINT AS qtr,
+               round(
+                   (year(DATE '2000-01-01') - year(o_orderdate)) * 12
+                   + (month(DATE '2000-01-01') - month(o_orderdate))
+                   + (1 - day(o_orderdate)) / 31.0, 6) AS months_to_y2k,
+               strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders
+    """,
+    "unpivot_lineitem_measures": """
+        WITH long AS (
+            SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT 'price', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'discount', l_discount FROM lineitem
+        )
+        SELECT measure, count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total
+        FROM long GROUP BY measure
+    """,
+    "json_typed_extraction": """
+        SELECT event_type, count(*) AS n,
+               sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
+        FROM events
+        WHERE json_extract(props, '$.k')::BIGINT > 50
+        GROUP BY event_type
+    """,
 }
