@@ -104,10 +104,10 @@ def _plane_signs(b: int) -> list[float]:
     ]
 
 
-def _bucket_expr() -> F.Column:
-    """256-bucket LSH key: sign bits of 8 constant hyperplane dots."""
+def _bucket_expr(n_planes: int = _N_PLANES) -> F.Column:
+    """LSH bucket key: sign bits of n constant hyperplane dots."""
     planes = []
-    for b in range(_N_PLANES):
+    for b in range(n_planes):
         signs = "array(" + ", ".join(
             f"{s:.1f}D" for s in _plane_signs(b)
         ) + ")"
@@ -165,10 +165,49 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Pairs are generated only within an LSH bucket (the blocking step —
+    at corpus scale this is the difference between N²/256 and N²), then
+    exact cosine filters at the threshold.  Same-bucket requirement
+    makes this approximate (like all LSH dedup); the brute-force
+    ``ann_cosine_topk`` is the exact baseline.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    # 4 planes (16 buckets) for blocking: higher recall than the ANN
+    # query's 8 — dedup wants recall, search wants a small candidate set
+    bucketed = emb.withColumn("bucket", _bucket_expr(4))
+    a = bucketed.alias("a")
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("bucket_b"))
+        & (F.col("a.vec_id") < F.col("vec_b")),
+    ).withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="a.v", b="vb"))
+            / (F.expr(_NORM.format(v="a.v")) * F.expr(_NORM.format(v="vb"))),
+            6,
+        ),
+    )
+    return pairs.filter(F.col("cos") >= 0.35).select(
+        F.col("a.vec_id").alias("vec_a"), "vec_b", "cos"
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 _DUCK_COS = (
@@ -176,9 +215,9 @@ _DUCK_COS = (
     " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
 )
 
-def _duck_bucket() -> str:
+def _duck_bucket(n_planes: int = _N_PLANES) -> str:
     parts = []
-    for b in range(_N_PLANES):
+    for b in range(n_planes):
         signs = "[" + ", ".join(f"{s:.1f}" for s in _plane_signs(b)) + "]"
         parts.append(
             f"(CASE WHEN list_dot_product(v, {signs}::DOUBLE[]) > 0"
@@ -216,6 +255,19 @@ ORACLES = {
                round(min(nrm), 6) AS min_norm,
                round(max(nrm), 6) AS max_norm
         FROM e GROUP BY label
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bucketed AS (SELECT vec_id, v, ({_duck_bucket(4)})::BIGINT AS bucket FROM e),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35
     """,
     "ann_lsh_bucketed": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

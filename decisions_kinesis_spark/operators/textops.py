@@ -140,8 +140,22 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies: explode + count + deterministic top-20
+    (the visible LATERAL VIEW / unnest operator)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.expr(_TOKS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_top_words": text_top_words,
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
     "doc_fingerprint": doc_fingerprint,
@@ -151,6 +165,14 @@ _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
 _DUCK_BIGHASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
 
 ORACLES = {
+    "text_top_words": f"""
+        SELECT word, count(*) AS n FROM (
+            SELECT unnest({_DUCK_TOKS}) AS word FROM documents
+        )
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 20
+    """,
     "text_token_stats": f"""
         WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
         SELECT doc_id,

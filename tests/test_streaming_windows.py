@@ -77,6 +77,31 @@ def test_streaming_sessions_match_batch_sessionize(spark, event_stream):
     assert all(r.n_events >= 1 and r.sess_end > r.sess_start for r in emitted)
 
 
+def test_stream_static_join_matches_batch(spark, event_stream, sf_dir):
+    """Stream-static join: the streaming events stream enriched with the
+    static customer dimension — per-batch broadcast-style enrichment,
+    the standard dimension-join pattern for streams."""
+    ev, stream = event_stream
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        stream.join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(spark, enriched, "enrich_out", "complete")
+    got = {r.c_mktsegment: r.n for r in out.collect()}
+    batch = {
+        r.c_mktsegment: r.n
+        for r in ev.join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
 def test_stateful_running_totals(spark, event_stream):
     ev, stream = event_stream
     out = _run_to_memory(
