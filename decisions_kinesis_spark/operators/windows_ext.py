@@ -84,10 +84,23 @@ def window_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_time_range_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream join expression run in batch mode (the exact
+    DataFrame expression is batch/stream dual — the streaming variant
+    with watermarks is tests/test_streaming_windows.py)."""
+    from decisions_kinesis_spark.streaming.windows import (
+        purchase_error_correlation_stream,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    return purchase_error_correlation_stream(events)
+
+
 QUERIES = {
     "window_tumbling_hourly": window_tumbling_hourly,
     "window_sliding_counts": window_sliding_counts,
     "window_session_bounds": window_session_bounds,
+    "join_time_range_purchase_errors": join_time_range_purchase_errors,
 }
 
 _HOUR_US = 3_600_000_000
@@ -95,6 +108,19 @@ _HALF_US = 1_800_000_000
 _GAP_US = 300_000_000
 
 ORACLES = {
+    "join_time_range_purchase_errors": """
+        SELECT p.user_id AS p_user,
+               p.event_id AS purchase_id,
+               e.event_id AS error_id,
+               p.ts AS p_ts,
+               e.ts AS e_ts
+        FROM events p
+        JOIN events e
+          ON p.user_id = e.user_id
+         AND e.ts >= p.ts - INTERVAL 10 MINUTE
+         AND e.ts <= p.ts
+        WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    """,
     "window_tumbling_hourly": f"""
         SELECT make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US}) AS w_start,
                make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US}

@@ -57,6 +57,43 @@ def session_counts_stream(
     )
 
 
+def purchase_error_correlation_stream(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: purchases correlated with errors by the
+    same user within a trailing time window.
+
+    Both sides carry watermarks and the join condition bounds the time
+    range — the two requirements that let Spark bound join state (rows
+    older than watermark+range are evicted).  The batch equivalent is
+    the same join expression, which the test asserts.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    return purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+    ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")
+
+
 _STATE_SCHEMA = "n bigint, total double"
 _OUT_SCHEMA = "user_id bigint, n bigint, total double"
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from decisions_kinesis_spark.operators.windows_ext import window_tumbling_hourly
 from decisions_kinesis_spark.sources.tables import load_table
 from decisions_kinesis_spark.streaming.windows import (
+    purchase_error_correlation_stream,
     running_totals_stream,
     session_counts_stream,
     tumbling_counts_stream,
@@ -100,6 +101,20 @@ def test_stream_static_join_matches_batch(spark, event_stream, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_stream_join_matches_batch(spark, event_stream):
+    """Stream-stream inner join with watermarks: the complete emitted
+    pair set must equal the batch join once all data is processed."""
+    ev, stream = event_stream
+    out = _run_to_memory(
+        spark, purchase_error_correlation_stream(stream), "ss_out", "append"
+    )
+    batch = purchase_error_correlation_stream(ev)  # same expr, batch mode
+    got = {(r.purchase_id, r.error_id) for r in out.collect()}
+    expected = {(r.purchase_id, r.error_id) for r in batch.collect()}
+    assert got == expected
+    assert len(expected) > 0
 
 
 def test_stateful_running_totals(spark, event_stream):
