@@ -163,6 +163,28 @@ def test_retry_backoff_then_success(spark, staged):
     assert all(0 < s <= 0.05 for s in sleeps)
 
 
+def test_max_files_per_trigger_paces_batches(spark, staged):
+    """Pacing contract (≙ MaxRecordsPerRequest, KinesisMessageQueue.cs:
+    153): maxFilesPerTrigger=1 over a 4-file source must deliver in
+    exactly 4 micro-batches, each a bounded chunk."""
+    tmp, src, env = staged
+    batches: list[int] = []
+
+    def handler(df, _):
+        batches.append(df.count())
+
+    stream = read_envelope_stream(spark, src, max_files_per_trigger=1)
+    q = start_dispatch(
+        stream, handler, f"{tmp}/ckpt-pace",
+        backoff=BackoffPolicy(max_retries=0, base_delay_s=0.0),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(batches) == 4  # one batch per staged file
+    assert sum(batches) == env.count()
+    assert max(batches) < env.count()  # no batch swallowed the stream
+
+
 def test_backoff_policy_formula():
     """delay = base·2^attempt + U(0,1), capped (KinesisThreadJobs.cs:107-117)."""
     p = BackoffPolicy(max_retries=5, base_delay_s=5.0, max_delay_s=32.0)
