@@ -228,6 +228,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ 2, with pigeonhole
+    blocking: split the 32-bit key into 8 nibble-blocks — any pair
+    within hamming 2 must agree on ≥6 blocks, so agreeing on at least
+    one block is a complete (superset) candidate filter.  Candidates
+    come from an equi-join on (block_idx, block_value); the exact
+    popcount(xor) check verifies.  This is the standard way to scale
+    simhash dedup: |blocks|×|docs| index rows, no quadratic scan.
+    """
+    # no cache: the self-join recomputes the (cheap) simhash pipeline
+    # once more, which beats leaking cached partitions into later queries
+    sim = dedup_simhash(spark, sf_dir)
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("blk"),
+    ).withColumn("blk_val", F.expr("(simhash div shiftleft(cast(1 as bigint), blk * 4)) % 16"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    out = cand.withColumn(
+        "hamming",
+        F.expr("bit_count(sh_a ^ sh_b)").cast("bigint"),
+    ).filter(F.col("hamming") <= 2)
+    return out.select("doc_a", "doc_b", "hamming")
+
+
 def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard within blocking groups (lang).
 
@@ -370,6 +410,7 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
     "dedup_ngram_jaccard_blocked": dedup_ngram_jaccard_blocked,
 }
 
@@ -425,6 +466,30 @@ _DUCK_LSH_CTES = f"""corpus AS ({_DUP_SQL_CORPUS}),
             WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) >= 0.5
         )"""
 
+#: Shared simhash CTE chain → `simhash_t(doc_id, simhash)`.
+_DUCK_SIMHASH_CTES = f"""corpus AS (SELECT doc_id, text FROM documents),
+        toks AS (
+            SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS token FROM corpus
+        ),
+        hashed AS (
+            SELECT doc_id, {_DUCK_BIGHASH.format(e="token")} AS h FROM toks
+        ),
+        bits AS (
+            SELECT doc_id, b.b AS b,
+                   sum(CASE WHEN (h // (2::BIGINT ^ b.b)::BIGINT) % 2 = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM hashed, LATERAL (
+                SELECT unnest(generate_series(0, 31)) AS b
+            ) b
+            GROUP BY doc_id, b.b
+        ),
+        simhash_t AS (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (2::BIGINT ^ b)::BIGINT
+                            ELSE 0 END)::BIGINT AS simhash
+            FROM bits GROUP BY doc_id
+        )"""
+
 ORACLES = {
     "dedup_exact": f"""
         WITH corpus AS ({_DUP_SQL_CORPUS})
@@ -462,26 +527,28 @@ ORACLES = {
         FROM reach GROUP BY node
     """,
     "dedup_simhash": f"""
-        WITH corpus AS (SELECT doc_id, text FROM documents),
-        toks AS (
-            SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS token FROM corpus
-        ),
-        hashed AS (
-            SELECT doc_id, {_DUCK_BIGHASH.format(e="token")} AS h FROM toks
-        ),
-        bits AS (
-            SELECT doc_id, b.b AS b,
-                   sum(CASE WHEN (h // (2::BIGINT ^ b.b)::BIGINT) % 2 = 1
-                            THEN 1 ELSE -1 END) AS s
-            FROM hashed, LATERAL (
-                SELECT unnest(generate_series(0, 31)) AS b
+        WITH {_DUCK_SIMHASH_CTES}
+        SELECT doc_id, simhash FROM simhash_t
+    """,
+    "dedup_simhash_hamming_pairs": f"""
+        WITH {_DUCK_SIMHASH_CTES},
+        blocks AS (
+            SELECT doc_id, simhash, b.blk AS blk,
+                   (simhash // (1::BIGINT << (b.blk * 4))) % 16 AS blk_val
+            FROM simhash_t, LATERAL (
+                SELECT unnest(generate_series(0, 7)) AS blk
             ) b
-            GROUP BY doc_id, b.b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM blocks a JOIN blocks b
+              ON a.blk = b.blk AND a.blk_val = b.blk_val
+             AND a.doc_id < b.doc_id
         )
-        SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN (2::BIGINT ^ b)::BIGINT ELSE 0 END)::BIGINT
-                   AS simhash
-        FROM bits GROUP BY doc_id
+        SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= 2
     """,
     "dedup_ngram_jaccard_blocked": f"""
         WITH t AS (
