@@ -59,7 +59,7 @@ _BASE40_SPARK = "cast(conv(substring(md5(shingle), 1, 10), 16, 10) as bigint)"
 _BASE40_DUCK = "('0x' || substr(md5(shingle), 1, 10))::BIGINT"
 
 
-def _seeded(seed_col: str, h_col: str, engine: str) -> str:
+def _seeded(seed_col: str, h_col: str) -> str:
     """(a[seed]·h + b[seed]) mod P as an inline CASE over seed literals."""
     arms = " ".join(
         f"WHEN {i} THEN ({a} * {h_col} + {b}) % {_MINHASH_P}"
@@ -118,7 +118,7 @@ def _signatures(sh: DataFrame) -> DataFrame:
     return (
         sh.withColumn("h40", F.expr(_BASE40_SPARK))
         .withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(_N_SEEDS - 1))))
-        .withColumn("h", F.expr(_seeded("seed", "h40", "spark")))
+        .withColumn("h", F.expr(_seeded("seed", "h40")))
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("minhash"))
     )
@@ -230,9 +230,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ 2, with pigeonhole
-    blocking: split the 32-bit key into 8 nibble-blocks — any pair
-    within hamming 2 must agree on ≥6 blocks, so agreeing on at least
-    one block is a complete (superset) candidate filter.  Candidates
+    blocking: split the 32-bit key into 3 ~11-bit blocks — a pair
+    within hamming 2 cannot touch all 3 blocks, so agreeing on at
+    least one block is a complete (superset) candidate filter, and
+    11-bit agreement keeps candidate buckets small.  Candidates
     come from an equi-join on (block_idx, block_value); the exact
     popcount(xor) check verifies.  This is the standard way to scale
     simhash dedup: |blocks|×|docs| index rows, no quadratic scan.
@@ -243,8 +244,8 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = sim.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("blk"),
-    ).withColumn("blk_val", F.expr("(simhash div shiftleft(cast(1 as bigint), blk * 4)) % 16"))
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("blk"),
+    ).withColumn("blk_val", F.expr("(simhash div shiftleft(cast(1 as bigint), blk * 11)) % 2048"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -435,7 +436,7 @@ _DUCK_LSH_CTES = f"""corpus AS ({_DUP_SQL_CORPUS}),
         seeds AS (SELECT unnest(generate_series(0, {_N_SEEDS - 1})) AS seed),
         sig AS (
             SELECT doc_id, seed,
-                   min({_seeded("seed", "h40", "duck")}) AS minhash
+                   min({_seeded("seed", "h40")}) AS minhash
             FROM hashed, seeds GROUP BY doc_id, seed
         ),
         bands AS (
@@ -503,7 +504,7 @@ ORACLES = {
         hashed AS (SELECT doc_id, {_BASE40_DUCK} AS h40 FROM sh),
         seeds AS (SELECT unnest(generate_series(0, {_N_SEEDS - 1})) AS seed)
         SELECT doc_id, seed,
-               min({_seeded("seed", "h40", "duck")}) AS minhash
+               min({_seeded("seed", "h40")}) AS minhash
         FROM hashed, seeds
         GROUP BY doc_id, seed
     """,
@@ -534,9 +535,9 @@ ORACLES = {
         WITH {_DUCK_SIMHASH_CTES},
         blocks AS (
             SELECT doc_id, simhash, b.blk AS blk,
-                   (simhash // (1::BIGINT << (b.blk * 4))) % 16 AS blk_val
+                   (simhash // (1::BIGINT << (b.blk * 11))) % 2048 AS blk_val
             FROM simhash_t, LATERAL (
-                SELECT unnest(generate_series(0, 7)) AS blk
+                SELECT unnest(generate_series(0, 2)) AS blk
             ) b
         ),
         cand AS (
