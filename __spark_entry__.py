@@ -15,16 +15,20 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 
+# Registration order = the order the driver's correctness gate walks
+# the queries; cheap scan-shaped families first, the expensive dedup
+# pair pipelines last, so a time-capped gate reaches everything cheap
+# before paying for the pair generation.
 _OPERATOR_MODULES = (
     "payload",
     "relational",
     "windows_ext",
     "asof",
-    "dedup",
-    "similarity",
     "textops",
     "multimodal",
     "udfs",
+    "similarity",
+    "dedup",
 )
 
 

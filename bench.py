@@ -19,6 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # The driver parses stdout as ONE JSON line.  The JVM (progress
+    # bars, occasional log4j misconfig warnings) writes straight to
+    # fd 1, so a Python-level redirect isn't enough: duplicate fd 1
+    # away to stderr for the whole run and emit the JSON on the saved
+    # real stdout at the end.
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -54,18 +63,25 @@ def main() -> None:
         timings[name] = min(cold[name], warm)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries_best_of_2",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cold_total_sec": round(sum(cold.values()), 3),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_wall_sec_all_queries_best_of_2",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cold_total_sec": round(sum(cold.values()), 3),
+        }
     )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.write(real_stdout_fd, (line + "\n").encode())
+    # also drop a copy on disk for post-hoc inspection
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

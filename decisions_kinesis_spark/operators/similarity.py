@@ -165,21 +165,41 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_TARGET_BUCKET = 64  # target avg bucket population for dedup blocking
+_MAX_PLANES = 16
+
+
+def _adaptive_nbits(n_rows: int) -> int:
+    """Plane count derived from corpus size: log2(N / target bucket),
+    clamped to [2, 16].  Keeps the per-bucket pair count ~constant as
+    the corpus grows (the fixed-bucket version was quadratic in N).
+    The DuckDB oracle computes the identical formula in SQL."""
+    import math
+
+    return min(
+        _MAX_PLANES,
+        max(2, math.ceil(math.log2(max(n_rows, 1) / _DEDUP_TARGET_BUCKET))),
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
-    Pairs are generated only within an LSH bucket (the blocking step —
-    at corpus scale this is the difference between N²/256 and N²), then
-    exact cosine filters at the threshold.  Same-bucket requirement
-    makes this approximate (like all LSH dedup); the brute-force
-    ``ann_cosine_topk`` is the exact baseline.
+    Pairs are generated only within an LSH bucket (the blocking step),
+    then exact cosine filters at the threshold.  The plane count is
+    DERIVED FROM CORPUS SIZE (ceil(log2(N/64)), clamped to [2,16]) so
+    the expected bucket population — and with it the per-bucket
+    quadratic pair term — stays constant as N grows.  Same-bucket
+    requirement makes this approximate (like all LSH dedup); the
+    brute-force ``ann_cosine_topk`` is the exact baseline.
     """
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    # 4 planes (16 buckets) for blocking: higher recall than the ANN
-    # query's 8 — dedup wants recall, search wants a small candidate set
-    bucketed = emb.withColumn("bucket", _bucket_expr(4))
+    # one metadata-cheap count to size the blocking; planes are inlined
+    # as literals so the bucket id is still a pure scan-side projection
+    nbits = _adaptive_nbits(emb.count())
+    bucketed = emb.withColumn("bucket", _bucket_expr(nbits))
     a = bucketed.alias("a")
     b = bucketed.select(
         F.col("vec_id").alias("vec_b"),
@@ -258,7 +278,19 @@ ORACLES = {
     """,
     "dedup_embedding_cosine": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        bucketed AS (SELECT vec_id, v, ({_duck_bucket(4)})::BIGINT AS bucket FROM e),
+        -- plane count derived from corpus size, same formula as the
+        -- engine: clamp(ceil(log2(N/64)), 2, 16)
+        p AS (
+            SELECT least({_MAX_PLANES}, greatest(2,
+                   ceil(log2(count(*) / {_DEDUP_TARGET_BUCKET}.0))::INT)) AS nbits
+            FROM embeddings
+        ),
+        bucketed AS (
+            SELECT vec_id, v,
+                   (({_duck_bucket(_MAX_PLANES)})
+                    % (1::BIGINT << (SELECT nbits FROM p)))::BIGINT AS bucket
+            FROM e
+        ),
         pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_dot_product(a.v, b.v) /

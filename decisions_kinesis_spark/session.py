@@ -49,6 +49,9 @@ def get_session(
         # a timestamp in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-parseable (bench/driver protocols): the
+        # console progress bar writes \r-frames to fd 1
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
     )
     if master is not None:

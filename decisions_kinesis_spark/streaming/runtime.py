@@ -33,17 +33,48 @@ from decisions_kinesis_spark.functions.envelope import ENVELOPE_SCHEMA
 from decisions_kinesis_spark.functions.filters import compile_payload_filters
 
 
+class ThrottleError(Exception):
+    """Throughput/limit throttle — the engine analog of the reference's
+    ProvisionedThroughputExceededException / LimitExceededException
+    (KinesisThreadJobs.cs:60-71): always retryable up to max_retries."""
+
+
+class TransientServiceError(Exception):
+    """Service-side error with an HTTP status — the analog of
+    AmazonKinesisException (KinesisThreadJobs.cs:74-80): retryable only
+    for 500 / 503."""
+
+    def __init__(self, message: str = "", status_code: int = 500):
+        super().__init__(message)
+        self.status_code = status_code
+
+
+def default_retryable(exc: BaseException) -> bool:
+    """Retryable-error classification, mirroring BackoffRetry's catch
+    ladder (KinesisThreadJobs.cs:60-88): throttle → retry; service
+    error → retry only on 500/503; anything else → rethrow immediately
+    ("Don't retry on other exceptions")."""
+    if isinstance(exc, ThrottleError):
+        return True
+    if isinstance(exc, TransientServiceError):
+        return exc.status_code in (500, 503)
+    return False
+
+
 @dataclass
 class BackoffPolicy:
     """Exponential backoff with jitter (KinesisThreadJobs.cs:107-117, :226).
 
     delay = base * 2^attempt + U(0,1) seconds, capped at ``max_delay_s``.
-    Reference defaults: base 5 s, cap 32 s, 3 retries.
+    Reference defaults: base 5 s, cap 32 s, 3 retries.  ``retryable``
+    classifies exceptions (KinesisThreadJobs.cs:60-88): non-retryable
+    errors are rethrown with zero sleeps.
     """
 
     max_retries: int = 3
     base_delay_s: float = 5.0
     max_delay_s: float = 32.0
+    retryable: Callable[[BaseException], bool] = default_retryable
 
     def delay(self, attempt: int) -> float:
         return min(
@@ -122,8 +153,11 @@ def start_dispatch(
             try:
                 handler(batch_df, epoch_id)
                 return
-            except Exception:
-                if attempt >= backoff.max_retries:
+            except Exception as exc:
+                # Reference classifies retryable vs non-retryable
+                # (KinesisThreadJobs.cs:60-88): a poison-pill batch
+                # fails immediately with zero backoff sleeps.
+                if attempt >= backoff.max_retries or not backoff.retryable(exc):
                     raise
                 sleeper(backoff.delay(attempt))
                 attempt += 1

@@ -84,6 +84,15 @@ def test_static_credentials_require_keys():
     assert any("Secret Access Key" in i for i in issues)
 
 
+def test_auth_method_required_when_overriding():
+    """KinesisMessageQueue.cs:450-451: overriding settings without
+    selecting an authentication method is a fatal validation issue."""
+    cfg = base()
+    cfg.override_settings = True
+    cfg.settings = KinesisSettings(region="us-east-1", authentication_method="")
+    assert any("Authentication method must be selected" in i for i in cfg.validate())
+
+
 def test_role_arn_required_when_enabled():
     cfg = base()
     cfg.override_settings = True

@@ -127,6 +127,17 @@ def test_invalid_or_non_object_passes(spark, payload):
     assert apply_payload_filters(df, "payload", [F_NOPE]).count() == 1
 
 
+@pytest.mark.parametrize("ws", ["\n", "\t", "\r\n", " \t\n "])
+def test_leading_whitespace_object_is_valid_json(spark, ws):
+    # JObject.Parse accepts ANY leading whitespace: a \n-prefixed object
+    # is a VALID object, so a failing filter must reject it (it would
+    # pass-through only if parsing failed)
+    payload = ws + P_MATCH
+    assert run_filter(spark, [payload], [F_NOPE]) == []
+    # and a matching filter still matches through the whitespace
+    assert run_filter(spark, [payload], [F_TYPE]) == [payload]
+
+
 def test_empty_filter_list_passes_everything(spark):
     # :694 guard
     kept = run_filter(spark, [P_MATCH, P_INVALID, P_MISS], [])

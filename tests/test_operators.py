@@ -63,6 +63,21 @@ def test_dedup_components_cluster_to_min_id(spark, sf_dir):
     assert all(c <= d for d, c in comp.items())
 
 
+def test_dedup_components_distributed_branch_same_fixpoint(spark, sf_dir):
+    """Force the distributed label-propagation path (driver_max_edges=0)
+    and assert it reaches the same fixpoint as the union-find path."""
+    from decisions_kinesis_spark.operators.dedup import dedup_components
+
+    via_driver = {
+        r.doc_id: r.cluster for r in dedup_components(spark, sf_dir).collect()
+    }
+    via_dist = {
+        r.doc_id: r.cluster
+        for r in dedup_components(spark, sf_dir, driver_max_edges=0).collect()
+    }
+    assert via_dist == via_driver
+
+
 def test_ann_topk_self_similarity_excluded(spark, sf_dir):
     out = ann_cosine_topk(spark, sf_dir)
     assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0

@@ -22,7 +22,10 @@ from decisions_kinesis_spark.functions.envelope import events_to_envelope
 from decisions_kinesis_spark.sources.tables import load_table
 from decisions_kinesis_spark.streaming.runtime import (
     BackoffPolicy,
+    ThrottleError,
+    TransientServiceError,
     consume,
+    default_retryable,
     filtered_stream,
     read_envelope_stream,
     start_dispatch,
@@ -145,7 +148,7 @@ def test_retry_backoff_then_success(spark, staged):
     def flaky(batch_df, epoch_id):
         if fails["left"] > 0:
             fails["left"] -= 1
-            raise RuntimeError("transient")
+            raise ThrottleError("throughput exceeded")
         delivered.append(batch_df.count())
 
     stream = read_envelope_stream(spark, src, max_files_per_trigger=None)
@@ -161,6 +164,46 @@ def test_retry_backoff_then_success(spark, staged):
     assert sum(delivered) == env.count()
     assert len(sleeps) == 2  # two retries slept
     assert all(0 < s <= 0.05 for s in sleeps)
+
+
+def test_non_retryable_error_fails_with_zero_sleeps(spark, staged):
+    """R1 classification (KinesisThreadJobs.cs:83-88): "Don't retry on
+    other exceptions" — a poison-pill handler error must fail the batch
+    immediately, with no backoff sleeps, even with retries budgeted."""
+    tmp, src, env = staged
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def poison(batch_df, epoch_id):
+        calls["n"] += 1
+        raise ValueError("malformed record")
+
+    stream = read_envelope_stream(spark, src, max_files_per_trigger=None)
+    q = start_dispatch(
+        stream,
+        poison,
+        f"{tmp}/ckpt-poison",
+        backoff=BackoffPolicy(max_retries=3, base_delay_s=0.01, max_delay_s=0.05),
+        sleeper=sleeps.append,
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    assert calls["n"] == 1  # exactly one attempt, no retries
+    assert sleeps == []  # zero backoff sleeps
+
+
+def test_default_retryable_classification():
+    """Mirrors the reference catch ladder (KinesisThreadJobs.cs:60-88):
+    throttle/limit → retry; service 500/503 → retry; service 4xx and
+    arbitrary exceptions → rethrow."""
+    assert default_retryable(ThrottleError("slow down"))
+    assert default_retryable(TransientServiceError("ISE", status_code=500))
+    assert default_retryable(TransientServiceError("unavailable", status_code=503))
+    assert not default_retryable(TransientServiceError("denied", status_code=400))
+    assert not default_retryable(TransientServiceError("teapot", status_code=418))
+    assert not default_retryable(RuntimeError("app bug"))
+    assert not default_retryable(ValueError("bad input"))
 
 
 def test_max_files_per_trigger_paces_batches(spark, staged):
