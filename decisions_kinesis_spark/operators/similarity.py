@@ -165,6 +165,70 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest
+    centroid, then answer each query from its own centroid's cell only
+    (nprobe=1).
+
+    Centroids are a deterministic seeded sample — vectors whose vec_id
+    is divisible by floor(sqrt(N)) — giving ~sqrt(N) cells of ~sqrt(N)
+    vectors each, the classic IVF balance (assignment cost N·k stays
+    N^1.5, probe cost per query drops from N to sqrt(N)).  Determinism
+    (instead of iterative k-means) is what lets the DuckDB oracle
+    replicate cell assignment bit-for-bit; a k-means refinement would
+    only move centroids, not change the plan shape.
+
+    Scale: centroids broadcast (~sqrt(N) rows); assignment is one
+    scan-side broadcast join + per-vector argmin — no shuffle of the
+    corpus; the probe join is an equi-join on cent_id.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    import math
+
+    mod = max(1, math.isqrt(emb.count()))
+    cents = emb.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "ccos",
+        F.round(
+            F.expr(_DOT.format(a="v", b="cv"))
+            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
+            6,
+        ),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cent_id").alias("qcent"),
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="v", b="qv"))
+            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="qv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
 _DEDUP_TARGET_BUCKET = 64  # target avg bucket population for dedup blocking
 _MAX_PLANES = 16
 
@@ -227,6 +291,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -300,6 +365,44 @@ ORACLES = {
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35
+    """,
+    "ann_ivf_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        -- seeded centroid sample: vec_id divisible by floor(sqrt(N))
+        p AS (SELECT greatest(floor(sqrt(count(*)))::BIGINT, 1) AS md
+              FROM embeddings),
+        cents AS (
+            SELECT vec_id AS cent_id, v AS cv FROM e
+            WHERE vec_id % (SELECT md FROM p) = 0
+        ),
+        scored AS (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   round(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+            FROM e, cents c
+        ),
+        assigned AS (
+            SELECT vec_id, v, cent_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, cent_id ASC) AS ark
+                  FROM scored)
+            WHERE ark = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv, cent_id AS qcent
+            FROM assigned WHERE vec_id < {_N_QUERIES}
+        ),
+        cand AS (
+            SELECT q.query_id, a.vec_id, {_DUCK_COS} AS cos
+            FROM assigned a JOIN q
+              ON a.cent_id = q.qcent AND a.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id AS neighbor_id, cos, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM cand)
+        WHERE rank <= {_TOP_K}
     """,
     "ann_lsh_bucketed": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

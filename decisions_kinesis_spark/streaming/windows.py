@@ -94,6 +94,63 @@ def purchase_error_correlation_stream(
     ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")
 
 
+def purchase_error_left_join_stream(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, with its correlated
+    error ids where one exists within the trailing window, else nulls.
+
+    Outer semantics in streaming: a purchase emits its null row only
+    once the error-side watermark has passed the end of its join window
+    (no earlier error can still arrive) — state stays bounded exactly
+    as in the inner variant.  Batch dual: the same expression evaluated
+    on a bounded frame.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    return purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark: first
+    occurrence of each key wins; duplicate arrivals within the
+    watermark horizon are dropped.
+
+    This is the streaming counterpart of the batch dedup family: state
+    holds one entry per key only until the watermark passes (bounded),
+    unlike plain dropDuplicates whose state grows forever — the only
+    viable streaming-dedup shape on an unbounded 100 TB/day stream.
+    Exactly-once dedup holds for duplicates arriving within the
+    watermark of the first occurrence (the Kinesis redelivery case).
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 _STATE_SCHEMA = "n bigint, total double"
 _OUT_SCHEMA = "user_id bigint, n bigint, total double"
 

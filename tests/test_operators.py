@@ -86,6 +86,22 @@ def test_ann_topk_self_similarity_excluded(spark, sf_dir):
     assert out.filter((F.col("cos") > 1.000001) | (F.col("cos") < -1.000001)).count() == 0
 
 
+def test_ann_ivf_returns_ranked_cell_neighbors(spark, sf_dir):
+    from decisions_kinesis_spark.operators.similarity import ann_ivf_topk
+
+    out = ann_ivf_topk(spark, sf_dir).collect()
+    assert len(out) > 0
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        # dense ranks from 1, descending cosine, self excluded
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert [r.cos for r in rows] == sorted((r.cos for r in rows), reverse=True)
+        assert all(r.neighbor_id != qid for r in rows)
+
+
 def test_multimodal_feature_plumbing(spark, sf_dir):
     media = documents_as_media(spark, sf_dir)
     feats = extract_features(media)

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from decisions_kinesis_spark.operators.windows_ext import window_tumbling_hourly
 from decisions_kinesis_spark.sources.tables import load_table
 from decisions_kinesis_spark.streaming.windows import (
+    dedup_stream,
     purchase_error_correlation_stream,
+    purchase_error_left_join_stream,
     running_totals_stream,
     session_counts_stream,
     tumbling_counts_stream,
@@ -115,6 +117,56 @@ def test_stream_stream_join_matches_batch(spark, event_stream):
     expected = {(r.purchase_id, r.error_id) for r in batch.collect()}
     assert got == expected
     assert len(expected) > 0
+
+
+def test_stream_stream_left_join_matches_batch(spark, event_stream):
+    """Left-outer stream-stream join: matched pairs must equal the batch
+    join's matched pairs; emitted null (outer) rows must be a subset of
+    the batch outer rows — outer rows whose join window the final
+    watermark never passed are legitimately withheld."""
+    ev, stream = event_stream
+    out = _run_to_memory(
+        spark, purchase_error_left_join_stream(stream), "ssl_out", "append"
+    )
+    batch = purchase_error_left_join_stream(ev)  # same expr, batch mode
+    got_matched = {
+        (r.purchase_id, r.error_id) for r in out.collect() if r.error_id is not None
+    }
+    got_outer = {r.purchase_id for r in out.collect() if r.error_id is None}
+    exp_matched = {
+        (r.purchase_id, r.error_id)
+        for r in batch.collect()
+        if r.error_id is not None
+    }
+    exp_outer = {r.purchase_id for r in batch.collect() if r.error_id is None}
+    assert got_matched == exp_matched
+    assert len(exp_matched) > 0
+    assert got_outer <= exp_outer
+    # the fixture spans far more than the watermark horizon, so the
+    # overwhelming majority of outer rows must actually have emitted
+    assert len(got_outer) > 0.9 * len(exp_outer)
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: a stream carrying every event
+    twice (same micro-batch redelivery) emits each event_id exactly
+    once, equal to the batch distinct."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="dks-dedup-")
+    ev = load_table(spark, "events", sf_dir)
+    doubled = ev.unionByName(ev)
+    doubled.repartition(4).write.parquet(f"{tmp}/src")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/src")
+    )
+    out = _run_to_memory(spark, dedup_stream(stream), "dedup_out", "append")
+    got = [r.event_id for r in out.collect()]
+    assert len(got) == len(set(got))  # no event emitted twice
+    assert set(got) == {r.event_id for r in ev.collect()}
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_stateful_running_totals(spark, event_stream):
