@@ -47,6 +47,28 @@ def test_q5_broadcasts_all_dims(spark):
     a.assert_no_python()
 
 
+def test_q19_or_predicate_stays_single_broadcast_join(spark):
+    # OR-of-ANDs predicate must not break the broadcast join or drop
+    # to Python; the part filter cannot push (disjunction spans both
+    # sides) but the join is still one broadcast hash join
+    a = audit_plan(relational.q19_disjunctive_revenue(spark, SF))
+    a.assert_broadcasts(1)
+    a.assert_no_python()
+
+
+def test_q4_semi_join_no_row_explosion(spark):
+    a = audit_plan(relational.q4_order_priority(spark, SF))
+    a.assert_no_python()
+    # date-range filter reaches the orders scan
+    a.assert_pushed("GreaterThanOrEqual(o_orderdate")
+
+
+def test_q22_anti_join_broadcasts_scalar(spark):
+    a = audit_plan(relational.q22_sales_opportunity(spark, SF))
+    a.assert_no_python()
+    a.assert_broadcasts(2)  # scalar avg frame + nation dim
+
+
 def test_asof_union_carry_single_shuffle_sort(spark):
     a = audit_plan(asof_join_events_orders(spark, SF))
     a.assert_no_python()
