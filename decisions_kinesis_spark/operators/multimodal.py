@@ -121,11 +121,85 @@ def multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling end-to-end with a value oracle: every 64-byte
+    frame of every blob with its length and content prefix — proves the
+    sequence+explode framing (the video-frame-extraction plumbing)
+    produces exactly the bytes a SQL engine slices from the hex dump."""
+    frames = frame_sample(documents_as_media(spark, sf_dir), every_n_bytes=64)
+    return frames.select(
+        "media_id",
+        (F.col("frame_no") + 1).cast("bigint").alias("frame_no"),
+        F.octet_length("frame_bytes").cast("bigint").alias("frame_len"),
+        F.lower(F.substring(F.hex(F.col("frame_bytes")), 1, 8)).alias("frame_prefix"),
+    )
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas (Arrow-batched Python) feature path, value-checked
+    against SQL: the deterministic byte-statistics features let DuckDB
+    recompute what the Python extractor produced — the correctness
+    harness a real codec would get via golden files."""
+    feats = extract_features(documents_as_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.col("features")[0].alias("f_len"),
+        F.col("features")[1].alias("f_bytesum"),
+        F.col("features")[2].alias("f_first"),
+        F.col("features")[3].alias("f_last"),
+    )
+
+
 QUERIES = {
     "multimodal_blob_metadata": multimodal_blob_metadata,
+    "multimodal_frame_stats": multimodal_frame_stats,
+    "multimodal_feature_extract": multimodal_feature_extract,
 }
 
 ORACLES = {
+    "multimodal_frame_stats": """
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   hex(encode(text)) AS hexd,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents
+        ),
+        frames AS (
+            SELECT media_id,
+                   i.i AS frame_no,
+                   substr(hexd, (i.i - 1) * 128 + 1, 128) AS frame_hex
+            FROM media, LATERAL (
+                SELECT unnest(generate_series(1,
+                           greatest(n_bytes // 64, 1))) AS i
+            ) i
+        )
+        SELECT media_id, frame_no,
+               (length(frame_hex) // 2)::BIGINT AS frame_len,
+               lower(substr(frame_hex, 1, 8)) AS frame_prefix
+        FROM frames
+    """,
+    "multimodal_feature_extract": """
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   'text/plain' AS media_type,
+                   hex(encode(text)) AS hexd,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents
+        )
+        SELECT media_id, media_type,
+               n_bytes::DOUBLE AS f_len,
+               CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+                   (list_sum(list_transform(generate_series(1, n_bytes),
+                        i -> ('0x' || substr(hexd, (i - 1) * 2 + 1, 2))::INT))
+                    % 997)::DOUBLE END AS f_bytesum,
+               CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+                   ('0x' || substr(hexd, 1, 2))::INT::DOUBLE END AS f_first,
+               CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+                   ('0x' || substr(hexd, (n_bytes - 1) * 2 + 1, 2))::INT::DOUBLE
+               END AS f_last
+        FROM media
+    """,
     "multimodal_blob_metadata": """
         WITH media AS (
             SELECT doc_id AS media_id,

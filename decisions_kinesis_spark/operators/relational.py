@@ -951,6 +951,30 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted shuffle join (functions/skew.salt_join_keys):
+    the big side gets a random salt, the small side is replicated per
+    salt, so a hot join key spreads over n_salts reducers.  The shuffle
+    join is forced (broadcast would make salting moot); results are
+    salt-invariant, which the plain-join oracle verifies.
+    """
+    from decisions_kinesis_spark.functions.skew import salt_join_keys
+
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    big, small, keys = salt_join_keys(ev, cust, "user_id")
+    return (
+        big.join(small.hint("shuffle_hash"), keys)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -991,6 +1015,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
+    "join_salted_skew": join_salted_skew,
     "window_rank_suite": window_rank_suite,
     "window_rolling_1h_sum": window_rolling_1h_sum,
     "agg_array_collect": agg_array_collect,
@@ -1383,6 +1408,13 @@ ORACLES = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "join_salted_skew": """
+        SELECT c_mktsegment, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
     """,
     "q22_sales_opportunity": """
         SELECT n_name, count(*) AS numcust,

@@ -153,18 +153,104 @@ def text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IDF_SCALE = 1_000_000  # integer-scaled idf: (N·SCALE) div df — exact both engines
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by integer-scaled TF-IDF.
+
+    idf is computed as ``(N_docs × 1e6) div doc_freq`` — INTEGER
+    arithmetic, so the score (tf × idf_scaled) is exactly reproducible
+    across engines (float log-idf would differ in last-ulp and flip
+    rank ties).  Pipeline: explode→(doc,token) tf agg → token df agg →
+    broadcast df back → per-doc window top-3.  Scale: both aggs shuffle
+    on bounded keys (docs×distinct-tokens, vocabulary); the df frame is
+    vocabulary-sized (broadcastable); ranking is one window over doc_id.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tok = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    nd = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_t = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tok.join(F.broadcast(df_t), "token")
+        .join(F.broadcast(nd))
+        .withColumn(
+            "score", F.expr(f"tf * ((n_docs * {_IDF_SCALE}) div df)")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rk")
+    )
+
+
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quartiles (percentile with linear
+    interpolation — the engine-agnostic continuous-quantile contract)
+    plus min/max, over the documents table."""
+    docs = load_table(spark, "documents", sf_dir).select("lang", "n_chars")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("p75"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_top_words": text_top_words,
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
     "doc_fingerprint": doc_fingerprint,
+    "text_tfidf_topk": text_tfidf_topk,
+    "text_length_quantiles": text_length_quantiles,
 }
 
 _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 _DUCK_BIGHASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
 
 ORACLES = {
+    "text_tfidf_topk": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+                   tf.tf * ((nd.n_docs * {_IDF_SCALE}) // dft.df) AS score
+            FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN nd
+        )
+        SELECT doc_id, token, tf, df, score, rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, token ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """,
+    "text_length_quantiles": """
+        SELECT lang, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.25), 4) AS p25,
+               round(quantile_cont(n_chars, 0.5), 4) AS p50,
+               round(quantile_cont(n_chars, 0.75), 4) AS p75,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """,
     "text_top_words": f"""
         SELECT word, count(*) AS n FROM (
             SELECT unnest({_DUCK_TOKS}) AS word FROM documents

@@ -96,11 +96,73 @@ def join_time_range_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFra
     return purchase_error_correlation_stream(events)
 
 
+def join_time_range_purchase_errors_left(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch dual of the streaming LEFT OUTER stream-stream join
+    (streaming variant: streaming/windows.py
+    purchase_error_left_join_stream, tested for watermark-consistent
+    equality) — every purchase, with correlated error or nulls."""
+    from decisions_kinesis_spark.streaming.windows import (
+        purchase_error_left_join_stream,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    return purchase_error_left_join_stream(events)
+
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion funnel: per signed-up user, the first
+    purchase at-or-after their first signup and the hours to convert.
+
+    Shape: two filtered aggregations + a left join + a min-over-match —
+    the standard event-funnel plan (each step shuffles on user_id only;
+    at 100 TB the same key co-locates all steps).  Time math is done in
+    integer microseconds (unix_micros ↔ epoch_us) so both engines agree
+    exactly.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return first_purchase.select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.col("first_purchase_ts").isNotNull().alias("converted"),
+        F.round(
+            (
+                F.unix_micros(F.col("first_purchase_ts"))
+                - F.unix_micros(F.col("signup_ts"))
+            )
+            / 3.6e9,
+            4,
+        ).alias("hours_to_convert"),
+    )
+
+
 QUERIES = {
     "window_tumbling_hourly": window_tumbling_hourly,
     "window_sliding_counts": window_sliding_counts,
     "window_session_bounds": window_session_bounds,
     "join_time_range_purchase_errors": join_time_range_purchase_errors,
+    "join_time_range_purchase_errors_left": join_time_range_purchase_errors_left,
+    "events_funnel_conversion": events_funnel_conversion,
 }
 
 _HOUR_US = 3_600_000_000
@@ -108,6 +170,40 @@ _HALF_US = 1_800_000_000
 _GAP_US = 300_000_000
 
 ORACLES = {
+    "join_time_range_purchase_errors_left": """
+        SELECT p.user_id AS p_user,
+               p.event_id AS purchase_id,
+               e.event_id AS error_id,
+               p.ts AS p_ts,
+               e.ts AS e_ts
+        FROM events p
+        LEFT JOIN events e
+          ON p.user_id = e.user_id
+         AND e.event_type = 'error'
+         AND e.ts >= p.ts - INTERVAL 10 MINUTE
+         AND e.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+    """,
+    "events_funnel_conversion": """
+        WITH signups AS (
+            SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        fp AS (
+            SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+            FROM signups s
+            LEFT JOIN events e
+              ON e.user_id = s.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts >= s.signup_ts
+            GROUP BY s.user_id, s.signup_ts
+        )
+        SELECT user_id, signup_ts, first_purchase_ts,
+               first_purchase_ts IS NOT NULL AS converted,
+               round((epoch_us(first_purchase_ts) - epoch_us(signup_ts))
+                     / 3.6e9, 4) AS hours_to_convert
+        FROM fp
+    """,
     "join_time_range_purchase_errors": """
         SELECT p.user_id AS p_user,
                p.event_id AS purchase_id,
