@@ -69,6 +69,28 @@ def test_q22_anti_join_broadcasts_scalar(spark):
     a.assert_broadcasts(2)  # scalar avg frame + nation dim
 
 
+def test_tfidf_broadcasts_vocab_frames(spark):
+    from decisions_kinesis_spark.operators import textops
+
+    a = audit_plan(textops.text_tfidf_topk(spark, SF))
+    a.assert_broadcasts(2)  # doc-freq frame + N-docs scalar frame
+    a.assert_no_python()
+
+
+def test_ivf_broadcasts_centroids_and_queries(spark):
+    a = audit_plan(similarity.ann_ivf_topk(spark, SF))
+    a.assert_broadcasts(2)  # centroid frame + query frame
+    a.assert_no_python()
+
+
+def test_funnel_pushes_type_filters(spark):
+    from decisions_kinesis_spark.operators import windows_ext
+
+    a = audit_plan(windows_ext.events_funnel_conversion(spark, SF))
+    a.assert_pushed("EqualTo(event_type,signup)", "EqualTo(event_type,purchase)")
+    a.assert_no_python()
+
+
 def test_asof_union_carry_single_shuffle_sort(spark):
     a = audit_plan(asof_join_events_orders(spark, SF))
     a.assert_no_python()
