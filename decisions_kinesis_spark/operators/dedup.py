@@ -158,7 +158,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH dedup topology for 100 TB corpora.
     """
     corpus = _with_injected_dups(load_table(spark, "documents", sf_dir))
-    sh = _doc_shingles(corpus)
+    # Materialize the shingle set once (executor-local, MEMORY_AND_DISK):
+    # four consumers (band keys, both verify sides, sizes) would
+    # otherwise each recompute the scan→explode→distinct chain — at any
+    # scale, one materialization of |docs|×|shingles| beats four
+    # recomputes of it.
+    sh = _doc_shingles(corpus).localCheckpoint(eager=True)
     bands = _band_table(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -244,9 +249,10 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount(xor) check verifies.  This is the standard way to scale
     simhash dedup: |blocks|×|docs| index rows, no quadratic scan.
     """
-    # no cache: the self-join recomputes the (cheap) simhash pipeline
-    # once more, which beats leaking cached partitions into later queries
-    sim = dedup_simhash(spark, sf_dir)
+    # materialize the (doc_id, simhash) frame once (tiny: one row per
+    # doc) so the self-join does not recompute the token-hash pipeline
+    # on both sides
+    sim = dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
     blocks = sim.select(
         "doc_id",
         "simhash",
