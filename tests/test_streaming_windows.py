@@ -169,6 +169,55 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_late_data_dropped_after_watermark(spark):
+    """Watermark contract: an event older than (max event time − 10 min)
+    arriving in a later micro-batch is DROPPED — its already-closed
+    window is not re-opened and its count is not emitted."""
+    import tempfile
+    from datetime import datetime
+
+    tmp = tempfile.mkdtemp(prefix="dks-late-")
+    src = f"{tmp}/src"
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    batch1 = [
+        (1, datetime(2024, 1, 1, 10, 30), 1, "purchase", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 12, 0), 1, "purchase", 1.0, "{}"),
+    ]
+    late = [(3, datetime(2024, 1, 1, 10, 45), 1, "purchase", 1.0, "{}")]
+    df1 = spark.createDataFrame(batch1, schema)
+    df1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        tumbling_counts_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    q.processAllAvailable()  # watermark advances to 11:50
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()  # late row (10:45 < 11:50) must be dropped
+    q.stop()
+    rows = spark.sql("SELECT * FROM late_out").collect()
+    # exactly the closed hour-10 window, with the ON-TIME count only
+    assert [(r.w_start, r.w_end, r.event_type, r.n) for r in rows] == [
+        (
+            datetime(2024, 1, 1, 10, 0),
+            datetime(2024, 1, 1, 11, 0),
+            "purchase",
+            1,
+        )
+    ]
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stateful_running_totals(spark, event_stream):
     ev, stream = event_stream
     out = _run_to_memory(
