@@ -69,6 +69,34 @@ def payload_filter_ci_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def payload_filter_contains_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINS / CONTAINS_CI / ENDS_WITH_CI / LESS_THAN / LESS_THAN_CI
+    verbs over a synthesized JSON payload (attributes embedded via
+    to_json), completing oracle coverage of the 18-verb table
+    (KinesisThreadJobs.cs:746-805)."""
+    filters = [
+        PayloadFilter("et", FilterVerb.CONTAINS_CI, "URCH"),
+        PayloadFilter("et", FilterVerb.ENDS_WITH_CI, "ASE"),
+        PayloadFilter("et", FilterVerb.CONTAINS, "chas"),
+        PayloadFilter("k", FilterVerb.LESS_THAN, "5"),  # lexicographic
+        PayloadFilter("k", FilterVerb.LESS_THAN_OR_EQUAL_CI, "4~"),
+    ]
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "payload",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("et"),
+                F.get_json_object("props", "$.k").alias("k"),
+            )
+        ),
+    )
+    return apply_payload_filters(ev, "payload", filters, use_or=False).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("payload", "$.k").alias("k_value"),
+    )
+
+
 def envelope_metadata_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 metadata projection over the envelope mapping (KinesisUtils.cs:146-163)."""
     ev = load_table(spark, "events", sf_dir)
@@ -83,6 +111,7 @@ QUERIES = {
     "flagship_premium_filter": flagship_premium_filter,
     "payload_filter_or_verbs": payload_filter_or_verbs,
     "payload_filter_ci_band": payload_filter_ci_band,
+    "payload_filter_contains_ci": payload_filter_contains_ci,
     "envelope_metadata_projection": envelope_metadata_projection,
 }
 
@@ -111,6 +140,16 @@ ORACLES = {
           AND json_extract_string(props, '$.k') >= '2'
           AND json_extract_string(props, '$.k') <= '7'
           AND json_extract_string(props, '$.k') <> '42'
+    """,
+    "payload_filter_contains_ci": """
+        SELECT event_id, event_type,
+               json_extract_string(props, '$.k') AS k_value
+        FROM events
+        WHERE contains(lower(event_type), lower('URCH'))
+          AND ends_with(lower(event_type), lower('ASE'))
+          AND contains(event_type, 'chas')
+          AND json_extract_string(props, '$.k') < '5'
+          AND lower(json_extract_string(props, '$.k')) <= lower('4~')
     """,
     "envelope_metadata_projection": """
         SELECT user_id::VARCHAR AS partitionKey,

@@ -3,8 +3,10 @@
 Same window expressions as operators/windows_ext (batch) plus
 watermarks for late-data bounds, and an ``applyInPandasWithState``
 custom stateful operator — the engine's answer to "operators Spark
-lacks" in streaming (running per-key aggregates with timeout-based
-emission).
+lacks" in streaming (running per-key aggregates emitted each
+micro-batch in update mode; a production deployment can switch the
+``timeoutConf`` to ProcessingTime/EventTime timeouts for idle-key
+eviction without changing the operator shape).
 """
 
 from __future__ import annotations
