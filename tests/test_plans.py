@@ -118,6 +118,20 @@ def test_ann_uses_broadcast_not_shuffle_join(spark):
     a.assert_no_python()
 
 
+def test_every_registered_query_plan_is_clean(spark):
+    """Global plan hygiene: NO registered query may contain row-at-a-time
+    Python (BatchEvalPython) or an unintended CartesianProduct.  Arrow
+    paths (ArrowEvalPython / FlatMapsInPandas / MapInPandas) are the
+    sanctioned Python tiers; broadcast nested-loop joins against tiny
+    broadcast frames (scalar aggregates, centroid sets) are intended."""
+    import __spark_entry__ as entry
+
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name} uses row-Python"
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
 def test_pandas_paths_are_arrow_not_row_python(spark):
     from decisions_kinesis_spark.operators.asof import (
         asof_join_events_orders_pandas,
