@@ -524,6 +524,26 @@ def window_rolling_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_rows_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS window frame (count-based, vs the RANGE frame above): per
+    user, moving sum/min/max over the 5 preceding events in a
+    deterministic (ts, event_id) order."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), F.col("event_id"))
+        .rowsBetween(-5, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("mov_sum"),
+        F.round(F.min("value").over(w), 4).alias("mov_min"),
+        F.round(F.max("value").over(w), 4).alias("mov_max"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+
+
 def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered collect: per returnflag, the sorted distinct linestatus
     values (string-joined for engine-portable comparison)."""
@@ -1018,6 +1038,7 @@ QUERIES = {
     "join_salted_skew": join_salted_skew,
     "window_rank_suite": window_rank_suite,
     "window_rolling_1h_sum": window_rolling_1h_sum,
+    "window_rows_frame_stats": window_rows_frame_stats,
     "agg_array_collect": agg_array_collect,
     "sql_cte_correlated": sql_cte_correlated,
     "scalar_date_suite": scalar_date_suite,
@@ -1456,6 +1477,17 @@ ORACLES = {
                                                 AND CURRENT ROW), 4)
                    AS rolling_1h_value
         FROM events
+    """,
+    "window_rows_frame_stats": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER w, 4) AS mov_sum,
+               round(min(value) OVER w, 4) AS mov_min,
+               round(max(value) OVER w, 4) AS mov_max,
+               count(*) OVER w AS frame_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
     """,
     "agg_array_collect": """
         SELECT l_returnflag,
