@@ -971,6 +971,73 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group with NOT-style dim filters and an IN-list (negated filters
+    prune at the dim scan; count(distinct) shuffles once on the group
+    key)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").startswith("MEDIUM")
+        & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested subquery chain — suppliers whose total
+    shipped quantity of 'red' parts exceeds a threshold, resolved as a
+    grouped HAVING frame feeding a left-semi join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_name").startswith("red"))
+    supp = load_table(spark, "supplier", sf_dir)
+    hot = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    return (
+        supp.join(hot, supp.s_suppkey == hot.l_suppkey, "leftsemi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q21_single_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS double correlation on the
+    same fact — per supplier, finished orders where it participated and
+    NO other supplier did (anti join on the other-supplier condition)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    l1 = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    sole = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicitly salted shuffle join (functions/skew.salt_join_keys):
     the big side gets a random salt, the small side is replicated per
@@ -1035,6 +1102,9 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_single_supplier_orders": q21_single_supplier_orders,
     "join_salted_skew": join_salted_skew,
     "window_rank_suite": window_rank_suite,
     "window_rolling_1h_sum": window_rolling_1h_sum,
@@ -1429,6 +1499,45 @@ ORACLES = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q16_part_supplier_counts": """
+        SELECT p_brand, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND NOT starts_with(p_type, 'MEDIUM')
+          AND p_size IN (1, 14, 23, 45)
+        GROUP BY p_brand, p_size
+    """,
+    "q20_excess_suppliers": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE starts_with(p_name, 'red')
+            GROUP BY l_suppkey
+            HAVING round(sum(l_quantity), 2) > 100
+        )
+    """,
+    "q21_single_supplier_orders": """
+        WITH l1 AS (
+            SELECT DISTINCT l_orderkey, l_suppkey
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        sole AS (
+            SELECT l_orderkey, l_suppkey FROM l1
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+            )
+        )
+        SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+        FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
     """,
     "join_salted_skew": """
         SELECT c_mktsegment, count(*) AS n_events,
