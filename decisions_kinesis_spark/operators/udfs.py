@@ -47,11 +47,44 @@ def pandas_udf_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def rms_value(value: pd.Series) -> float:
+    """Grouped-aggregate Pandas UDF (Series → scalar): RMS of the
+    group's values — the UDAF extension tier, Arrow-batched."""
+    import numpy as np
+
+    return float(np.sqrt(np.mean(np.square(value.to_numpy()))))
+
+
+def pandas_udaf_user_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG Pandas-UDF tier with a value-checked SQL oracle:
+    per-user RMS of purchase values.  Scale: partial aggregation is NOT
+    available for pandas UDAFs (full shuffle of the group's rows) — the
+    honest trade documented here; sum-decomposable stats should use
+    built-ins (see agg_stats_suite)."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    # NOTE pandas UDAFs cannot mix with non-pandas aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — single-UDAF projection
+    return ev.groupBy("user_id").agg(
+        F.round(rms_value(F.col("value")), 6).alias("rms_value"),
+    )
+
+
 QUERIES = {
     "pandas_udf_engagement_score": pandas_udf_engagement_score,
+    "pandas_udaf_user_rms": pandas_udaf_user_rms,
 }
 
 ORACLES = {
+    "pandas_udaf_user_rms": """
+        SELECT user_id,
+               round(sqrt(avg(value * value)), 6) AS rms_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    """,
     "pandas_udf_engagement_score": """
         SELECT event_id, user_id,
                round(2.0 * ln(1.0 + value), 6) AS engagement
