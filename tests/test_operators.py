@@ -86,6 +86,33 @@ def test_ann_topk_self_similarity_excluded(spark, sf_dir):
     assert out.filter((F.col("cos") > 1.000001) | (F.col("cos") < -1.000001)).count() == 0
 
 
+def test_approx_suite_within_error_bounds(spark, sf_dir):
+    """The sketch queries have no cross-engine oracle by design; this
+    bounds them against exact answers instead: HLL within its default
+    ~2.3% relative-error spec (5% tolerance here), approx median within
+    the true p40-p60 band."""
+    from decisions_kinesis_spark.operators.relational import agg_approx_suite
+
+    approx = {r.l_returnflag: r for r in agg_approx_suite(spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_suppkey").alias("supps"),
+            F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+            F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_parts - e.parts) <= 0.05 * e.parts
+        assert abs(a.approx_supps - e.supps) <= 0.05 * e.supps
+        assert e.p40 <= a.approx_median_price <= e.p60
+
+
 def test_ann_ivf_returns_ranked_cell_neighbors(spark, sf_dir):
     from decisions_kinesis_spark.operators.similarity import ann_ivf_topk
 

@@ -218,6 +218,50 @@ def test_late_data_dropped_after_watermark(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_windowed_state_survives_restart(spark, sf_dir):
+    """C4 analog for stateful streaming: a windowed aggregation stopped
+    and restarted from the same checkpoint must restore its state —
+    counts reflect every event exactly once, never doubled."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="dks-restart-")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    ev = load_table(spark, "events", sf_dir)
+    half1, half2 = ev.filter(F.col("event_id") % 2 == 0), ev.filter(
+        F.col("event_id") % 2 == 1
+    )
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_until_drained():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = (
+            stream.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName("restart_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_until_drained()  # processes half1, commits state
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run_until_drained()  # restart: must resume, not re-count half1
+    got = {
+        r.event_type: r.n for r in spark.sql("SELECT * FROM restart_out").collect()
+    }
+    expected = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stateful_running_totals(spark, event_stream):
     ev, stream = event_stream
     out = _run_to_memory(
