@@ -27,6 +27,7 @@ _OPERATOR_MODULES = (
     "textops",
     "multimodal",
     "udfs",
+    "pipeline",
     "similarity",
     "dedup",
 )

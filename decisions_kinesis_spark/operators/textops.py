@@ -69,10 +69,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score from length / punctuation / stopword /
-    token-shape signals (the usual pre-training heuristics)."""
-    docs = load_table(spark, "documents", sf_dir)
+def with_quality_signals(docs: DataFrame) -> DataFrame:
+    """Attach the pre-training quality signals (toks, n_tok, stop /
+    punct / digit ratios) to a frame with a ``text`` column — shared by
+    the standalone score query and the composed cleaning pipeline."""
     n_chars = F.length("text").cast("double")
     punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double")
     digits = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
@@ -85,27 +85,35 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("punct_ratio", punct / n_chars)
         .withColumn("digit_ratio", digits / n_chars)
-        .select(
-            "doc_id",
-            F.round("stop_ratio", 4).alias("stop_ratio"),
-            F.round("punct_ratio", 4).alias("punct_ratio"),
-            F.round("digit_ratio", 4).alias("digit_ratio"),
-            # floor-based round: Spark round() is HALF_UP, DuckDB's is
-            # HALF_EVEN — floor(x*1e4 + 0.5)/1e4 is the same IEEE op
-            # sequence in both engines, so half-way cases agree.
-            (
-                F.floor(
-                    (
-                        F.lit(0.4) * F.col("stop_ratio")
-                        + F.lit(0.3) * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
-                        + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
-                    )
-                    * 10000
-                    + F.lit(0.5)
+        # floor-based round: Spark round() is HALF_UP, DuckDB's is
+        # HALF_EVEN — floor(x*1e4 + 0.5)/1e4 is the same IEEE op
+        # sequence in both engines, so half-way cases agree.
+        .withColumn(
+            "quality",
+            F.floor(
+                (
+                    F.lit(0.4) * F.col("stop_ratio")
+                    + F.lit(0.3) * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+                    + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
                 )
-                / 10000.0
-            ).alias("quality"),
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0,
         )
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length / punctuation / stopword /
+    token-shape signals (the usual pre-training heuristics)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return with_quality_signals(docs).select(
+        "doc_id",
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("digit_ratio", 4).alias("digit_ratio"),
+        "quality",
     )
 
 

@@ -25,6 +25,36 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> No
     writer.save(path)
 
 
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_file_bytes)`` files.
+
+    The operational companion to every streaming sink: micro-batches
+    leave one file per trigger per partition, and at 100 TB/day the
+    resulting millions of small files dominate scan planning time.
+    Input size comes from the file listing (no data pass); the rewrite
+    is one round-robin repartition — no key skew, parallel write.
+    Returns the output file count.
+    """
+    import math
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(hconf)
+    total = fs.getContentSummary(path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def read_table_as(
     spark: SparkSession, path: str, fmt: str, schema: T.StructType, **options
 ) -> DataFrame:

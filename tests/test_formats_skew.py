@@ -27,6 +27,32 @@ def test_format_roundtrip_nation(spark, sf_dir, fmt):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_compact_table_reduces_files_preserves_rows(spark, sf_dir):
+    """Small-files compaction: 32 tiny files rewritten into the
+    size-derived file count, content identical."""
+    import glob
+
+    from decisions_kinesis_spark.sources.formats import compact_table
+
+    ev = load_table(spark, "events", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dks-compact-")
+    try:
+        ev.repartition(32).write.parquet(f"{tmp}/small")
+        assert len(glob.glob(f"{tmp}/small/part-*.parquet")) == 32
+        n = compact_table(spark, f"{tmp}/small", f"{tmp}/big",
+                          target_file_bytes=64 * 1024 * 1024)
+        out_files = glob.glob(f"{tmp}/big/part-*.parquet")
+        assert len(out_files) == n
+        assert n < 32  # tiny dataset → far fewer files than inputs
+        back = spark.read.parquet(f"{tmp}/big")
+        assert back.count() == ev.count()
+        assert sorted(r.event_id for r in back.select("event_id").collect()) == sorted(
+            r.event_id for r in ev.select("event_id").collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_salted_aggregate_equals_direct(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     salted = salted_aggregate(
