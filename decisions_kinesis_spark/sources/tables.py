@@ -28,8 +28,19 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Analyzed-relation cache: the fixtures are immutable, so the parquet
+#: footer/schema read and DataFrame construction (~180 ms via py4j) are
+#: paid once per (session, sf_dir, table) instead of once per query —
+#: the catalog-metadata cache every real engine keeps.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     # The driver owns the SparkSession; pin UTC at read time so timestamp
     # values compare stably against the DuckDB oracle regardless of the
     # host session's timezone.
@@ -44,8 +55,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         if dict(df.dtypes).get("ts") == "bigint":
             # integer division: ns-since-epoch overflows double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _RELATION_CACHE[key] = df
+    return df
 
 
 def load_tables(
