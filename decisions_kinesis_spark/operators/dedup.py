@@ -357,13 +357,14 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_components(
-    spark: SparkSession, sf_dir: str, driver_max_edges: int = 1_000_000
+def connected_components(
+    spark: SparkSession, pairs: DataFrame, driver_max_edges: int = 1_000_000
 ) -> DataFrame:
-    """Connected components over the near-dup graph: each document in an
-    LSH-verified pair gets a cluster id = min doc_id reachable through
-    near-dup edges — the canonical "pick one representative per
-    duplicate cluster" step after pair detection.
+    """Connected components over an arbitrary (doc_a, doc_b) pair frame:
+    every node gets a cluster id = min node id reachable through edges —
+    the canonical "pick one representative per duplicate cluster" step
+    after ANY pair-detection strategy (MinHash LSH, SimHash hamming,
+    embedding cosine...).
 
     ITERATIVE algorithm (driver-controlled label propagation to a
     fixpoint): labels = min(label of self, labels of neighbors),
@@ -373,7 +374,7 @@ def dedup_components(
     cached between rounds).  Oracle: DuckDB recursive CTE computing
     min-label reachability — same fixpoint, declaratively.
     """
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs = pairs.select("doc_a", "doc_b").cache()
     # Adaptive strategy: the near-dup graph is far smaller than the
     # corpus.  Below the threshold, a driver-side union-find finishes in
     # microseconds (standard tail strategy for distributed CC); above
@@ -448,6 +449,16 @@ def dedup_components(
     edges.unpersist()  # labels are materialized; edge cache no longer needed
     pairs.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def dedup_components(
+    spark: SparkSession, sf_dir: str, driver_max_edges: int = 1_000_000
+) -> DataFrame:
+    """Duplicate clusters over the MinHash-LSH verified pair graph
+    (see connected_components for the algorithm)."""
+    return connected_components(
+        spark, dedup_minhash_lsh_pairs(spark, sf_dir), driver_max_edges
+    )
 
 
 # cheap scan-shaped queries first, pair pipelines after, the iterative

@@ -287,12 +287,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-duplicate CLUSTERS: connected components over the
+    embedding-cosine near-dup pair graph — the "one representative per
+    semantic cluster" step, composing the adaptive-LSH pair detection
+    with the shared CC operator (same algorithm as the MinHash cluster
+    query; recursive-CTE oracle)."""
+    from decisions_kinesis_spark.operators.dedup import connected_components
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(spark, pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster"
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_components": dedup_embedding_components,
 }
 
 _DUCK_COS = (
@@ -312,6 +329,32 @@ def _duck_bucket(n_planes: int = _N_PLANES) -> str:
 
 
 _DUCK_BUCKET = _duck_bucket()
+
+#: Shared CTE chain for the embedding near-dup pair graph (adaptive
+#: plane count = clamp(ceil(log2(N/64)), 2, 16), same formula as the
+#: engine) → `pairsel(vec_a, vec_b, cos)` at the 0.35 threshold.
+_DUCK_EMB_PAIR_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+            SELECT least({_MAX_PLANES}, greatest(2,
+                   ceil(log2(count(*) / {_DEDUP_TARGET_BUCKET}.0))::INT)) AS nbits
+            FROM embeddings
+        ),
+        bucketed AS (
+            SELECT vec_id, v,
+                   (({_duck_bucket(_MAX_PLANES)})
+                    % (1::BIGINT << (SELECT nbits FROM p)))::BIGINT AS bucket
+            FROM e
+        ),
+        pairsel AS (
+            SELECT vec_a, vec_b, cos FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round(list_dot_product(a.v, b.v) /
+                             (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+                FROM bucketed a JOIN bucketed b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ) WHERE cos >= 0.35
+        )"""
 
 ORACLES = {
     "ann_cosine_topk": f"""
@@ -342,29 +385,23 @@ ORACLES = {
         FROM e GROUP BY label
     """,
     "dedup_embedding_cosine": f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        -- plane count derived from corpus size, same formula as the
-        -- engine: clamp(ceil(log2(N/64)), 2, 16)
-        p AS (
-            SELECT least({_MAX_PLANES}, greatest(2,
-                   ceil(log2(count(*) / {_DEDUP_TARGET_BUCKET}.0))::INT)) AS nbits
-            FROM embeddings
+        WITH {_DUCK_EMB_PAIR_CTES}
+        SELECT vec_a, vec_b, cos FROM pairsel
+    """,
+    "dedup_embedding_components": f"""
+        WITH RECURSIVE {_DUCK_EMB_PAIR_CTES},
+        edges AS (
+            SELECT vec_a AS a, vec_b AS b FROM pairsel
+            UNION ALL
+            SELECT vec_b AS a, vec_a AS b FROM pairsel
         ),
-        bucketed AS (
-            SELECT vec_id, v,
-                   (({_duck_bucket(_MAX_PLANES)})
-                    % (1::BIGINT << (SELECT nbits FROM p)))::BIGINT AS bucket
-            FROM e
-        ),
-        pairs AS (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_dot_product(a.v, b.v) /
-                         (sqrt(list_dot_product(a.v, a.v))
-                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-            FROM bucketed a JOIN bucketed b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        reach(node, label) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
         )
-        SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35
+        SELECT node AS vec_id, min(label) AS cluster
+        FROM reach GROUP BY node
     """,
     "ann_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
