@@ -131,6 +131,7 @@ def start_dispatch(
     config: KinesisQueueConfig | None = None,
     backoff: BackoffPolicy | None = None,
     trigger_interval: str | None = None,
+    available_now: bool = False,
     sleeper: Callable[[float], None] = time.sleep,
 ) -> StreamingQuery:
     """At-least-once dispatch (P1 + R1): foreachBatch with retry.
@@ -165,7 +166,13 @@ def start_dispatch(
     writer = stream.writeStream.foreachBatch(_dispatch).option(
         "checkpointLocation", checkpoint_dir
     )
-    if trigger_interval:
+    if available_now:
+        # drain-the-backlog-then-stop mode: process everything available
+        # at start (in paced micro-batches) and terminate — the periodic
+        # catch-up job pattern, checkpoint-compatible with a later
+        # continuous run from the same checkpoint dir
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
 

@@ -228,6 +228,26 @@ def test_max_files_per_trigger_paces_batches(spark, staged):
     assert max(batches) < env.count()  # no batch swallowed the stream
 
 
+def test_available_now_drains_and_terminates(spark, staged):
+    """trigger(availableNow): process the whole backlog in paced
+    micro-batches, then terminate on its own (no stop() needed) —
+    the periodic catch-up pattern."""
+    tmp, src, env = staged
+    batches: list[int] = []
+
+    stream = read_envelope_stream(spark, src, max_files_per_trigger=1)
+    q = start_dispatch(
+        stream,
+        lambda df, _: batches.append(df.count()),
+        f"{tmp}/ckpt-avnow",
+        backoff=BackoffPolicy(max_retries=0, base_delay_s=0.0),
+        available_now=True,
+    )
+    assert q.awaitTermination(120)  # terminates by itself
+    assert sum(batches) == env.count()
+    assert len(batches) >= 2  # still paced by maxFilesPerTrigger
+
+
 def test_backoff_policy_formula():
     """delay = base·2^attempt + U(0,1), capped (KinesisThreadJobs.cs:107-117)."""
     p = BackoffPolicy(max_retries=5, base_delay_s=5.0, max_delay_s=32.0)
