@@ -363,6 +363,49 @@ def set_except_nonbuyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.exceptAll(urgent.distinct()).distinct()
 
 
+def set_except_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics — each occurrence subtracts one):
+    order-status multiset of non-urgent orders minus the status multiset
+    of small orders, aggregated to per-status surviving counts."""
+    orders = load_table(spark, "orders", sf_dir)
+    left = orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_orderstatus"
+    )
+    right = orders.filter(F.col("o_totalprice") < 10000).select("o_orderstatus")
+    return (
+        left.exceptAll(right)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_surviving"))
+    )
+
+
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split — the reproducible
+    alternative to sample(): split = md5(doc_id) mod 100, <90 → train.
+
+    Unlike RNG sampling this is stable across engines, runs, partition
+    layouts, and cluster sizes (the property a training pipeline needs
+    so examples never leak between splits) and is a pure scan-side
+    projection.  Output: per (lang, split) counts + a checksum of the
+    member ids so the oracle verifies the actual membership.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    h = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    return (
+        docs.withColumn(
+            "split",
+            F.when(F.expr(f"{h} % 100") < 90, F.lit("train")).otherwise(
+                F.lit("val")
+            ),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
 def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date/math scalar library on one projection (all codegen'd)."""
     orders = load_table(spark, "orders", sf_dir)
@@ -1084,6 +1127,8 @@ QUERIES = {
     "set_union_segments": set_union_segments,
     "set_intersect_buyers": set_intersect_buyers,
     "set_except_nonbuyers": set_except_nonbuyers,
+    "set_except_all_statuses": set_except_all_statuses,
+    "split_train_val": split_train_val,
     "scalar_function_suite": scalar_function_suite,
     "join_outer_customer_order_counts": join_outer_customer_order_counts,
     "join_full_outer_priority_sets": join_full_outer_priority_sets,
@@ -1286,6 +1331,26 @@ ORACLES = {
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         INTERSECT
         SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    "set_except_all_statuses": """
+        WITH surv AS (
+            SELECT o_orderstatus FROM orders
+            WHERE o_orderpriority <> '1-URGENT'
+            EXCEPT ALL
+            SELECT o_orderstatus FROM orders WHERE o_totalprice < 10000
+        )
+        SELECT o_orderstatus, count(*) AS n_surviving
+        FROM surv GROUP BY o_orderstatus
+    """,
+    "split_train_val": """
+        SELECT lang,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                         % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split,
+               count(*) AS n_docs,
+               sum(doc_id) AS id_checksum
+        FROM documents
+        GROUP BY 1, 2
     """,
     "set_except_nonbuyers": """
         SELECT c_custkey AS custkey FROM customer
