@@ -682,6 +682,63 @@ def json_typed_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling and conditional scalars over the outer-join shape
+    that actually produces NULLs: coalesce / nullif / nvl2-style CASE /
+    greatest / least on customer⋈orders."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).groupBy("o_custkey").agg(
+        F.max("o_totalprice").alias("top_price"),
+        F.count("*").alias("n_orders"),
+    )
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("top_price", F.lit(0.0)).alias("top_or_zero"),
+        F.expr("nullif(c_acctbal, 0.0)").alias("bal_nullif_zero"),
+        F.when(F.col("n_orders").isNull(), F.lit("none"))
+        .when(F.col("n_orders") > 10, F.lit("many"))
+        .otherwise(F.lit("some"))
+        .alias("order_band"),
+        F.greatest(F.coalesce("top_price", F.lit(0.0)), "c_acctbal").alias(
+            "best_value"
+        ),
+        F.least(F.coalesce("n_orders", F.lit(0)), F.lit(5)).cast("bigint").alias(
+            "capped_orders"
+        ),
+        F.col("top_price").isNull().alias("never_ordered"),
+    )
+
+
+def json_nested_array_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONPath array indexing ($.arr[i]) and nested-object paths over a
+    synthesized nested document — the deep-payload counterpart of the
+    flat filter DSL (both engines index into the same serialized JSON).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    nested = ev.withColumn(
+        "doc",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    F.col("user_id").alias("uid"),
+                ).alias("meta"),
+                F.array(
+                    F.get_json_object("props", "$.k"), F.col("event_id").cast("string")
+                ).alias("tags"),
+            )
+        ),
+    )
+    return nested.select(
+        "event_id",
+        F.get_json_object("doc", "$.meta.type").alias("m_type"),
+        F.get_json_object("doc", "$.meta.uid").alias("m_uid"),
+        F.get_json_object("doc", "$.tags[0]").alias("tag0"),
+        F.get_json_object("doc", "$.tags[1]").alias("tag1"),
+    )
+
+
 def agg_approx_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates: HLL distinct + quantile sketch.
 
@@ -1159,6 +1216,8 @@ QUERIES = {
     "scalar_date_suite": scalar_date_suite,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "json_typed_extraction": json_typed_extraction,
+    "scalar_conditional_suite": scalar_conditional_suite,
+    "json_nested_array_extraction": json_nested_array_extraction,
 }
 
 ORACLES = {
@@ -1699,6 +1758,31 @@ ORACLES = {
         SELECT measure, count(*) AS n,
                sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total
         FROM long GROUP BY measure
+    """,
+    "scalar_conditional_suite": """
+        WITH o AS (
+            SELECT o_custkey, max(o_totalprice) AS top_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey,
+               coalesce(top_price, 0.0) AS top_or_zero,
+               nullif(c_acctbal, 0.0) AS bal_nullif_zero,
+               CASE WHEN n_orders IS NULL THEN 'none'
+                    WHEN n_orders > 10 THEN 'many'
+                    ELSE 'some' END AS order_band,
+               greatest(coalesce(top_price, 0.0), c_acctbal) AS best_value,
+               least(coalesce(n_orders, 0), 5)::BIGINT AS capped_orders,
+               top_price IS NULL AS never_ordered
+        FROM customer LEFT JOIN o ON c_custkey = o_custkey
+    """,
+    "json_nested_array_extraction": """
+        SELECT event_id,
+               event_type AS m_type,
+               user_id::VARCHAR AS m_uid,
+               json_extract_string(props, '$.k') AS tag0,
+               event_id::VARCHAR AS tag1
+        FROM events
     """,
     "json_typed_extraction": """
         SELECT event_type, count(*) AS n,
