@@ -151,13 +151,69 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STALENESS_DAYS = 30  # tolerance: matches older than this are nulled
+
+
+def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (feature-store semantics):
+    the latest order as of the event time counts only if it is at most
+    30 days old — older matches are nulled, exactly like merge_asof's
+    ``tolerance``.  Built on the union-carry as-of, so the tolerance is
+    one codegen'd conditional on top of the same single-shuffle plan."""
+    base = asof_join_events_orders(spark, sf_dir)
+    stale = F.col("o_orderdate").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("o_orderdate")
+        > _STALENESS_DAYS * 86_400_000_000
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(stale, F.lit(None)).otherwise(F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(stale, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("o_orderdate"))
+        .alias("o_orderdate"),
+        F.when(stale, F.lit(None)).otherwise(F.col("o_totalprice")).alias(
+            "o_totalprice"
+        ),
+    )
+
+
 QUERIES = {
     "asof_join_events_orders": asof_join_events_orders,
+    "asof_join_with_tolerance": asof_join_with_tolerance,
     "asof_join_events_orders_pandas": asof_join_events_orders_pandas,
     "range_join_event_pairs": range_join_event_pairs,
 }
 
 ORACLES = {
+    "asof_join_with_tolerance": """
+        WITH dedup AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+                SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                             ORDER BY o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        ),
+        matched AS (
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderkey, o.o_orderdate, o.o_totalprice
+            FROM events e
+            ASOF LEFT JOIN dedup o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN stale THEN NULL ELSE o_orderkey END AS o_orderkey,
+               CASE WHEN stale THEN NULL ELSE o_orderdate END AS o_orderdate,
+               CASE WHEN stale THEN NULL ELSE o_totalprice END AS o_totalprice
+        FROM (
+            SELECT *,
+                   o_orderdate IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(o_orderdate)
+                       > 30::BIGINT * 86400000000 AS stale
+            FROM matched
+        )
+    """,
     "asof_join_events_orders": """
         WITH dedup AS (
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (

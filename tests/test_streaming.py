@@ -228,6 +228,48 @@ def test_max_files_per_trigger_paces_batches(spark, staged):
     assert max(batches) < env.count()  # no batch swallowed the stream
 
 
+def test_idempotent_sink_exactly_once_after_crash(spark, staged):
+    """Exactly-once via epoch-keyed sink over at-least-once delivery:
+    crash AFTER the sink wrote but BEFORE the commit, restart, and the
+    redelivered epoch overwrites itself — the sink holds every source
+    row exactly once."""
+    from decisions_kinesis_spark.streaming.runtime import idempotent_parquet_sink
+
+    tmp, src, env = staged
+    sink_dir = f"{tmp}/sink"
+    write = idempotent_parquet_sink(sink_dir)
+    crashed = {"yet": False}
+
+    def crash_once_handler(batch_df, epoch_id):
+        write(batch_df, epoch_id)
+        if not crashed["yet"]:
+            crashed["yet"] = True
+            raise ValueError("simulated crash after sink write")
+
+    stream = read_envelope_stream(spark, src, max_files_per_trigger=None)
+    q = start_dispatch(
+        stream, crash_once_handler, f"{tmp}/ckpt-idem",
+        backoff=BackoffPolicy(max_retries=0, base_delay_s=0.0),
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    # restart: the crashed epoch is REDELIVERED (at-least-once)...
+    q = start_dispatch(
+        stream, crash_once_handler, f"{tmp}/ckpt-idem",
+        backoff=BackoffPolicy(max_retries=0, base_delay_s=0.0),
+    )
+    q.processAllAvailable()
+    q.stop()
+    # ...but the epoch-keyed overwrite makes the sink exactly-once
+    got = spark.read.parquet(sink_dir)
+    assert got.count() == env.count()
+    assert (
+        got.select("sequenceNumber").distinct().count()
+        == env.select("sequenceNumber").distinct().count()
+    )
+
+
 def test_available_now_drains_and_terminates(spark, staged):
     """trigger(availableNow): process the whole backlog in paced
     micro-batches, then terminate on its own (no stop() needed) —
