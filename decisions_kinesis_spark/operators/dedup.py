@@ -1,14 +1,16 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families over the ``documents`` table (north-star extensions,
+Five families over the ``documents`` table (north-star extensions,
 SURVEY.md §7 M6):
 
 - exact duplicate detection (content-hash groupBy);
 - MinHash signatures + banded LSH candidate pairs with exact Jaccard
   verification (the 100 TB near-dup path: shingle→minhash→band→
   bucket-join, all shuffle-on-key operations with bounded fanout);
-- SimHash (bitwise majority over token hashes);
-- exact n-gram Jaccard for verification.
+- SimHash (bitwise majority over token hashes) + hamming-block pairs;
+- hashed-signature n-gram Jaccard verification (no driver collect);
+- connected-components cluster assignment over ANY pair frame
+  (adaptive driver union-find / distributed label propagation).
 
 Cross-engine determinism: every hash is
 ``bigint(first 15 hex chars of md5(s))`` — identical in Spark
