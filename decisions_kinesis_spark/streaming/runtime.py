@@ -177,6 +177,22 @@ def start_dispatch(
     return writer.start()
 
 
+def ordered_batch(batch_df: DataFrame) -> DataFrame:
+    """Re-impose the reference's per-shard dispatch order inside a batch.
+
+    The reference processes records strictly in sequence order within a
+    shard (foreach over GetRecords, KinesisThreadJobs.cs:384); a
+    foreachBatch DataFrame is set-oriented with no row order.  Handlers
+    that need the per-shard order (e.g. stateful appliers) sort within
+    the shard key: repartition by partitionKey + sortWithinPartitions
+    by sequence — per-shard total order without a global sort, the same
+    guarantee (and the same non-guarantee ACROSS shards) Kinesis gives.
+    """
+    return batch_df.repartition(F.col("partitionKey")).sortWithinPartitions(
+        "partitionKey", F.col("sequenceNumber").cast("bigint")
+    )
+
+
 def idempotent_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
     """Exactly-once-per-epoch parquet sink over at-least-once delivery.
 

@@ -228,6 +228,31 @@ def test_max_files_per_trigger_paces_batches(spark, staged):
     assert max(batches) < env.count()  # no batch swallowed the stream
 
 
+def test_ordered_batch_restores_per_shard_sequence_order(spark, staged):
+    """Fidelity of the reference's per-shard ordering contract
+    (KinesisThreadJobs.cs:384 foreach in GetRecords order): within each
+    partitionKey, rows come out in ascending sequenceNumber order."""
+    from decisions_kinesis_spark.streaming.runtime import ordered_batch
+
+    tmp, src, env = staged
+    seen: dict[str, list[int]] = {}
+
+    def handler(batch_df, epoch_id):
+        for row in ordered_batch(batch_df).toLocalIterator():
+            seen.setdefault(row.partitionKey, []).append(int(row.sequenceNumber))
+
+    stream = read_envelope_stream(spark, src, max_files_per_trigger=None)
+    q = start_dispatch(
+        stream, handler, f"{tmp}/ckpt-order",
+        backoff=BackoffPolicy(max_retries=0, base_delay_s=0.0),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert seen
+    for key, seqs in seen.items():
+        assert seqs == sorted(seqs), f"shard {key} out of order"
+
+
 def test_idempotent_sink_exactly_once_after_crash(spark, staged):
     """Exactly-once via epoch-keyed sink over at-least-once delivery:
     crash AFTER the sink wrote but BEFORE the commit, restart, and the
