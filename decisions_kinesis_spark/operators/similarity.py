@@ -303,6 +303,38 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (per-vector min/max scale, 255 levels)
+    with reconstruction-error statistics per label — the 4× memory
+    reduction step an ANN index applies before sharding; the error
+    stats are the calibration readout.
+
+    Pure scan-side math: quantize, dequantize and accumulate squared
+    error per element in one codegen'd expression chain — no shuffle
+    except the final per-label aggregate.  Rounding uses the
+    engine-stable floor(x+0.5) (not round()) for cross-engine parity.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "label", _as_double("embedding").alias("v")
+    )
+    err = (
+        "aggregate(transform(v, x -> pow(x - lo - floor((x - lo) / s + 0.5) * s,"
+        " 2)), cast(0.0 as double), (acc, x) -> acc + x)"
+        f" / {_N_DIMS}"
+    )
+    return (
+        emb.withColumn("lo", F.expr("array_min(v)"))
+        .withColumn("s", F.expr("greatest((array_max(v) - lo) / 255.0, 1e-12)"))
+        .withColumn("mse", F.expr(err))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("mse"), 9).alias("avg_mse"),
+            F.round(F.max("mse"), 9).alias("max_mse"),
+        )
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norm_stats": embedding_norm_stats,
@@ -310,6 +342,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_components": dedup_embedding_components,
+    "embedding_quantize_stats": embedding_quantize_stats,
 }
 
 _DUCK_COS = (
@@ -402,6 +435,29 @@ ORACLES = {
         )
         SELECT node AS vec_id, min(label) AS cluster
         FROM reach GROUP BY node
+    """,
+    "embedding_quantize_stats": f"""
+        WITH e AS (
+            SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        q AS (
+            SELECT label,
+                   list_min(v) AS lo,
+                   greatest((list_max(v) - list_min(v)) / 255.0, 1e-12) AS s,
+                   v
+            FROM e
+        ),
+        m AS (
+            SELECT label,
+                   list_sum(list_transform(v, x ->
+                       pow(x - lo - floor((x - lo) / s + 0.5) * s, 2)))
+                       / {_N_DIMS} AS mse
+            FROM q
+        )
+        SELECT label, count(*) AS n,
+               round(avg(mse), 9) AS avg_mse,
+               round(max(mse), 9) AS max_mse
+        FROM m GROUP BY label
     """,
     "ann_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -215,6 +215,92 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK = 64  # tokens per chunk
+_STRIDE = 32  # overlap stride (half-window overlap)
+
+
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the standard LLM-prep step
+    that splits long documents into model-window pieces (64-token
+    chunks, 32-token stride here).
+
+    Scale: sequence+explode flatMap over the per-doc token array — a
+    scan-side row multiplier with no shuffle; chunk count per doc is
+    ceil(max(n-chunk,0)/stride)+1 so output size is linear in corpus
+    tokens.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    t = docs.withColumn("toks", F.expr(_TOKS)).filter(F.expr("size(toks) > 0"))
+    # chunk starts at 0, stride, 2·stride … until start+chunk covers the
+    # doc: n_chunks = ceil(max(n-chunk,0)/stride) + 1
+    over = f"greatest(size(toks) - {_CHUNK}, 0)"
+    n_chunks = f"(cast(ceil({over} / {_STRIDE}.0) as int) + 1)"
+    return t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks} - 1), i ->"
+                f" concat_ws(' ', slice(toks, i * {_STRIDE} + 1, {_CHUNK})))"
+            )
+        ).alias("chunk_no", "chunk_text"),
+    ).withColumn(
+        "n_chunk_tokens",
+        F.expr("size(split(chunk_text, ' '))").cast("bigint"),
+    )
+
+
+_BIN_BUDGET = 512  # tokens per packed context bin
+
+
+def text_pack_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic context-window packing: docs are packed into
+    token-budget bins per language in doc_id order — bin = floor of the
+    EXCLUSIVE running token total / budget (first-fit in a canonical
+    order, so the assignment is reproducible across engines, runs and
+    partitionings).  Output: per-bin doc count + token total."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    t = docs.withColumn("n_tok", F.expr(f"size({_TOKS})").cast("bigint"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = t.withColumn(
+        "cum_prev", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    ).withColumn("bin", F.expr(f"cum_prev div {_BIN_BUDGET}"))
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern redaction: digit runs and @-handles replaced
+    with sentinels, with per-doc redaction counts — pure scan-side
+    regexp work (the pre-training scrubbing pass)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    digit_runs = r"[0-9]+"
+    handles = r"@[a-z0-9_]+"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{digit_runs}', 0))")
+        .cast("bigint")
+        .alias("n_digit_runs"),
+        F.expr(f"size(regexp_extract_all(text, '{handles}', 0))")
+        .cast("bigint")
+        .alias("n_handles"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", digit_runs, "<NUM>"), handles, "<USER>"
+            )
+        ).alias("redacted_fp"),
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_top_words": text_top_words,
@@ -223,12 +309,61 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "text_tfidf_topk": text_tfidf_topk,
     "text_length_quantiles": text_length_quantiles,
+    "text_chunk_documents": text_chunk_documents,
+    "text_pack_context_bins": text_pack_context_bins,
+    "text_redact_patterns": text_redact_patterns,
 }
 
 _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 _DUCK_BIGHASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
 
 ORACLES = {
+    "text_chunk_documents": f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        nz AS (SELECT * FROM t WHERE len(toks) > 0),
+        chunks AS (
+            SELECT doc_id, i.i AS chunk_no,
+                   array_to_string(
+                       toks[(i.i * {_STRIDE} + 1):(i.i * {_STRIDE} + {_CHUNK})],
+                       ' ') AS chunk_text
+            FROM nz, LATERAL (
+                SELECT unnest(generate_series(0,
+                    ceil(greatest(len(toks) - {_CHUNK}, 0)
+                         / {_STRIDE}.0)::INT)) AS i
+            ) i
+        )
+        SELECT doc_id, chunk_no, chunk_text,
+               len(string_split(chunk_text, ' '))::BIGINT AS n_chunk_tokens
+        FROM chunks
+    """,
+    "text_pack_context_bins": f"""
+        WITH t AS (
+            SELECT doc_id, lang, len({_DUCK_TOKS})::BIGINT AS n_tok
+            FROM documents
+        ),
+        b AS (
+            SELECT lang, doc_id, n_tok,
+                   coalesce(sum(n_tok) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {_BIN_BUDGET} AS bin
+            FROM t
+        )
+        SELECT lang, bin, count(*) AS n_docs, sum(n_tok) AS bin_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM b GROUP BY lang, bin
+    """,
+    "text_redact_patterns": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_digit_runs,
+               len(regexp_extract_all(text, '@[a-z0-9_]+'))::BIGINT AS n_handles,
+               md5(regexp_replace(
+                       regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                       '@[a-z0-9_]+', '<USER>', 'g')) AS redacted_fp
+        FROM documents
+    """,
     "text_tfidf_topk": f"""
         WITH tok AS (
             SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
