@@ -72,12 +72,62 @@ def pandas_udaf_user_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minmax_norm_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group min-max normalization (grouped-map applyInPandas tier).
+
+    Min-max (not z-score) keeps the math exactly reproducible: min/max
+    are order-independent, so the SQL oracle computes identical values
+    — a z-score's variance sum would differ in last-ulp by summation
+    order."""
+    lo = pdf["value"].min()
+    hi = pdf["value"].max()
+    span = hi - lo
+    out = pdf[["user_id", "event_id"]].copy()
+    if span == 0:
+        out["norm_value"] = 0.0
+    else:
+        out["norm_value"] = ((pdf["value"] - lo) / span).round(6)
+    return out
+
+
+def pandas_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user min-max normalization of
+    purchase values — the per-group transform tier (whole group as one
+    pandas frame), Arrow-batched, shuffled once on the group key."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        ev.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            _minmax_norm_group,
+            "user_id long, event_id long, norm_value double",
+        )
+    )
+
+
 QUERIES = {
     "pandas_udf_engagement_score": pandas_udf_engagement_score,
     "pandas_udaf_user_rms": pandas_udaf_user_rms,
+    "pandas_grouped_map_minmax": pandas_grouped_map_minmax,
 }
 
 ORACLES = {
+    "pandas_grouped_map_minmax": """
+        WITH p AS (
+            SELECT user_id, event_id, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        mm AS (
+            SELECT user_id, min(value) AS lo, max(value) AS hi
+            FROM p GROUP BY user_id
+        )
+        SELECT p.user_id, p.event_id,
+               CASE WHEN hi = lo THEN 0.0
+                    ELSE round((value - lo) / (hi - lo), 6) END AS norm_value
+        FROM p JOIN mm ON p.user_id = mm.user_id
+    """,
     "pandas_udaf_user_rms": """
         SELECT user_id,
                round(sqrt(avg(value * value)), 6) AS rms_value
