@@ -794,6 +794,28 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bucket = value div
+    10, clamped to [0, 19]) — the distribution-profiling scan, one
+    groupBy on (type, bucket)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.withColumn(
+            "bucket",
+            F.least(
+                F.greatest(F.expr("cast(floor(value / 10) as bigint)"), F.lit(0)),
+                F.lit(19),
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1190,6 +1212,7 @@ QUERIES = {
     "join_outer_customer_order_counts": join_outer_customer_order_counts,
     "join_full_outer_priority_sets": join_full_outer_priority_sets,
     "agg_stats_suite": agg_stats_suite,
+    "agg_value_histogram": agg_value_histogram,
     "agg_approx_suite": agg_approx_suite,  # no oracle: sketches are engine-specific
     "agg_salted_skew": agg_salted_skew,
     "q7_nation_volume": q7_nation_volume,
@@ -1758,6 +1781,15 @@ ORACLES = {
         SELECT measure, count(*) AS n,
                sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total
         FROM long GROUP BY measure
+    """,
+    "agg_value_histogram": """
+        SELECT event_type,
+               least(greatest(floor(value / 10)::BIGINT, 0), 19) AS bucket,
+               count(*) AS n,
+               round(min(value), 4) AS lo,
+               round(max(value), 4) AS hi
+        FROM events
+        GROUP BY 1, 2
     """,
     "scalar_conditional_suite": """
         WITH o AS (
