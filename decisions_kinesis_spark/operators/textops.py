@@ -183,8 +183,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     df_t = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df_t is vocabulary-sized: do NOT force-broadcast it (an open
+    # vocabulary at corpus scale exceeds broadcast limits) — AQE
+    # broadcasts it automatically when it fits, else shuffles on token.
+    # nd is one row: always broadcast.
     scored = (
-        tok.join(F.broadcast(df_t), "token")
+        tok.join(df_t, "token")
         .join(F.broadcast(nd))
         .withColumn(
             "score", F.expr(f"tf * ((n_docs * {_IDF_SCALE}) div df)")
@@ -252,24 +256,58 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIN_BUDGET = 512  # tokens per packed context bin
 
 
+_PACK_SEGMENT = 10_000  # doc_ids per prefix-sum segment
+
+
 def text_pack_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic context-window packing: docs are packed into
     token-budget bins per language in doc_id order — bin = floor of the
     EXCLUSIVE running token total / budget (first-fit in a canonical
     order, so the assignment is reproducible across engines, runs and
-    partitionings).  Output: per-bin doc count + token total."""
+    partitionings).  Output: per-bin doc count + token total.
+
+    Scale: the global running sum is computed HIERARCHICALLY — local
+    cumsum within doc_id segments (bounded window partitions) plus a
+    segment-offset prefix sum over the tiny (lang, segment) totals
+    frame — so no single reducer ever sorts a whole language, yet the
+    result is bit-identical to the naive global window (the oracle IS
+    the naive global formulation).
+    """
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
-    t = docs.withColumn("n_tok", F.expr(f"size({_TOKS})").cast("bigint"))
-    w = (
-        Window.partitionBy("lang")
+    t = docs.withColumn("n_tok", F.expr(f"size({_TOKS})").cast("bigint")).withColumn(
+        "seg", F.expr(f"doc_id div {_PACK_SEGMENT}")
+    )
+    # tiny frame: one row per (lang, segment); its prefix-sum window is
+    # over segment counts, not docs
+    seg_off = (
+        t.groupBy("lang", "seg")
+        .agg(F.sum("n_tok").alias("seg_tok"))
+        .withColumn(
+            "seg_offset",
+            F.coalesce(
+                F.sum("seg_tok").over(
+                    Window.partitionBy("lang")
+                    .orderBy("seg")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("lang", "seg", "seg_offset")
+    )
+    w_local = (
+        Window.partitionBy("lang", "seg")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    binned = t.withColumn(
-        "cum_prev", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    ).withColumn("bin", F.expr(f"cum_prev div {_BIN_BUDGET}"))
+    binned = (
+        t.withColumn("local_prev", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0)))
+        .join(F.broadcast(seg_off), ["lang", "seg"])
+        .withColumn("cum_prev", F.col("seg_offset") + F.col("local_prev"))
+        .withColumn("bin", F.expr(f"cum_prev div {_BIN_BUDGET}"))
+    )
     return binned.groupBy("lang", "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("bin_tokens"),

@@ -69,11 +69,13 @@ def test_q22_anti_join_broadcasts_scalar(spark):
     a.assert_broadcasts(2)  # scalar avg frame + nation dim
 
 
-def test_tfidf_broadcasts_vocab_frames(spark):
+def test_tfidf_broadcasts_scalar_frame(spark):
     from decisions_kinesis_spark.operators import textops
 
     a = audit_plan(textops.text_tfidf_topk(spark, SF))
-    a.assert_broadcasts(2)  # doc-freq frame + N-docs scalar frame
+    # N-docs scalar frame is always broadcast; the vocabulary-sized
+    # doc-freq frame is deliberately NOT forced (AQE decides)
+    a.assert_broadcasts(1)
     a.assert_no_python()
 
 
