@@ -27,6 +27,58 @@ def test_format_roundtrip_nation(spark, sf_dir, fmt):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_merge_schema_reads_evolved_parquet(spark, sf_dir):
+    """Schema evolution: a dataset written in two generations (second
+    adds a column) reads as the union schema with nulls for the old
+    files — the drift situation every long-lived 100 TB dataset hits."""
+    nation = load_table(spark, "nation", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dks-evolve-")
+    try:
+        nation.write.parquet(f"{tmp}/data/gen=1")
+        nation.withColumn("n_comment", F.lit("added-later")).write.parquet(
+            f"{tmp}/data/gen=2"
+        )
+        back = spark.read.option("mergeSchema", True).parquet(f"{tmp}/data")
+        assert "n_comment" in back.columns
+        assert back.count() == 2 * nation.count()
+        # old-generation rows surface the new column as NULL
+        assert back.filter(F.col("n_comment").isNull()).count() == nation.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_corrupt_json_records_permissive_vs_failfast(spark):
+    """Corrupt-record handling on JSON sources: PERMISSIVE surfaces bad
+    lines in _corrupt_record (pipeline continues), FAILFAST raises —
+    the two contracts a production ingest chooses between."""
+    tmp = tempfile.mkdtemp(prefix="dks-corrupt-")
+    try:
+        with open(f"{tmp}/data.json", "w") as f:
+            f.write('{"a": 1, "b": "x"}\n')
+            f.write("not json at all\n")
+            f.write('{"a": 2, "b": "y"}\n')
+        schema = "a bigint, b string, _corrupt_record string"
+        ok = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(f"{tmp}/data.json")
+        )
+        rows = ok.collect()
+        assert len(rows) == 3
+        assert sum(r._corrupt_record is not None for r in rows) == 1
+        assert sorted(r.a for r in rows if r.a is not None) == [1, 2]
+        strict = (
+            spark.read.schema("a bigint, b string")
+            .option("mode", "FAILFAST")
+            .json(f"{tmp}/data.json")
+        )
+        with pytest.raises(Exception):
+            strict.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_compact_table_reduces_files_preserves_rows(spark, sf_dir):
     """Small-files compaction: 32 tiny files rewritten into the
     size-derived file count, content identical."""
