@@ -794,6 +794,29 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the fact table in ONE pass: row count,
+    per-column null counts, exact distinct cardinalities, and value
+    bounds — the audit every ingest pipeline runs before promoting a
+    dataset.  Multiple exact count-distincts share one expand-based
+    aggregation; at 100 TB swap them for approx_count_distinct (see
+    agg_approx_suite) — same plan shape, sketch merge instead of
+    expand."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_orderkey").isNull().cast("bigint")).alias("null_orderkey"),
+        F.sum(F.col("l_shipdate").isNull().cast("bigint")).alias("null_shipdate"),
+        F.countDistinct("l_orderkey").alias("d_orderkey"),
+        F.countDistinct("l_partkey").alias("d_partkey"),
+        F.countDistinct("l_returnflag").alias("d_returnflag"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
 def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type (bucket = value div
     10, clamped to [0, 19]) — the distribution-profiling scan, one
@@ -1213,6 +1236,7 @@ QUERIES = {
     "join_full_outer_priority_sets": join_full_outer_priority_sets,
     "agg_stats_suite": agg_stats_suite,
     "agg_value_histogram": agg_value_histogram,
+    "profile_table_quality": profile_table_quality,
     "agg_approx_suite": agg_approx_suite,  # no oracle: sketches are engine-specific
     "agg_salted_skew": agg_salted_skew,
     "q7_nation_volume": q7_nation_volume,
@@ -1781,6 +1805,19 @@ ORACLES = {
         SELECT measure, count(*) AS n,
                sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total
         FROM long GROUP BY measure
+    """,
+    "profile_table_quality": """
+        SELECT count(*) AS n_rows,
+               sum((l_orderkey IS NULL)::BIGINT) AS null_orderkey,
+               sum((l_shipdate IS NULL)::BIGINT) AS null_shipdate,
+               count(DISTINCT l_orderkey) AS d_orderkey,
+               count(DISTINCT l_partkey) AS d_partkey,
+               count(DISTINCT l_returnflag) AS d_returnflag,
+               round(min(l_extendedprice), 4) AS min_price,
+               round(max(l_extendedprice), 4) AS max_price,
+               min(l_shipdate) AS min_shipdate,
+               max(l_shipdate) AS max_shipdate
+        FROM lineitem
     """,
     "agg_value_histogram": """
         SELECT event_type,

@@ -153,6 +153,30 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def enrich_with_latest_order(stream: DataFrame, orders: DataFrame) -> DataFrame:
+    """Stream-static enrichment with an AGGREGATED static side: each
+    streamed event joined to its user's latest order (max orderdate,
+    orderkey tiebreak).
+
+    The static aggregate is re-planned per micro-batch (Structured
+    Streaming re-executes the static subtree), so a slowly-refreshing
+    dimension table is always read current — the feature-lookup pattern
+    of a streaming feature pipeline.  Batch dual: same expression.
+    """
+    from pyspark.sql import functions as G
+
+    latest = orders.groupBy(G.col("o_custkey").alias("user_id")).agg(
+        G.max(G.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("last")
+    )
+    return stream.join(latest, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        G.col("last.o_orderkey").alias("last_orderkey"),
+        G.col("last.o_orderdate").alias("last_orderdate"),
+    )
+
+
 _STATE_SCHEMA = "n bigint, total double"
 _OUT_SCHEMA = "user_id bigint, n bigint, total double"
 

@@ -169,6 +169,25 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_static_aggregated_enrichment_matches_batch(spark, event_stream, sf_dir):
+    """Stream-static join against an AGGREGATED static side (latest
+    order per user): streamed result equals the batch dual."""
+    from decisions_kinesis_spark.streaming.windows import enrich_with_latest_order
+
+    ev, stream = event_stream
+    orders = load_table(spark, "orders", sf_dir)
+    out = _run_to_memory(
+        spark, enrich_with_latest_order(stream, orders), "enr_latest", "append"
+    )
+    got = {(r.event_id, r.last_orderkey) for r in out.collect()}
+    expected = {
+        (r.event_id, r.last_orderkey)
+        for r in enrich_with_latest_order(ev, orders).collect()
+    }
+    assert got == expected
+    assert len(got) == ev.count()
+
+
 def test_late_data_dropped_after_watermark(spark):
     """Watermark contract: an event older than (max event time − 10 min)
     arriving in a later micro-batch is DROPPED — its already-closed
