@@ -46,33 +46,41 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():
         if name in alternates:
             continue
         # cold pass (file listing + codegen + JIT), then the timed
         # steady-state pass — the standard warm benchmark protocol;
-        # both are reported.
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm = round(time.perf_counter() - t0, 3)
+        # both are reported.  One failing query must not sink the whole
+        # bench: record the error and keep walking.
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - report, don't die
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"bench error in {name}: {errors[name]}", file=sys.stderr)
+            continue
         # best-of-two: robust to one-off GC/contention spikes, which on
         # this shared box dwarf real per-query cost
         timings[name] = min(cold[name], warm)
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "total_wall_sec_all_queries_best_of_2",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "cold_total_sec": round(sum(cold.values()), 3),
-        }
-    )
+    payload = {
+        "metric": "total_wall_sec_all_queries_best_of_2",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_total_sec": round(sum(cold.values()), 3),
+    }
+    if errors:
+        payload["errors"] = errors
+    line = json.dumps(payload)
     sys.stdout.flush()
     sys.stderr.flush()
     os.write(real_stdout_fd, (line + "\n").encode())

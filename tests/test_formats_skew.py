@@ -27,6 +27,15 @@ def test_format_roundtrip_nation(spark, sf_dir, fmt):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_relation_cache_isolated_per_sf_dir(spark):
+    """The analyzed-relation cache must key on sf_dir: the same table
+    loaded from two scale factors returns different data."""
+    a = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+    b = load_table(spark, "lineitem", "/root/testdata/sf0.01")
+    assert a is load_table(spark, "lineitem", "/root/testdata/sf0.001")  # cached
+    assert a.count() != b.count()
+
+
 def test_merge_schema_reads_evolved_parquet(spark, sf_dir):
     """Schema evolution: a dataset written in two generations (second
     adds a column) reads as the union schema with nulls for the old
