@@ -64,6 +64,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - report, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"bench error in {name}: {errors[name]}", file=sys.stderr)
+            cold.pop(name, None)  # keep cold/warm totals consistent
             continue
         # best-of-two: robust to one-off GC/contention spikes, which on
         # this shared box dwarf real per-query cost

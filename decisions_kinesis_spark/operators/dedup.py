@@ -164,7 +164,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four consumers (band keys, both verify sides, sizes) would
     # otherwise each recompute the scan→explode→distinct chain — at any
     # scale, one materialization of |docs|×|shingles| beats four
-    # recomputes of it.
+    # recomputes of it.  Trade (standard for checkpoints): blocks live
+    # until the frame is GC'd, and lineage is non-replayable — an
+    # executor loss fails the query instead of recomputing.
     sh = _doc_shingles(corpus).localCheckpoint(eager=True)
     bands = _band_table(sh)
     a, b = bands.alias("a"), bands.alias("b")
@@ -301,10 +303,14 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the pair join from recomputing the hash work) at any
     vocabulary size (hashing makes it approximate; the MinHash-LSH
     pipeline is the recall-controlled scale path).  Pairs are generated
-    only within (lang, length-band) blocks — near-dups at J ≥ 0.8 have
-    set sizes within 1.25×, so same-band blocking keeps candidates
-    local while the quadratic term stays bounded per block.  Output:
-    per-lang near-dup stats at Jaccard ≥ 0.8.
+    only within (lang, length-band) blocks; each doc carries TWO block
+    keys (band, band+1) so pairs whose set sizes straddle a band
+    boundary still meet.  At J ≥ 0.8 set sizes differ by ≤ 0.25·n, so
+    neighbor-band keying is a COMPLETE candidate filter up to n = 128
+    distinct indices (diff ≤ 32 = one band width) — which covers the
+    whole 1024-bit signature regime comfortably below saturation;
+    beyond that the band width should scale with n (ratio banding).
+    Output: per-lang near-dup stats at Jaccard ≥ 0.8.
     """
     from decisions_kinesis_spark.functions.parallel import ensure_parallelism
 
@@ -334,23 +340,36 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_SIG_BLOCKS)
         ],
     ).withColumn("band", F.expr(f"cast(n div {_LEN_BAND} as int)"))
+    # dual block keys: every doc appears under its own band and band+1,
+    # so a pair at most one band apart shares a key; same-band pairs
+    # share two keys → distinct on the pair id before scoring
+    keyed = m.withColumn(
+        "bkey", F.explode(F.array(F.col("band"), F.col("band") + 1))
+    )
     popcnt = " + ".join(
         "bit_count(a.m{b} {op} b.m{b})".replace("{b}", str(b))
         for b in range(_SIG_BLOCKS)
     )
-    a, b = m.alias("a"), m.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.lang").alias("lang"),
-        F.round(
-            F.expr(popcnt.format(op="&")).cast("double")
-            / F.expr(popcnt.format(op="|")),
-            4,
-        ).alias("jac"),
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.round(
+                F.expr(popcnt.format(op="&")).cast("double")
+                / F.expr(popcnt.format(op="|")),
+                4,
+            ).alias("jac"),
+        )
+        .distinct()
+        .drop("da", "db")
     )
     return pairs.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
@@ -623,15 +642,22 @@ ORACLES = {
             SELECT doc_id, lang, idxs, len(idxs) // {_LEN_BAND} AS band
             FROM t WHERE len(idxs) > 0
         ),
+        keyed AS (
+            SELECT doc_id, lang, idxs, k.bkey
+            FROM banded, LATERAL (
+                SELECT unnest([band, band + 1]) AS bkey
+            ) k
+        ),
         pairs AS (
             -- popcount(and)/popcount(or) over the bit signatures equals
-            -- intersect/union over the set-bit index sets
-            SELECT a.lang,
+            -- intersect/union over the set-bit index sets; dual keys →
+            -- DISTINCT on the pair id
+            SELECT DISTINCT a.lang, a.doc_id AS da, b.doc_id AS db,
                    round(len(list_intersect(a.idxs, b.idxs))::DOUBLE /
                          len(list_distinct(list_concat(a.idxs, b.idxs))), 4)
                        AS jac
-            FROM banded a JOIN banded b
-              ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+            FROM keyed a JOIN keyed b
+              ON a.lang = b.lang AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         )
         SELECT lang, count(*) AS n_pairs,
                sum((jac >= 0.8)::BIGINT) AS n_neardup,

@@ -40,10 +40,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
         .filter(F.col("keep"))
     )
-    scored = with_quality_signals(kept).withColumn(
-        "en_ratio",
-        F.expr(f"size(filter(toks, x -> x in ({_STOP_SQL})))") / F.col("n_tok"),
-    )
+    # stop_ratio from with_quality_signals IS the en_ratio heuristic —
+    # reuse the computed column instead of re-evaluating the interpreted
+    # stopword filter (NOTES.md PERF LESSON: lambdas get re-inlined per
+    # consumer)
+    scored = with_quality_signals(kept).withColumn("en_ratio", F.col("stop_ratio"))
     return scored.filter(
         (F.col("en_ratio") >= 0.05) & (F.col("quality") >= 0.5)
     ).select(

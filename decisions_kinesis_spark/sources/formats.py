@@ -9,6 +9,8 @@ the engine never uses it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -43,6 +45,12 @@ def compact_table(
     """
     import math
 
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        # overwrite-while-lazily-reading would destroy the source
+        raise ValueError(
+            "compact_table cannot compact in place: write to a new path, "
+            "then swap directories"
+        )
     sc = spark.sparkContext
     jvm = sc._jvm
     hconf = sc._jsc.hadoopConfiguration()

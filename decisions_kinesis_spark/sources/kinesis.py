@@ -74,6 +74,43 @@ def read_kinesis_stream(spark: SparkSession, config: KinesisQueueConfig) -> Data
     )
 
 
+def classify_aws_error(exc: BaseException) -> BaseException:
+    """Map a live AWS error onto the engine's retryable taxonomy
+    (streaming.runtime.ThrottleError / TransientServiceError), so the
+    dispatch loop's BackoffPolicy classifies real boto3 failures the
+    way the reference's catch ladder classifies SDK exceptions
+    (KinesisThreadJobs.cs:60-88).  Non-AWS exceptions pass through
+    unchanged (→ non-retryable, matching "Don't retry on other
+    exceptions").  Usage in a handler::
+
+        try:
+            ...aws call...
+        except Exception as e:
+            raise classify_aws_error(e) from e
+    """
+    try:
+        from botocore.exceptions import ClientError  # type: ignore
+    except ImportError:
+        return exc
+    from decisions_kinesis_spark.streaming.runtime import (
+        ThrottleError,
+        TransientServiceError,
+    )
+
+    if isinstance(exc, ClientError):
+        code = exc.response.get("Error", {}).get("Code", "")
+        status = int(
+            exc.response.get("ResponseMetadata", {}).get("HTTPStatusCode", 0) or 0
+        )
+        if code in (
+            "ProvisionedThroughputExceededException",
+            "LimitExceededException",
+        ):
+            return ThrottleError(code)
+        return TransientServiceError(code, status_code=status)
+    return exc
+
+
 def push_message(config: KinesisQueueConfig, message_id: str, data: bytes) -> dict[str, Any]:
     """P2 — producer sink (KinesisMessageQueueImpl.cs:99-126): single
     synchronous put with PartitionKey = message id."""

@@ -37,14 +37,14 @@ _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    # The driver owns the SparkSession; pin UTC on EVERY call (cache hit
+    # or miss) so timestamp values compare stably against the DuckDB
+    # oracle even if intervening code changed the session timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _RELATION_CACHE.get(key)
     if cached is not None:
         return cached
-    # The driver owns the SparkSession; pin UTC at read time so timestamp
-    # values compare stably against the DuckDB oracle regardless of the
-    # host session's timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS): Spark has no nanosecond timestamp
         # type, so read it as long-nanos and truncate to microseconds —

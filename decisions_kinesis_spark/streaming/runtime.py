@@ -71,6 +71,10 @@ class BackoffPolicy:
     errors are rethrown with zero sleeps.
     """
 
+    #: Handlers surface transient failures by raising ThrottleError /
+    #: TransientServiceError (live AWS errors map via
+    #: sources.kinesis.classify_aws_error), or pass a custom
+    #: ``retryable`` predicate for other error taxonomies.
     max_retries: int = 3
     base_delay_s: float = 5.0
     max_delay_s: float = 32.0

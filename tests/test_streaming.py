@@ -193,6 +193,17 @@ def test_non_retryable_error_fails_with_zero_sleeps(spark, staged):
     assert sleeps == []  # zero backoff sleeps
 
 
+def test_classify_aws_error_passthrough_without_botocore():
+    """Without botocore (this container) or for non-AWS exceptions, the
+    mapper returns the exception unchanged → non-retryable, matching
+    the reference's 'Don't retry on other exceptions'."""
+    from decisions_kinesis_spark.sources.kinesis import classify_aws_error
+
+    e = ValueError("app bug")
+    assert classify_aws_error(e) is e
+    assert not default_retryable(classify_aws_error(e))
+
+
 def test_default_retryable_classification():
     """Mirrors the reference catch ladder (KinesisThreadJobs.cs:60-88):
     throttle/limit → retry; service 500/503 → retry; service 4xx and
