@@ -340,37 +340,33 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_SIG_BLOCKS)
         ],
     ).withColumn("band", F.expr(f"cast(n div {_LEN_BAND} as int)"))
-    # dual block keys: every doc appears under its own band and band+1,
-    # so a pair at most one band apart shares a key; same-band pairs
-    # share two keys → distinct on the pair id before scoring
-    keyed = m.withColumn(
-        "bkey", F.explode(F.array(F.col("band"), F.col("band") + 1))
-    )
+    # Neighbor-band candidates WITHOUT duplicate pairs: two disjoint
+    # equi-joins — same band (doc_id< orders the pair) and adjacent band
+    # (band order orients the pair) — so no distinct pass is needed.
+    # m is materialized once; both joins reuse it.
+    m = m.localCheckpoint(eager=True)
     popcnt = " + ".join(
         "bit_count(a.m{b} {op} b.m{b})".replace("{b}", str(b))
         for b in range(_SIG_BLOCKS)
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.lang").alias("lang"),
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.round(
-                F.expr(popcnt.format(op="&")).cast("double")
-                / F.expr(popcnt.format(op="|")),
-                4,
-            ).alias("jac"),
-        )
-        .distinct()
-        .drop("da", "db")
-    )
+    jac = F.round(
+        F.expr(popcnt.format(op="&")).cast("double")
+        / F.expr(popcnt.format(op="|")),
+        4,
+    ).alias("jac")
+    a, b = m.alias("a"), m.alias("b")
+    same = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.lang").alias("lang"), jac)
+    adjacent = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.band") + 1 == F.col("b.band")),
+    ).select(F.col("a.lang").alias("lang"), jac)
+    pairs = same.unionByName(adjacent)
     return pairs.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
         F.sum((F.col("jac") >= 0.8).cast("bigint")).alias("n_neardup"),
@@ -642,22 +638,23 @@ ORACLES = {
             SELECT doc_id, lang, idxs, len(idxs) // {_LEN_BAND} AS band
             FROM t WHERE len(idxs) > 0
         ),
-        keyed AS (
-            SELECT doc_id, lang, idxs, k.bkey
-            FROM banded, LATERAL (
-                SELECT unnest([band, band + 1]) AS bkey
-            ) k
-        ),
         pairs AS (
             -- popcount(and)/popcount(or) over the bit signatures equals
-            -- intersect/union over the set-bit index sets; dual keys →
-            -- DISTINCT on the pair id
-            SELECT DISTINCT a.lang, a.doc_id AS da, b.doc_id AS db,
+            -- intersect/union over the set-bit index sets; same-band
+            -- (doc_id<) plus adjacent-band (band order) pairs, disjoint
+            SELECT a.lang,
                    round(len(list_intersect(a.idxs, b.idxs))::DOUBLE /
                          len(list_distinct(list_concat(a.idxs, b.idxs))), 4)
                        AS jac
-            FROM keyed a JOIN keyed b
-              ON a.lang = b.lang AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.lang,
+                   round(len(list_intersect(a.idxs, b.idxs))::DOUBLE /
+                         len(list_distinct(list_concat(a.idxs, b.idxs))), 4)
+                       AS jac
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND a.band + 1 = b.band
         )
         SELECT lang, count(*) AS n_pairs,
                sum((jac >= 0.8)::BIGINT) AS n_neardup,
