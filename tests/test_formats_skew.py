@@ -114,6 +114,22 @@ def test_compact_table_reduces_files_preserves_rows(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_compact_table_refuses_in_place(spark, sf_dir):
+    """In-place compaction would overwrite the directory the lazy read
+    is about to scan — must be refused."""
+    from decisions_kinesis_spark.sources.formats import compact_table
+
+    tmp = tempfile.mkdtemp(prefix="dks-inplace-")
+    try:
+        load_table(spark, "nation", sf_dir).write.parquet(f"{tmp}/d")
+        with pytest.raises(ValueError, match="in place"):
+            compact_table(spark, f"{tmp}/d", f"{tmp}/d")
+        # source untouched
+        assert spark.read.parquet(f"{tmp}/d").count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_salted_aggregate_equals_direct(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     salted = salted_aggregate(
