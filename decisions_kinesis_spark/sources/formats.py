@@ -45,17 +45,26 @@ def compact_table(
     """
     import math
 
-    if os.path.abspath(src_path) == os.path.abspath(dst_path):
-        # overwrite-while-lazily-reading would destroy the source
-        raise ValueError(
-            "compact_table cannot compact in place: write to a new path, "
-            "then swap directories"
-        )
     sc = spark.sparkContext
     jvm = sc._jvm
     hconf = sc._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(src_path)
     fs = path.getFileSystem(hconf)
+    # in-place guard on FILESYSTEM-resolved qualified paths (plus local
+    # realpath for symlinks): overwrite-while-lazily-reading would
+    # destroy the source.  String abspath alone misses file:// URIs and
+    # symlinked directories naming the same data.
+    dst_jpath = jvm.org.apache.hadoop.fs.Path(dst_path)
+    src_q = str(fs.makeQualified(path))
+    dst_q = str(dst_jpath.getFileSystem(hconf).makeQualified(dst_jpath))
+    same_local = os.path.realpath(src_path.removeprefix("file:")) == os.path.realpath(
+        dst_path.removeprefix("file:")
+    )
+    if src_q == dst_q or same_local:
+        raise ValueError(
+            "compact_table cannot compact in place: write to a new path, "
+            "then swap directories"
+        )
     total = fs.getContentSummary(path).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src_path)

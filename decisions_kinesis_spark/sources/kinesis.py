@@ -111,12 +111,37 @@ def classify_aws_error(exc: BaseException) -> BaseException:
     return exc
 
 
+def _boto3_client(config: KinesisQueueConfig):
+    """Build the Kinesis client per the CONFIGURED auth method — static
+    keys / assumed role / default chain — mirroring the reference's
+    per-method client construction (KinesisUtils.cs:89-143).  The
+    connector path marshals the same credentials via connector_options;
+    this is the boto3 side of the same contract."""
+    s = config.settings
+    kwargs: dict[str, Any] = {"region_name": s.region}
+    if s.authentication_method == AUTH_STATIC:
+        kwargs["aws_access_key_id"] = s.access_key_id
+        kwargs["aws_secret_access_key"] = s.secret_access_key
+    if s.use_role_arn and s.role_arn:
+        sts = boto3.client("sts", **kwargs)
+        creds = sts.assume_role(
+            RoleArn=s.role_arn, RoleSessionName="DecisionsKinesisSession"
+        )["Credentials"]
+        kwargs = {
+            "region_name": s.region,
+            "aws_access_key_id": creds["AccessKeyId"],
+            "aws_secret_access_key": creds["SecretAccessKey"],
+            "aws_session_token": creds["SessionToken"],
+        }
+    return boto3.client("kinesis", **kwargs)
+
+
 def push_message(config: KinesisQueueConfig, message_id: str, data: bytes) -> dict[str, Any]:
     """P2 — producer sink (KinesisMessageQueueImpl.cs:99-126): single
     synchronous put with PartitionKey = message id."""
     if boto3 is None:
         raise NotImplementedError("boto3 not available in this container")
-    client = boto3.client("kinesis", region_name=config.settings.region)
+    client = _boto3_client(config)
     return client.put_record(
         StreamName=config.stream_name, Data=data, PartitionKey=message_id
     )
@@ -127,7 +152,7 @@ def test_connection(config: KinesisQueueConfig) -> str:
     the stream, report status + shard count."""
     if boto3 is None:
         raise NotImplementedError("boto3 not available in this container")
-    client = boto3.client("kinesis", region_name=config.settings.region)
+    client = _boto3_client(config)
     desc = client.describe_stream(StreamName=config.stream_name)["StreamDescription"]
     return (
         f"Stream {config.stream_name}: status={desc['StreamStatus']}, "

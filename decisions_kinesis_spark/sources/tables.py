@@ -49,12 +49,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # ts is parquet TIMESTAMP(NANOS): Spark has no nanosecond timestamp
         # type, so read it as long-nanos and truncate to microseconds —
         # exactly what DuckDB does when casting TIMESTAMP_NS → TIMESTAMP,
-        # keeping oracle comparisons exact.
+        # keeping oracle comparisons exact.  The legacy conf is confined
+        # to this one read (restored after analysis) so unrelated parquet
+        # reads in the session keep normal timestamp decoding.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer division: ns-since-epoch overflows double precision
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            if dict(df.dtypes).get("ts") == "bigint":
+                # integer division: ns-since-epoch overflows double precision
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     _RELATION_CACHE[key] = df

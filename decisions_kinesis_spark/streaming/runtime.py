@@ -98,7 +98,11 @@ def reset_checkpoint(checkpoint_dir: str) -> bool:
     p = Path(checkpoint_dir)
     existed = p.exists()
     if existed:
-        shutil.rmtree(p, ignore_errors=True)
+        # strict delete: a swallowed failure would leave the "invalidated"
+        # checkpoint alive and silently resume from stale offsets
+        shutil.rmtree(p)
+        if p.exists():
+            raise OSError(f"checkpoint {checkpoint_dir} survived invalidation")
     return existed
 
 
@@ -191,9 +195,16 @@ def ordered_batch(batch_df: DataFrame) -> DataFrame:
     the shard key: repartition by partitionKey + sortWithinPartitions
     by sequence — per-shard total order without a global sort, the same
     guarantee (and the same non-guarantee ACROSS shards) Kinesis gives.
+
+    Real Kinesis sequence numbers are ~56-digit decimal STRINGS (far
+    beyond int64 — a bigint cast would null them all), so ordering is
+    (length, string): the numeric order of non-negative decimal strings
+    of any length, overflow-free.
     """
     return batch_df.repartition(F.col("partitionKey")).sortWithinPartitions(
-        "partitionKey", F.col("sequenceNumber").cast("bigint")
+        "partitionKey",
+        F.length("sequenceNumber"),
+        F.col("sequenceNumber"),
     )
 
 
@@ -221,15 +232,23 @@ def consume(
     handler: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
     trigger_interval: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Full consumer pipeline: source → decode/filter → dispatch.
 
     The one-call equivalent of the reference's queue-enabled lifecycle
-    (SURVEY.md §3 entry point 1).
+    (SURVEY.md §3 entry point 1).  Per-trigger intake is paced by
+    ``config.max_records_per_request`` (the MaxRecordsPerRequest analog
+    — one staged file ≈ one GetRecords batch) unless overridden, so a
+    large backlog drains in bounded micro-batches instead of one
+    unbounded first batch.
     """
     config.require_valid()
     stream = read_envelope_stream(
-        spark, source_path, max_files_per_trigger=None
+        spark,
+        source_path,
+        max_files_per_trigger=max_files_per_trigger
+        or config.max_records_per_request,
     )
     return start_dispatch(
         filtered_stream(stream, config),

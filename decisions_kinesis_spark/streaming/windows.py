@@ -59,17 +59,12 @@ def session_counts_stream(
     )
 
 
-def purchase_error_correlation_stream(
-    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
-) -> DataFrame:
-    """Stream-stream inner join: purchases correlated with errors by the
-    same user within a trailing time window.
-
-    Both sides carry watermarks and the join condition bounds the time
-    range — the two requirements that let Spark bound join state (rows
-    older than watermark+range are evicted).  The batch equivalent is
-    the same join expression, which the test asserts.
-    """
+def _purchase_error_sides(
+    events: DataFrame, window: str, watermark: str
+):
+    """Shared projections + join condition for the purchase↔error
+    stream-stream joins (inner and left-outer differ only in join
+    type)."""
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -88,12 +83,29 @@ def purchase_error_correlation_stream(
         )
         .withWatermark("e_ts", watermark)
     )
-    return purchases.join(
-        errors,
+    cond = (
         (F.col("p_user") == F.col("e_user"))
         & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
-        & (F.col("e_ts") <= F.col("p_ts")),
-    ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")
+        & (F.col("e_ts") <= F.col("p_ts"))
+    )
+    return purchases, errors, cond
+
+
+def purchase_error_correlation_stream(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: purchases correlated with errors by the
+    same user within a trailing time window.
+
+    Both sides carry watermarks and the join condition bounds the time
+    range — the two requirements that let Spark bound join state (rows
+    older than watermark+range are evicted).  The batch equivalent is
+    the same join expression, which the test asserts.
+    """
+    purchases, errors, cond = _purchase_error_sides(events, window, watermark)
+    return purchases.join(errors, cond).select(
+        "p_user", "purchase_id", "error_id", "p_ts", "e_ts"
+    )
 
 
 def purchase_error_left_join_stream(
@@ -108,31 +120,10 @@ def purchase_error_left_join_stream(
     as in the inner variant.  Batch dual: the same expression evaluated
     on a bounded frame.
     """
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", watermark)
+    purchases, errors, cond = _purchase_error_sides(events, window, watermark)
+    return purchases.join(errors, cond, "leftOuter").select(
+        "p_user", "purchase_id", "error_id", "p_ts", "e_ts"
     )
-    errors = (
-        events.filter(F.col("event_type") == "error")
-        .select(
-            F.col("user_id").alias("e_user"),
-            F.col("event_id").alias("error_id"),
-            F.col("ts").alias("e_ts"),
-        )
-        .withWatermark("e_ts", watermark)
-    )
-    return purchases.join(
-        errors,
-        (F.col("p_user") == F.col("e_user"))
-        & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
-        & (F.col("e_ts") <= F.col("p_ts")),
-        "leftOuter",
-    ).select("p_user", "purchase_id", "error_id", "p_ts", "e_ts")
 
 
 def dedup_stream(
@@ -163,17 +154,15 @@ def enrich_with_latest_order(stream: DataFrame, orders: DataFrame) -> DataFrame:
     dimension table is always read current — the feature-lookup pattern
     of a streaming feature pipeline.  Batch dual: same expression.
     """
-    from pyspark.sql import functions as G
-
-    latest = orders.groupBy(G.col("o_custkey").alias("user_id")).agg(
-        G.max(G.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("last")
+    latest = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("last")
     )
     return stream.join(latest, "user_id", "left").select(
         "event_id",
         "user_id",
         "ts",
-        G.col("last.o_orderkey").alias("last_orderkey"),
-        G.col("last.o_orderdate").alias("last_orderdate"),
+        F.col("last.o_orderkey").alias("last_orderkey"),
+        F.col("last.o_orderdate").alias("last_orderdate"),
     )
 
 
