@@ -165,6 +165,68 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket PLUS every
+    single-bit-flip neighbor bucket (the closest Hamming-1 cells) — the
+    standard recall knob that trades nprobe× more candidates for far
+    fewer misses near hyperplane boundaries, without growing the index.
+
+    Scale: identical topology to ann_lsh_bucketed (scan-side bucket
+    key, equi-join on bucket); only the broadcast query side fans out
+    ×(n_planes+1).  n_candidates makes the recall/cost trade
+    observable next to the single-probe variant.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    bucketed = emb.withColumn("bucket", _bucket_expr())
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.expr(f"cast(qbucket ^ {1 << b} as bigint)")
+            for b in range(_N_PLANES)
+        ],
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .withColumn("probe", F.explode(probes))
+    )
+    cand = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="v", b="qv"))
+            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="qv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    best = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("best_neighbor"),
+            F.col("cos").alias("best_cos"),
+        )
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    return (
+        q.select("query_id", F.col("qbucket").alias("bucket"))
+        .distinct()
+        .join(n_cand, "query_id", "left")
+        .join(best, "query_id", "left")
+        .na.fill({"n_candidates": 0})
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest
     centroid, then answer each query from its own centroid's cell only
@@ -339,6 +401,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_components": dedup_embedding_components,
@@ -435,6 +498,39 @@ ORACLES = {
         )
         SELECT node AS vec_id, min(label) AS cluster
         FROM reach GROUP BY node
+    """,
+    "ann_lsh_multiprobe": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bucketed AS (SELECT vec_id, v, ({_DUCK_BUCKET})::BIGINT AS bucket FROM e),
+        q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+               FROM bucketed WHERE vec_id < {_N_QUERIES}),
+        q AS (
+            SELECT query_id, qv, qbucket, p.probe
+            FROM q0, LATERAL (
+                SELECT unnest([qbucket] || [
+                    {", ".join(f"xor(qbucket, {1 << b}::BIGINT)" for b in range(_N_PLANES))}
+                ]) AS probe
+            ) p
+        ),
+        cand AS (
+            SELECT q.query_id, a.vec_id, {_DUCK_COS} AS cos
+            FROM bucketed a JOIN q
+              ON a.bucket = q.probe AND a.vec_id <> q.query_id
+        ),
+        best AS (
+            SELECT query_id, vec_id AS best_neighbor, cos AS best_cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, vec_id ASC) AS rk
+                  FROM cand)
+            WHERE rk = 1
+        ),
+        n_cand AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id)
+        SELECT q0.query_id, q0.qbucket AS bucket,
+               coalesce(n_cand.n_candidates, 0) AS n_candidates,
+               best.best_neighbor, best.best_cos
+        FROM q0
+        LEFT JOIN n_cand ON n_cand.query_id = q0.query_id
+        LEFT JOIN best ON best.query_id = q0.query_id
     """,
     "embedding_quantize_stats": f"""
         WITH e AS (

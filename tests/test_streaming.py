@@ -326,6 +326,32 @@ def test_available_now_drains_and_terminates(spark, staged):
     assert len(batches) >= 2  # still paced by maxFilesPerTrigger
 
 
+def test_clean_source_deletes_processed_files(spark, staged):
+    """cleanSource=delete: the file source removes files once their
+    batch commits (the retention story for a staged-file ingest dir) —
+    only the final batch's file can still be pending at stop."""
+    import glob
+    import time
+
+    tmp, src, env = staged
+    stream = (
+        spark.readStream.schema(env.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("cleanSource", "delete")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ckpt-clean")
+        .start()
+    )
+    q.processAllAvailable()
+    time.sleep(2)  # cleanup runs as batches commit
+    remaining = len(glob.glob(f"{src}/part-*.parquet"))
+    q.stop()
+    assert remaining <= 1  # all but (at most) the last file cleaned
+
+
 def test_backoff_policy_formula():
     """delay = base·2^attempt + U(0,1), capped (KinesisThreadJobs.cs:107-117)."""
     p = BackoffPolicy(max_retries=5, base_delay_s=5.0, max_delay_s=32.0)
