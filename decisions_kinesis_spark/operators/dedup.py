@@ -98,15 +98,20 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 content hash; keeper = min doc_id per hash.
 
-    Scale: one groupBy-shuffle on the 128-bit hash — the canonical
-    exact-dedup plan; hash distribution is uniform so no skew.
+    Scale: keeper selection is a partial-aggregating groupBy (map-side
+    combine shrinks even a pathologically hot fingerprint — one doc
+    duplicated a million times — before the shuffle), joined back on
+    the hash with AQE skew-join splitting the probe side.  A window
+    over the hash would pile every copy of a hot fingerprint into ONE
+    partition that AQE cannot split; the agg+join shape has no such
+    single-reducer ceiling.
     """
-    corpus = _with_injected_dups(load_table(spark, "documents", sf_dir))
-    w = Window.partitionBy("fp")
-    return (
-        corpus.withColumn("fp", F.md5(F.col("text")))
-        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
-        .select("doc_id", "fp", "keep")
+    corpus = _with_injected_dups(load_table(spark, "documents", sf_dir)).withColumn(
+        "fp", F.md5(F.col("text"))
+    )
+    keepers = corpus.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    return corpus.join(keepers, "fp").select(
+        "doc_id", "fp", (F.col("doc_id") == F.col("keeper")).alias("keep")
     )
 
 

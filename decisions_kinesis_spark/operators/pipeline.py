@@ -18,7 +18,7 @@ codegen'd filters, which is exactly how it should look at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from decisions_kinesis_spark.operators.textops import _STOP_SQL, with_quality_signals
@@ -33,13 +33,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
     )
-    corpus = docs.unionByName(copies)
-    w = Window.partitionBy("fp")
-    kept = (
-        corpus.withColumn("fp", F.md5("text"))
-        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
-        .filter(F.col("keep"))
-    )
+    corpus = docs.unionByName(copies).withColumn("fp", F.md5("text"))
+    # keeper via partial-aggregating groupBy + join (not a window over
+    # fp): a hot fingerprint shrinks map-side and AQE can split the
+    # probe side — see dedup_exact
+    keepers = corpus.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    kept = corpus.join(keepers, "fp").filter(F.col("doc_id") == F.col("keeper"))
     # stop_ratio from with_quality_signals IS the en_ratio heuristic —
     # reuse the computed column instead of re-evaluating the interpreted
     # stopword filter (NOTES.md PERF LESSON: lambdas get re-inlined per
