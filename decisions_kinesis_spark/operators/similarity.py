@@ -40,8 +40,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the first 10 vectors as queries.
 
     Scale: broadcast-join the query set (k rows) against the corpus —
-    one scan of the corpus, no shuffle of the big side; per-partition
-    top-k via window on (query, rounded score).
+    one scan of the corpus, no shuffle of the big side.  Top-k is
+    TWO-STAGE: local top-k within each (query, input partition) first,
+    so the final per-query sort sees k×partitions survivors instead of
+    the whole corpus (a single window over (query) would funnel N rows
+    through one reducer per query).  The (cos, vec_id) total order
+    makes the two-stage result identical to the global top-k.
     """
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
@@ -62,10 +66,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("query_id", "pid").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    survivors = (
+        scored.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= _TOP_K)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        survivors.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
     )
