@@ -346,8 +346,14 @@ def test_clean_source_deletes_processed_files(spark, staged):
         .start()
     )
     q.processAllAvailable()
-    time.sleep(2)  # cleanup runs as batches commit
-    remaining = len(glob.glob(f"{src}/part-*.parquet"))
+    # cleanup runs as batches commit — poll rather than fixed-sleep so a
+    # loaded box doesn't flake the assertion
+    remaining = 99
+    for _ in range(20):
+        remaining = len(glob.glob(f"{src}/part-*.parquet"))
+        if remaining <= 1:
+            break
+        time.sleep(0.5)
     q.stop()
     assert remaining <= 1  # all but (at most) the last file cleaned
 
