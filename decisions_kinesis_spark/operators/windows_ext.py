@@ -111,6 +111,19 @@ def join_time_range_purchase_errors_left(
     return purchase_error_left_join_stream(events)
 
 
+def join_time_range_purchase_errors_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch dual of the streaming FULL OUTER stream-stream join
+    (streaming/windows.py purchase_error_full_join_stream)."""
+    from decisions_kinesis_spark.streaming.windows import (
+        purchase_error_full_join_stream,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    return purchase_error_full_join_stream(events)
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→purchase conversion funnel: per signed-up user, the first
     purchase at-or-after their first signup and the hours to convert.
@@ -162,6 +175,7 @@ QUERIES = {
     "window_session_bounds": window_session_bounds,
     "join_time_range_purchase_errors": join_time_range_purchase_errors,
     "join_time_range_purchase_errors_left": join_time_range_purchase_errors_left,
+    "join_time_range_purchase_errors_full": join_time_range_purchase_errors_full,
     "events_funnel_conversion": events_funnel_conversion,
 }
 
@@ -183,6 +197,18 @@ ORACLES = {
          AND e.ts >= p.ts - INTERVAL 10 MINUTE
          AND e.ts <= p.ts
         WHERE p.event_type = 'purchase'
+    """,
+    "join_time_range_purchase_errors_full": """
+        SELECT p.user_id AS p_user,
+               p.event_id AS purchase_id,
+               e.event_id AS error_id,
+               p.ts AS p_ts,
+               e.ts AS e_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON p.user_id = e.user_id
+         AND e.ts >= p.ts - INTERVAL 10 MINUTE
+         AND e.ts <= p.ts
     """,
     "events_funnel_conversion": """
         WITH signups AS (

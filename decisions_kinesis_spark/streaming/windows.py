@@ -126,6 +126,20 @@ def purchase_error_left_join_stream(
     )
 
 
+def purchase_error_full_join_stream(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream FULL OUTER join: every purchase AND every error,
+    matched where correlated within the window, null-extended where
+    not.  Outer rows on each side emit once the OTHER side's watermark
+    clears their join window — completing the inner/left/full join-type
+    matrix with the same bounded-state guarantees."""
+    purchases, errors, cond = _purchase_error_sides(events, window, watermark)
+    return purchases.join(errors, cond, "fullOuter").select(
+        "p_user", "purchase_id", "error_id", "p_ts", "e_ts"
+    )
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -15,6 +15,7 @@ from decisions_kinesis_spark.sources.tables import load_table
 from decisions_kinesis_spark.streaming.windows import (
     dedup_stream,
     purchase_error_correlation_stream,
+    purchase_error_full_join_stream,
     purchase_error_left_join_stream,
     running_totals_stream,
     session_counts_stream,
@@ -145,6 +146,36 @@ def test_stream_stream_left_join_matches_batch(spark, event_stream):
     # the fixture spans far more than the watermark horizon, so the
     # overwhelming majority of outer rows must actually have emitted
     assert len(got_outer) > 0.9 * len(exp_outer)
+
+
+def test_stream_stream_full_join_matches_batch(spark, event_stream):
+    """Full-outer stream-stream join: matched pairs equal the batch
+    dual; outer rows on BOTH sides are watermark-consistent subsets
+    covering the vast majority of the batch outers."""
+    ev, stream = event_stream
+    out = _run_to_memory(
+        spark, purchase_error_full_join_stream(stream), "ssf_out", "append"
+    )
+    batch = purchase_error_full_join_stream(ev).collect()
+    got = out.collect()
+    got_matched = {
+        (r.purchase_id, r.error_id)
+        for r in got
+        if r.purchase_id is not None and r.error_id is not None
+    }
+    exp_matched = {
+        (r.purchase_id, r.error_id)
+        for r in batch
+        if r.purchase_id is not None and r.error_id is not None
+    }
+    assert got_matched == exp_matched and len(exp_matched) > 0
+    got_p_outer = {r.purchase_id for r in got if r.error_id is None}
+    exp_p_outer = {r.purchase_id for r in batch if r.error_id is None}
+    got_e_outer = {r.error_id for r in got if r.purchase_id is None}
+    exp_e_outer = {r.error_id for r in batch if r.purchase_id is None}
+    assert got_p_outer <= exp_p_outer and got_e_outer <= exp_e_outer
+    assert len(got_p_outer) > 0.9 * len(exp_p_outer)
+    assert len(got_e_outer) > 0.9 * len(exp_e_outer)
 
 
 def test_streaming_dedup_within_watermark(spark, sf_dir):
