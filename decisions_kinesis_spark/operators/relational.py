@@ -406,6 +406,29 @@ def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic split: per-language train rates (90%
+    for 'en', 80% otherwise) over the same md5(doc_id) hash — the
+    per-stratum sampling a curriculum/mixture pipeline needs, with the
+    same reproducibility guarantees as split_train_val."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    rate = F.when(F.col("lang") == "en", F.lit(90)).otherwise(F.lit(80))
+    return (
+        docs.withColumn(
+            "split",
+            F.when(F.expr(f"{h} % 100") < rate, F.lit("train")).otherwise(
+                F.lit("val")
+            ),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
 def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date/math scalar library on one projection (all codegen'd)."""
     orders = load_table(spark, "orders", sf_dir)
@@ -1231,6 +1254,7 @@ QUERIES = {
     "set_except_nonbuyers": set_except_nonbuyers,
     "set_except_all_statuses": set_except_all_statuses,
     "split_train_val": split_train_val,
+    "split_stratified_rates": split_stratified_rates,
     "scalar_function_suite": scalar_function_suite,
     "join_outer_customer_order_counts": join_outer_customer_order_counts,
     "join_full_outer_priority_sets": join_full_outer_priority_sets,
@@ -1447,6 +1471,16 @@ ORACLES = {
         )
         SELECT o_orderstatus, count(*) AS n_surviving
         FROM surv GROUP BY o_orderstatus
+    """,
+    "split_stratified_rates": """
+        SELECT lang,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                         % 100 < (CASE WHEN lang = 'en' THEN 90 ELSE 80 END)
+                    THEN 'train' ELSE 'val' END AS split,
+               count(*) AS n_docs,
+               sum(doc_id) AS id_checksum
+        FROM documents
+        GROUP BY 1, 2
     """,
     "split_train_val": """
         SELECT lang,

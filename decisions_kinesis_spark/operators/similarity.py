@@ -303,6 +303,61 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each query probes its TWO nearest centroid
+    cells — the standard IVF recall knob (misses cluster near cell
+    boundaries; the second-nearest cell catches most of them for 2×
+    candidate cost).  Same topology as ann_ivf_topk; only the probe
+    set per query grows.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    import math
+
+    mod = max(1, math.isqrt(emb.count()))
+    cents = emb.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "ccos",
+        F.round(
+            F.expr(_DOT.format(a="v", b="cv"))
+            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
+            6,
+        ),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    ranked = scored.withColumn("ark", F.row_number().over(wa))
+    assigned = ranked.filter(F.col("ark") == 1).select("vec_id", "v", "cent_id")
+    # probe set: the query's two nearest centroids
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("ark") <= 2)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cent_id").alias("probe_cent"),
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cent_id") == F.col("probe_cent"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="v", b="qv"))
+            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="qv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
 _DEDUP_TARGET_BUCKET = 64  # target avg bucket population for dedup blocking
 _MAX_PLANES = 16
 
@@ -415,6 +470,7 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_nprobe2": ann_ivf_nprobe2,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_components": dedup_embedding_components,
     "embedding_quantize_stats": embedding_quantize_stats,
@@ -598,6 +654,44 @@ ORACLES = {
             SELECT q.query_id, a.vec_id, {_DUCK_COS} AS cos
             FROM assigned a JOIN q
               ON a.cent_id = q.qcent AND a.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id AS neighbor_id, cos, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM cand)
+        WHERE rank <= {_TOP_K}
+    """,
+    "ann_ivf_nprobe2": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT greatest(floor(sqrt(count(*)))::BIGINT, 1) AS md
+              FROM embeddings),
+        cents AS (
+            SELECT vec_id AS cent_id, v AS cv FROM e
+            WHERE vec_id % (SELECT md FROM p) = 0
+        ),
+        ranked AS (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_dot_product(e.v, c.cv) /
+                                    (sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                                DESC, c.cent_id ASC) AS ark
+            FROM e, cents c
+        ),
+        assigned AS (
+            SELECT vec_id, v, cent_id FROM ranked WHERE ark = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, v AS qv, cent_id AS probe_cent
+            FROM ranked WHERE vec_id < {_N_QUERIES} AND ark <= 2
+        ),
+        cand AS (
+            SELECT q.query_id, a.vec_id,
+                   round(list_dot_product(a.v, q.qv) /
+                         (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+            FROM assigned a JOIN probes q
+              ON a.cent_id = q.probe_cent AND a.vec_id <> q.query_id
         )
         SELECT query_id, vec_id AS neighbor_id, cos, rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
