@@ -71,26 +71,41 @@ def main() -> None:
         timings[name] = min(cold[name], warm)
 
     total = round(sum(timings.values()), 3)
+    # The stdout line must stay COMPACT: the driver's tail-capture window
+    # dropped the full 106-query map in rounds 1-2 ("parsed": null).  Put
+    # a handful of headline timings on the line; the complete per-query
+    # map goes to bench_last.json only.
+    headline = (
+        "q1_pricing_summary",
+        "flagship_premium_filter",
+        "dedup_minhash_lsh_pairs",
+        "ann_ivf_topk",
+        "text_token_stats",
+        "pipeline_clean_corpus",
+    )
     payload = {
         "metric": "total_wall_sec_all_queries_best_of_2",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: timings[k] for k in headline if k in timings},
         "sf": sf,
+        "n_queries": len(timings),
         "cold_total_sec": round(sum(cold.values()), 3),
+        "n_errors": len(errors),
     }
-    if errors:
-        payload["errors"] = errors
     line = json.dumps(payload)
+    full = dict(payload, queries=timings)
+    if errors:
+        full["errors"] = errors
     sys.stdout.flush()
     sys.stderr.flush()
     os.write(real_stdout_fd, (line + "\n").encode())
-    # also drop a copy on disk for post-hoc inspection
+    # the full per-query map for post-hoc inspection
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
         "w",
     ) as f:
-        f.write(line + "\n")
+        f.write(json.dumps(full) + "\n")
 
 
 if __name__ == "__main__":

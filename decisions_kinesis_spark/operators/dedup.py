@@ -292,7 +292,32 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIG_BITS = 1024  # hashed token-signature width
 _SIG_BLOCKS = _SIG_BITS // 64
-_LEN_BAND = 32  # docs are length-banded: band = n_set_bits div 32
+def _ratio_boundaries(limit: int, num: int = 5, den: int = 4) -> list[int]:
+    """Geometric length-band boundaries g_{k+1} = ceil(g_k * num/den),
+    computed in EXACT integer arithmetic so Spark and DuckDB band
+    identically (no float log whose last-ulp could differ per libm).
+
+    With ratio num/den = 1.25: two docs whose distinct-index counts
+    satisfy the J >= 0.8 necessary condition min/max >= 0.8 can have at
+    most ONE boundary strictly between them (two boundaries g_k < g_{k+1}
+    in (n_a, n_b] would force n_b >= 1.25*g_k > 1.25*n_a >= n_b), so
+    same-band + adjacent-band keying is a COMPLETE candidate filter for
+    J >= 0.8 at ANY document size — the round-2 fixed-width-32 caveat
+    (complete only up to n = 128) is gone.
+    """
+    g, out = 1, []
+    while True:
+        g = -(-(g * num) // den)  # exact ceil(g*num/den)
+        if g > limit:
+            return out
+        out.append(g)
+
+
+_RATIO_BOUNDS = _ratio_boundaries(_SIG_BITS)
+#: band(n) = number of boundaries <= n; codegen-able indicator sum, the
+#: same integer literals inlined into both engines' SQL.
+_BAND_SPARK = " + ".join(f"cast(n >= {g} as int)" for g in _RATIO_BOUNDS)
+_BAND_DUCK = " + ".join(f"(len(idxs) >= {g})::INT" for g in _RATIO_BOUNDS)
 
 
 def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,13 +333,15 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the pair join from recomputing the hash work) at any
     vocabulary size (hashing makes it approximate; the MinHash-LSH
     pipeline is the recall-controlled scale path).  Pairs are generated
-    only within (lang, length-band) blocks; each doc carries TWO block
-    keys (band, band+1) so pairs whose set sizes straddle a band
-    boundary still meet.  At J ≥ 0.8 set sizes differ by ≤ 0.25·n, so
-    neighbor-band keying is a COMPLETE candidate filter up to n = 128
-    distinct indices (diff ≤ 32 = one band width) — which covers the
-    whole 1024-bit signature regime comfortably below saturation;
-    beyond that the band width should scale with n (ratio banding).
+    only within (lang, length-band) blocks, where bands are RATIO
+    (geometric) bands with exact-integer boundaries g_{k+1} =
+    ceil(1.25 * g_k) (see ``_ratio_boundaries``): at J ≥ 0.8 the two
+    set sizes satisfy min/max ≥ 0.8, which fits at most one boundary
+    between them, so same-band (doc_id< ordered) plus adjacent-band
+    (band order oriented) keying is a COMPLETE candidate filter for
+    J ≥ 0.8 at ANY document size, and block population stays
+    proportional to the size distribution (no quadratic blow-up from a
+    fixed band width as documents grow).
     Output: per-lang near-dup stats at Jaccard ≥ 0.8.
     """
     from decisions_kinesis_spark.functions.parallel import ensure_parallelism
@@ -344,7 +371,7 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"m{b}")
             for b in range(_SIG_BLOCKS)
         ],
-    ).withColumn("band", F.expr(f"cast(n div {_LEN_BAND} as int)"))
+    ).withColumn("band", F.expr(_BAND_SPARK))
     # Neighbor-band candidates WITHOUT duplicate pairs: two disjoint
     # equi-joins — same band (doc_id< orders the pair) and adjacent band
     # (band order orients the pair) — so no distinct pass is needed.
@@ -389,12 +416,17 @@ def connected_components(
     embedding cosine...).
 
     ITERATIVE algorithm (driver-controlled label propagation to a
-    fixpoint): labels = min(label of self, labels of neighbors),
-    repeated until no label changes.  Converges in O(graph diameter)
-    rounds; each round is one shuffle join — the standard large-scale
-    pattern (the same loop shape at 100 TB, with the label frame
-    cached between rounds).  Oracle: DuckDB recursive CTE computing
-    min-label reachability — same fixpoint, declaratively.
+    fixpoint): each round takes labels = min(label of self, labels of
+    neighbors) and then COMPRESSES pointers (label = min(label,
+    label-of-label), i.e. pointer doubling), so propagation distance
+    doubles per round and the fixpoint lands in O(log diameter) rounds
+    — chain-shaped near-dup graphs with eccentricity far beyond the
+    round cap still converge (2^20 hops at 20 rounds).  Each round is
+    two shuffle joins over the cached label frame — the standard
+    large-scale pattern at 100 TB.  If the cap is ever hit without a
+    fixpoint the function RAISES instead of returning partial labels.
+    Oracle: DuckDB recursive CTE computing min-label reachability —
+    same fixpoint, declaratively.
     """
     pairs = pairs.select("doc_a", "doc_b").cache()
     # Adaptive strategy: the near-dup graph is far smaller than the
@@ -446,13 +478,20 @@ def connected_components(
     # label changed — convergence needs one cheap agg per round, not a
     # join+count.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
+    converged = False
+    for _ in range(20):  # 2^20-hop reach via doubling; tiny graphs: 2-3
         neighbor_min = (
             edges.join(labels, edges.doc_a == labels.node)
             .groupBy(F.col("doc_b").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # localCheckpoint (eager) TRUNCATES LINEAGE each round: the
+        # doubling self-join below puts hop's subtree in the plan twice,
+        # so without truncation the analyzed plan doubles per round and
+        # Catalyst analysis goes exponential (observed: single-core JVM
+        # spin).  Old checkpoint RDDs are freed by the ContextCleaner
+        # once the Python refs drop at the next loop iteration.
+        hop = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
@@ -460,16 +499,38 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
+        )
+        # Pointer doubling: follow one more level through the label
+        # table itself (label := min(label, label[label])).  Every label
+        # value IS a node id (init = self id; updates = mins of node
+        # ids), so the self-join is total; coalesce guards regardless.
+        via = hop.select(
+            F.col("node").alias("vnode"), F.col("label").alias("vlabel")
+        )
+        new_labels = (
+            hop.join(via, hop.label == F.col("vnode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("vlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()  # labels are materialized; edge cache no longer needed
     pairs.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "connected_components: no fixpoint after 20 doubling rounds "
+            "(graph reach 2^20 exceeded?) — refusing to return partial labels"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
@@ -640,7 +701,7 @@ ORACLES = {
             FROM documents
         ),
         banded AS (
-            SELECT doc_id, lang, idxs, len(idxs) // {_LEN_BAND} AS band
+            SELECT doc_id, lang, idxs, {_BAND_DUCK} AS band
             FROM t WHERE len(idxs) > 0
         ),
         pairs AS (
@@ -662,7 +723,7 @@ ORACLES = {
               ON a.lang = b.lang AND a.band + 1 = b.band
         )
         SELECT lang, count(*) AS n_pairs,
-               sum((jac >= 0.8)::BIGINT) AS n_neardup,
+               sum((jac >= 0.8)::BIGINT)::BIGINT AS n_neardup,
                round(avg(jac), 4) AS avg_jac
         FROM pairs GROUP BY lang
     """,

@@ -1261,7 +1261,11 @@ QUERIES = {
     "agg_stats_suite": agg_stats_suite,
     "agg_value_histogram": agg_value_histogram,
     "profile_table_quality": profile_table_quality,
-    "agg_approx_suite": agg_approx_suite,  # no oracle: sketches are engine-specific
+    # agg_approx_suite deliberately NOT registered: sketches are
+    # engine-specific (no DuckDB oracle possible), so a registry entry
+    # would permanently occupy a gate slot as a non-green `no_oracle`
+    # row.  Validated instead by tests/test_operators.py's
+    # error-bound test against the exact aggregates.
     "agg_salted_skew": agg_salted_skew,
     "q7_nation_volume": q7_nation_volume,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1478,7 +1482,7 @@ ORACLES = {
                          % 100 < (CASE WHEN lang = 'en' THEN 90 ELSE 80 END)
                     THEN 'train' ELSE 'val' END AS split,
                count(*) AS n_docs,
-               sum(doc_id) AS id_checksum
+               sum(doc_id)::BIGINT AS id_checksum
         FROM documents
         GROUP BY 1, 2
     """,
@@ -1488,7 +1492,7 @@ ORACLES = {
                          % 100 < 90
                     THEN 'train' ELSE 'val' END AS split,
                count(*) AS n_docs,
-               sum(doc_id) AS id_checksum
+               sum(doc_id)::BIGINT AS id_checksum
         FROM documents
         GROUP BY 1, 2
     """,
@@ -1842,8 +1846,8 @@ ORACLES = {
     """,
     "profile_table_quality": """
         SELECT count(*) AS n_rows,
-               sum((l_orderkey IS NULL)::BIGINT) AS null_orderkey,
-               sum((l_shipdate IS NULL)::BIGINT) AS null_shipdate,
+               sum((l_orderkey IS NULL)::BIGINT)::BIGINT AS null_orderkey,
+               sum((l_shipdate IS NULL)::BIGINT)::BIGINT AS null_shipdate,
                count(DISTINCT l_orderkey) AS d_orderkey,
                count(DISTINCT l_partkey) AS d_partkey,
                count(DISTINCT l_returnflag) AS d_returnflag,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from decisions_kinesis_spark.sources.tables import load_table
+from decisions_kinesis_spark.sources.tables import load_table, table_count
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
 _TOP_K = 5
@@ -261,7 +261,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
-    mod = max(1, math.isqrt(emb.count()))
+    mod = max(1, math.isqrt(table_count(spark, "embeddings", sf_dir)))
     cents = emb.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -315,7 +315,7 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
-    mod = max(1, math.isqrt(emb.count()))
+    mod = max(1, math.isqrt(table_count(spark, "embeddings", sf_dir)))
     cents = emb.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -342,6 +342,95 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes),
         (F.col("cent_id") == F.col("probe_cent"))
         & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="v", b="qv"))
+            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="qv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ONE deterministic Lloyd (k-means) refinement step:
+    seeded init (vec_id % isqrt(N) == 0) → assign all vectors to the
+    nearest seed centroid → recompute each cell's centroid as the
+    element-wise MEAN of its members → re-assign → probe (nprobe=1).
+    Shows centroid *training*, not just assignment, while staying
+    oracle-replicable: the mean is a LEFT FOLD over member values in
+    vec_id order (Spark ``aggregate`` HOF = DuckDB ``list_reduce``),
+    so both engines produce bit-identical centroids, then the half-up
+    floor trick quantizes to 9 decimals engine-stably.
+
+    Scale: both assignment passes are broadcast joins (centroid set is
+    ~sqrt(N) rows) + scan-side argmin — the corpus never shuffles for
+    assignment; the mean step shuffles N·d (cent_id, pos) cells once.
+    The ordered-fold mean disables partial aggregation by design (the
+    determinism contract); a production run at 100 TB would swap in
+    plain ``avg`` (order-free, partial-agg friendly) when last-ulp
+    reproducibility isn't required.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    import math
+
+    mod = max(1, math.isqrt(table_count(spark, "embeddings", sf_dir)))
+    cents0 = emb.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = vecs.join(F.broadcast(cents)).withColumn(
+            "ccos",
+            F.round(
+                F.expr(_DOT.format(a="v", b="cv"))
+                / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
+                6,
+            ),
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+        return (
+            scored.withColumn("ark", F.row_number().over(wa))
+            .filter(F.col("ark") == 1)
+            .select("vec_id", "v", "cent_id")
+        )
+
+    assigned0 = _assign(emb, cents0)
+    # Lloyd step: element-wise mean per cell, deterministic fold order
+    mem = assigned0.select("cent_id", "vec_id", F.posexplode("v").alias("pos", "val"))
+    sums = mem.groupBy("cent_id", "pos").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(vec_id, val))),"
+            " s -> s.val), cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    refined = (
+        sums.withColumn("m", F.expr("floor(s / n * 1e9 + 0.5) / 1e9"))
+        .groupBy("cent_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("cv")
+        )
+    )
+    assigned = _assign(emb, refined)
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cent_id").alias("qcent"),
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id")),
     ).withColumn(
         "cos",
         F.round(
@@ -389,9 +478,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    # one metadata-cheap count to size the blocking; planes are inlined
-    # as literals so the bucket id is still a pure scan-side projection
-    nbits = _adaptive_nbits(emb.count())
+    # cached corpus count sizes the blocking; planes are inlined as
+    # literals so the bucket id is still a pure scan-side projection
+    nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))
     bucketed = emb.withColumn("bucket", _bucket_expr(nbits))
     a = bucketed.alias("a")
     b = bucketed.select(
@@ -471,6 +560,7 @@ QUERIES = {
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe2": ann_ivf_nprobe2,
+    "ann_ivf_refined": ann_ivf_refined,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_components": dedup_embedding_components,
     "embedding_quantize_stats": embedding_quantize_stats,
@@ -625,9 +715,16 @@ ORACLES = {
     """,
     "ann_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        -- seeded centroid sample: vec_id divisible by floor(sqrt(N))
-        p AS (SELECT greatest(floor(sqrt(count(*)))::BIGINT, 1) AS md
-              FROM embeddings),
+        -- seeded centroid sample: vec_id divisible by isqrt(N).  The
+        -- float sqrt is Newton-corrected to the EXACT integer sqrt so
+        -- the modulus matches Python's math.isqrt even when the
+        -- double-precision sqrt rounds across the floor boundary.
+        p AS (SELECT greatest(CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1
+                                   WHEN s * s > n THEN s - 1
+                                   ELSE s END, 1) AS md
+              FROM (SELECT count(*) AS n,
+                           floor(sqrt(count(*)))::BIGINT AS s
+                    FROM embeddings)),
         cents AS (
             SELECT vec_id AS cent_id, v AS cv FROM e
             WHERE vec_id % (SELECT md FROM p) = 0
@@ -661,10 +758,92 @@ ORACLES = {
               FROM cand)
         WHERE rank <= {_TOP_K}
     """,
+    "ann_ivf_refined": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        -- exact isqrt(N) modulus (Newton-corrected; see ann_ivf_topk)
+        p AS (SELECT greatest(CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1
+                                   WHEN s * s > n THEN s - 1
+                                   ELSE s END, 1) AS md
+              FROM (SELECT count(*) AS n,
+                           floor(sqrt(count(*)))::BIGINT AS s
+                    FROM embeddings)),
+        cents0 AS (
+            SELECT vec_id AS cent_id, v AS cv FROM e
+            WHERE vec_id % (SELECT md FROM p) = 0
+        ),
+        scored0 AS (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   round(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+            FROM e, cents0 c
+        ),
+        assigned0 AS (
+            SELECT vec_id, v, cent_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, cent_id ASC) AS ark
+                  FROM scored0)
+            WHERE ark = 1
+        ),
+        -- one Lloyd step: per-cell element-wise mean, computed as a
+        -- LEFT FOLD over members in vec_id order (list_reduce with a
+        -- 0.0 prepend = Spark's aggregate(..., 0.0, acc + x)) so the
+        -- float sum is bit-identical to the engine, then quantized
+        -- with the engine-stable half-up floor at 9 decimals.
+        mem AS (
+            SELECT cent_id, vec_id, p.pos AS pos, v[p.pos] AS val
+            FROM assigned0, (SELECT unnest(generate_series(1, {_N_DIMS})) AS pos) p
+        ),
+        sums AS (
+            SELECT cent_id, pos,
+                   list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                               (acc, x) -> acc + x) AS s,
+                   count(*) AS n
+            FROM mem GROUP BY cent_id, pos
+        ),
+        refined AS (
+            SELECT cent_id,
+                   list(floor(s / n * 1e9 + 0.5) / 1e9 ORDER BY pos) AS cv
+            FROM sums GROUP BY cent_id
+        ),
+        scored AS (
+            SELECT e.vec_id, e.v, r.cent_id,
+                   round(list_dot_product(e.v, r.cv) /
+                         (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(r.cv, r.cv))), 6) AS ccos
+            FROM e, refined r
+        ),
+        assigned AS (
+            SELECT vec_id, v, cent_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, cent_id ASC) AS ark
+                  FROM scored)
+            WHERE ark = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv, cent_id AS qcent
+            FROM assigned WHERE vec_id < {_N_QUERIES}
+        ),
+        cand AS (
+            SELECT q.query_id, a.vec_id, {_DUCK_COS} AS cos
+            FROM assigned a JOIN q
+              ON a.cent_id = q.qcent AND a.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id AS neighbor_id, cos, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM cand)
+        WHERE rank <= {_TOP_K}
+    """,
     "ann_ivf_nprobe2": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        p AS (SELECT greatest(floor(sqrt(count(*)))::BIGINT, 1) AS md
-              FROM embeddings),
+        -- exact isqrt(N) modulus (Newton-corrected; see ann_ivf_topk)
+        p AS (SELECT greatest(CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1
+                                   WHEN s * s > n THEN s - 1
+                                   ELSE s END, 1) AS md
+              FROM (SELECT count(*) AS n,
+                           floor(sqrt(count(*)))::BIGINT AS s
+                    FROM embeddings)),
         cents AS (
             SELECT vec_id AS cent_id, v AS cv FROM e
             WHERE vec_id % (SELECT md FROM p) = 0

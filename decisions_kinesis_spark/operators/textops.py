@@ -383,13 +383,13 @@ ORACLES = {
         ),
         b AS (
             SELECT lang, doc_id, n_tok,
-                   coalesce(sum(n_tok) OVER (
+                   (coalesce(sum(n_tok) OVER (
                        PARTITION BY lang ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) // {_BIN_BUDGET} AS bin
+                   ), 0) // {_BIN_BUDGET})::BIGINT AS bin
             FROM t
         )
-        SELECT lang, bin, count(*) AS n_docs, sum(n_tok) AS bin_tokens,
+        SELECT lang, bin, count(*) AS n_docs, sum(n_tok)::BIGINT AS bin_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM b GROUP BY lang, bin
     """,

@@ -57,13 +57,26 @@ def compact_table(
     dst_jpath = jvm.org.apache.hadoop.fs.Path(dst_path)
     src_q = str(fs.makeQualified(path))
     dst_q = str(dst_jpath.getFileSystem(hconf).makeQualified(dst_jpath))
-    same_local = os.path.realpath(src_path.removeprefix("file:")) == os.path.realpath(
-        dst_path.removeprefix("file:")
-    )
-    if src_q == dst_q or same_local:
+    src_r = os.path.realpath(src_path.removeprefix("file:"))
+    dst_r = os.path.realpath(dst_path.removeprefix("file:"))
+
+    def _nested(parent: str, child: str) -> bool:
+        return child == parent or child.startswith(parent.rstrip("/") + "/")
+
+    # Reject equality AND nesting in either direction: a destination
+    # inside the source (src/compacted) would write into the directory
+    # being lazily read; a source inside the destination would be
+    # clobbered by the overwrite.
+    if (
+        _nested(src_q, dst_q)
+        or _nested(dst_q, src_q)
+        or _nested(src_r, dst_r)
+        or _nested(dst_r, src_r)
+    ):
         raise ValueError(
-            "compact_table cannot compact in place: write to a new path, "
-            "then swap directories"
+            "compact_table cannot compact in place or into a nested/"
+            "enclosing path: write to a disjoint path, then swap "
+            "directories"
         )
     total = fs.getContentSummary(path).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))

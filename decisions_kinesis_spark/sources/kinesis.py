@@ -123,16 +123,33 @@ def _boto3_client(config: KinesisQueueConfig):
         kwargs["aws_access_key_id"] = s.access_key_id
         kwargs["aws_secret_access_key"] = s.secret_access_key
     if s.use_role_arn and s.role_arn:
+        # AUTO-REFRESHING assume-role credentials, matching the
+        # reference's AssumeRoleAWSCredentials (KinesisUtils.cs:131):
+        # a one-shot sts.assume_role would expire after the STS TTL
+        # (~1 h) and long-held clients would start failing.  botocore
+        # re-invokes the refresher before expiry.
+        from botocore.credentials import RefreshableCredentials
+        from botocore.session import get_session as _botocore_session
+
         sts = boto3.client("sts", **kwargs)
-        creds = sts.assume_role(
-            RoleArn=s.role_arn, RoleSessionName="DecisionsKinesisSession"
-        )["Credentials"]
-        kwargs = {
-            "region_name": s.region,
-            "aws_access_key_id": creds["AccessKeyId"],
-            "aws_secret_access_key": creds["SecretAccessKey"],
-            "aws_session_token": creds["SessionToken"],
-        }
+
+        def _refresh() -> dict[str, str]:
+            creds = sts.assume_role(
+                RoleArn=s.role_arn, RoleSessionName="DecisionsKinesisSession"
+            )["Credentials"]
+            return {
+                "access_key": creds["AccessKeyId"],
+                "secret_key": creds["SecretAccessKey"],
+                "token": creds["SessionToken"],
+                "expiry_time": creds["Expiration"].isoformat(),
+            }
+
+        bsession = _botocore_session()
+        bsession._credentials = RefreshableCredentials.create_from_metadata(
+            metadata=_refresh(), refresh_using=_refresh, method="sts-assume-role"
+        )
+        bsession.set_config_variable("region", s.region)
+        return boto3.Session(botocore_session=bsession).client("kinesis")
     return boto3.client("kinesis", **kwargs)
 
 

@@ -67,6 +67,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+#: Row-count cache next to the relation cache: adaptive operators (IVF
+#: centroid modulus, LSH plane count) size themselves from N; the
+#: fixtures are immutable, so one column-pruned count per (session,
+#: sf_dir, table) serves every query in the session.
+_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def table_count(spark: SparkSession, name: str, sf_dir: str | None = None) -> int:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, name, sf_dir).count()
+        _COUNT_CACHE[key] = n
+    return n
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:

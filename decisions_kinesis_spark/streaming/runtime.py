@@ -241,14 +241,21 @@ def consume(
     ``config.max_records_per_request`` (the MaxRecordsPerRequest analog
     — one staged file ≈ one GetRecords batch) unless overridden, so a
     large backlog drains in bounded micro-batches instead of one
-    unbounded first batch.
+    unbounded first batch.  Pass ``max_files_per_trigger=0`` to request
+    UNBOUNDED intake explicitly (everything available in one batch);
+    only ``None`` falls back to the config pacing.
     """
     config.require_valid()
+    if max_files_per_trigger is None:
+        pacing: int | None = config.max_records_per_request
+    elif max_files_per_trigger == 0:
+        pacing = None  # explicit unbounded intake
+    else:
+        pacing = max_files_per_trigger
     stream = read_envelope_stream(
         spark,
         source_path,
-        max_files_per_trigger=max_files_per_trigger
-        or config.max_records_per_request,
+        max_files_per_trigger=pacing,
     )
     return start_dispatch(
         filtered_stream(stream, config),

@@ -183,6 +183,108 @@ def enrich_with_latest_order(stream: DataFrame, orders: DataFrame) -> DataFrame:
 _STATE_SCHEMA = "n bigint, total double"
 _OUT_SCHEMA = "user_id bigint, n bigint, total double"
 
+_SESS_GAP_US = 300_000_000  # 5 minutes, matches window_session_bounds
+_SESS_STATE_SCHEMA = "starts array<bigint>, ends array<bigint>, counts array<bigint>"
+_SESS_OUT_SCHEMA = (
+    "user_id bigint, sess_start timestamp, sess_end timestamp, n_events bigint"
+)
+
+
+def _merge_sessions(iv: list[list[int]]) -> list[list[int]]:
+    """Merge [start, end, count] intervals under Spark's session_window
+    rule: an event joins a session iff its time is strictly before the
+    session's current end (end = last event + gap), so intervals merge
+    when next.start < cur.end — an event landing exactly at the end
+    opens a NEW session."""
+    iv.sort()
+    merged: list[list[int]] = []
+    for s, e, n in iv:
+        if merged and s < merged[-1][1]:
+            if e > merged[-1][1]:
+                merged[-1][1] = e
+            merged[-1][2] += n
+        else:
+            merged.append([s, e, n])
+    return merged
+
+
+def _session_windows(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Event-time session windows with EventTimeTimeout: state carries
+    the user's OPEN sessions; a session closes (and emits, exactly
+    once) when the watermark passes its end — either on a data batch
+    for this key or via the timeout firing with no data."""
+    if state.exists:
+        starts, ends, counts = state.get
+        sessions = [[s, e, n] for s, e, n in zip(starts, ends, counts)]
+    else:
+        sessions = []
+    for pdf in pdfs:
+        for t in (pdf["ts"].astype("int64") // 1000).tolist():
+            sessions.append([t, t + _SESS_GAP_US, 1])
+    sessions = _merge_sessions(sessions)
+    # watermark-closed sessions: no event >= watermark can extend a
+    # session whose end <= watermark (extension needs ts < end), and
+    # events below the watermark are dropped upstream — safe to emit.
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    closed = [s for s in sessions if s[1] <= wm_us]
+    open_ = [s for s in sessions if s[1] > wm_us]
+    if open_:
+        state.update(
+            (
+                [s[0] for s in open_],
+                [s[1] for s in open_],
+                [s[2] for s in open_],
+            )
+        )
+        # wake this key when the watermark passes the earliest open end
+        state.setTimeoutTimestamp(
+            max(min(s[1] for s in open_) // 1000, state.getCurrentWatermarkMs() + 1)
+        )
+    else:
+        state.remove()
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "sess_start": pd.to_datetime([s[0] for s in closed], unit="us"),
+                "sess_end": pd.to_datetime([s[1] for s in closed], unit="us"),
+                "n_events": [s[2] for s in closed],
+            }
+        )
+
+
+def session_windows_stateful_stream(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful SESSION-WINDOW operator via applyInPandasWithState
+    with ``GroupStateTimeout.EventTimeTimeout`` — the stateful-streaming
+    shape the built-in ``session_window`` hides: open sessions live in
+    the state store keyed by user, and idle keys are closed by the
+    EVENT-TIME timeout (watermark-driven), not by new data arriving for
+    the key.  Emits each closed session exactly once (append semantics);
+    results equal the batch ``window_session_bounds`` dual for every
+    session the final watermark passed.
+
+    Scale: state is O(open sessions per user), partitioned on the same
+    shuffle key as the groupBy; the watermark bounds both state size and
+    timeout backlog — the same contract as the built-in operator.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_windows,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
 
 def _running_totals(
     key: tuple,

@@ -124,6 +124,12 @@ def test_compact_table_refuses_in_place(spark, sf_dir):
         load_table(spark, "nation", sf_dir).write.parquet(f"{tmp}/d")
         with pytest.raises(ValueError, match="in place"):
             compact_table(spark, f"{tmp}/d", f"{tmp}/d")
+        # nested destination writes into the directory being read
+        with pytest.raises(ValueError, match="nested"):
+            compact_table(spark, f"{tmp}/d", f"{tmp}/d/compacted")
+        # enclosing destination would clobber the source on overwrite
+        with pytest.raises(ValueError, match="nested"):
+            compact_table(spark, f"{tmp}/d", tmp)
         # source untouched
         assert spark.read.parquet(f"{tmp}/d").count() > 0
     finally:

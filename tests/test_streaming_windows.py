@@ -312,6 +312,38 @@ def test_windowed_state_survives_restart(spark, sf_dir):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stateful_session_windows_event_time_timeout(spark, event_stream, sf_dir):
+    """applyInPandasWithState + EventTimeTimeout session windows: every
+    emitted session must EXACTLY equal a session of the batch
+    window_session_bounds dual (same 5-min gap, built-in
+    session_window), and the vast majority of batch sessions must have
+    emitted — only sessions the final watermark never passed may be
+    withheld."""
+    from decisions_kinesis_spark.operators.windows_ext import window_session_bounds
+    from decisions_kinesis_spark.streaming.windows import (
+        session_windows_stateful_stream,
+    )
+
+    ev, stream = event_stream
+    out = _run_to_memory(
+        spark, session_windows_stateful_stream(stream), "sessst_out", "append"
+    )
+    got = out.collect()
+    assert len(got) > 0
+    batch = {
+        (r.user_id, r.sess_start, r.sess_end): r.n_events
+        for r in window_session_bounds(spark, sf_dir).collect()
+    }
+    for r in got:
+        assert batch[(r.user_id, r.sess_start, r.sess_end)] == r.n_events
+    # no session emitted twice
+    keys = [(r.user_id, r.sess_start, r.sess_end) for r in got]
+    assert len(keys) == len(set(keys))
+    # the fixture spans far beyond the watermark horizon: almost every
+    # batch session must actually have closed and emitted
+    assert len(got) > 0.9 * len(batch)
+
+
 def test_stateful_running_totals(spark, event_stream):
     ev, stream = event_stream
     out = _run_to_memory(
