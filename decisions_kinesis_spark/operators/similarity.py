@@ -447,6 +447,70 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8  # product-quantization subspaces (64 dims → 8 × 8-dim)
+_PQ_D = _N_DIMS // _PQ_M
+_PQ_K = 16  # codewords per subspace (~ N // 16 modulus sampling)
+
+
+def pq_reconstruction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ): split each vector into M=8 subspaces
+    of 8 dims; per subspace, a ~16-codeword codebook (deterministic
+    seeded sample: vec_id % (N div 16) == 0); each subvector is coded
+    as its nearest codeword.  Reports per-label reconstruction error of
+    the PQ code — the compression-quality metric that decides whether
+    an ANN index can run on 8-byte codes instead of 256-byte floats
+    (a 32× memory cut at 100 TB scale).
+
+    Determinism: subspace distances are quantized to integers
+    (floor(d2·1e6 + 0.5) as bigint) so the per-vector total and the
+    per-label aggregate are EXACT integer sums — no float-accumulation
+    order dependence anywhere; both engines produce identical values.
+
+    Scale: the codebook (M·K = 128 rows) broadcasts; the distance join
+    is scan-side; the min-per-(vec, subspace) is a groupBy with
+    map-side partial aggregation (no window shuffle of the expanded
+    frame).
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    mod = max(1, table_count(spark, "embeddings", sf_dir) // _PQ_K)
+    subs = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" m -> slice(v, m * {_PQ_D} + 1, {_PQ_D}))"
+            )
+        ).alias("m", "sv"),
+    )
+    cw = subs.filter((F.col("vec_id") % mod) == 0).select(
+        F.col("m").alias("cm"),
+        F.col("vec_id").alias("code_id"),
+        F.col("sv").alias("cv"),
+    )
+    d2 = (
+        F.expr(_DOT.format(a="sv", b="sv"))
+        - 2 * F.expr(_DOT.format(a="sv", b="cv"))
+        + F.expr(_DOT.format(a="cv", b="cv"))
+    )
+    scored = subs.join(F.broadcast(cw), F.col("m") == F.col("cm")).withColumn(
+        "d2i", F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    )
+    best = scored.groupBy("vec_id", "label", "m").agg(F.min("d2i").alias("bd2"))
+    pervec = best.groupBy("vec_id", "label").agg(F.sum("bd2").alias("td2"))
+    return pervec.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            f"floor(sum(td2) / count(*) / 1e6 / {_N_DIMS} * 1e9 + 0.5) / 1e9"
+        ).alias("avg_mse"),
+        F.expr(f"floor(max(td2) / 1e6 / {_N_DIMS} * 1e9 + 0.5) / 1e9").alias(
+            "max_mse"
+        ),
+    )
+
+
 _DEDUP_TARGET_BUCKET = 64  # target avg bucket population for dedup blocking
 _MAX_PLANES = 16
 
@@ -561,6 +625,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe2": ann_ivf_nprobe2,
     "ann_ivf_refined": ann_ivf_refined,
+    "pq_reconstruction_stats": pq_reconstruction_stats,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_components": dedup_embedding_components,
     "embedding_quantize_stats": embedding_quantize_stats,
@@ -712,6 +777,40 @@ ORACLES = {
                round(avg(mse), 9) AS avg_mse,
                round(max(mse), 9) AS max_mse
         FROM m GROUP BY label
+    """,
+    "pq_reconstruction_stats": f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT greatest(count(*) // {_PQ_K}, 1) AS md FROM embeddings),
+        subs AS (
+            SELECT vec_id, label, m.m AS m,
+                   v[m.m * {_PQ_D} + 1 : m.m * {_PQ_D} + {_PQ_D}] AS sv
+            FROM e, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) m
+        ),
+        cw AS (
+            SELECT m AS cm, vec_id AS code_id, sv AS cv
+            FROM subs WHERE vec_id % (SELECT md FROM p) = 0
+        ),
+        scored AS (
+            SELECT s.vec_id, s.label, s.m,
+                   floor((list_dot_product(s.sv, s.sv)
+                          - 2 * list_dot_product(s.sv, c.cv)
+                          + list_dot_product(c.cv, c.cv)) * 1e6 + 0.5)::BIGINT
+                       AS d2i
+            FROM subs s JOIN cw c ON s.m = c.cm
+        ),
+        best AS (
+            SELECT vec_id, label, m, min(d2i) AS bd2
+            FROM scored GROUP BY vec_id, label, m
+        ),
+        pervec AS (
+            SELECT vec_id, label, sum(bd2)::BIGINT AS td2
+            FROM best GROUP BY vec_id, label
+        )
+        SELECT label, count(*) AS n,
+               floor(sum(td2)::BIGINT / count(*) / 1e6 / {_N_DIMS} * 1e9 + 0.5)
+                   / 1e9 AS avg_mse,
+               floor(max(td2) / 1e6 / {_N_DIMS} * 1e9 + 0.5) / 1e9 AS max_mse
+        FROM pervec GROUP BY label
     """,
     "ann_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
