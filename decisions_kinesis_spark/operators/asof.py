@@ -179,14 +179,84 @@ def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for each event, the customer's NEXT order at or
+    after the event time (earliest o_orderdate >= ts; ties on the date
+    go to the smallest o_orderkey) — the "time-to-next-action" shape
+    (conversion attribution, churn labeling) that complements the
+    backward as-of.
+
+    Same single-shuffle union-carry plan as the backward variant, with
+    the traversal REVERSED: sort descending time, orders before events
+    at the same instant (at-or-after includes ties), same-date orders
+    in descending orderkey so the carried last-seen struct is the
+    smallest key.
+    """
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, "orders", sf_dir)
+    left = events.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_ev"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<o_orderkey:bigint,o_orderdate:timestamp,o_totalprice:double>")
+        .alias("ord"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_ev"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct("o_orderkey", "o_orderdate", "o_totalprice").alias("ord"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.desc("t"), F.asc("is_ev"), F.col("ord.o_orderkey").desc_nulls_last()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("carried", F.last("ord", ignorenulls=True).over(w))
+        .filter(F.col("is_ev") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("carried.o_orderkey").alias("o_orderkey"),
+            F.col("carried.o_orderdate").alias("o_orderdate"),
+            F.col("carried.o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
 QUERIES = {
     "asof_join_events_orders": asof_join_events_orders,
+    "asof_join_forward": asof_join_forward,
     "asof_join_with_tolerance": asof_join_with_tolerance,
     "asof_join_events_orders_pandas": asof_join_events_orders_pandas,
     "range_join_event_pairs": range_join_event_pairs,
 }
 
 ORACLES = {
+    "asof_join_forward": """
+        WITH dedup AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+                SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                             ORDER BY o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_orderdate, o.o_totalprice
+        FROM events e
+        ASOF LEFT JOIN dedup o
+          ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
     "asof_join_with_tolerance": """
         WITH dedup AS (
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (

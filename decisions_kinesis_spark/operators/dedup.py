@@ -214,6 +214,98 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection: a new batch of documents checked
+    against the EXISTING corpus via LSH band keys — the production shape
+    at 100 TB, where re-deduplicating the whole corpus per ingest is
+    impossible and only |batch| × bucket-mates candidates are generated.
+
+    Split: corpus = doc_id % 10 != 0; batch = doc_id % 10 == 0 plus
+    exact copies of 18 corpus docs (doc_id + 200000) so the detected
+    set is non-trivial.  Candidates come from the band equi-join of the
+    batch's band table against the corpus band table (in production the
+    corpus band table is a PERSISTED index, bucketed by band_sig — the
+    batch-side table is the only per-ingest computation); candidates
+    are verified with exact shingle Jaccard.  Output: one row per batch
+    doc with its match count and best corpus match (max jaccard, ties
+    to the smallest corpus doc_id — a ``max_by`` aggregate with
+    map-side combine, not a window).
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .unionByName(
+            corpus.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    sh_c = _doc_shingles(corpus).localCheckpoint(eager=True)
+    sh_n = _doc_shingles(batch).localCheckpoint(eager=True)
+    cand = (
+        _band_table(sh_n)
+        .alias("n")
+        .join(
+            _band_table(sh_c).alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_sig") == F.col("c.band_sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    sizes_n = sh_n.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes_c = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh_n.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(
+            sh_c.alias("sb"),
+            (F.col("corpus_id") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    matches = (
+        inter.join(sizes_n.alias("za"), F.col("new_id") == F.col("za.doc_id"))
+        .join(sizes_c.alias("zb"), F.col("corpus_id") == F.col("zb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            # composite argmax key as ONE bigint (jaccard has 4 decimals
+            # → integer in 14 bits; corpus_id ≪ 2^40): max jaccard,
+            # ties to the smallest corpus_id — DuckDB's max_by has no
+            # struct ordering, so both engines use this scalar key
+            F.expr(
+                "max_by(corpus_id, cast(floor(jaccard * 1e4 + 0.5) as bigint)"
+                " * 1099511627776 - corpus_id)"
+            ).alias("best_match"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        batch.select("doc_id")
+        .join(matches, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            "best_match",
+            "best_jaccard",
+        )
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (majority vote over token-hash bits).
 
@@ -554,6 +646,7 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
     "dedup_components": dedup_components,
+    "dedup_incremental_lsh": dedup_incremental_lsh,
 }
 
 _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
@@ -667,6 +760,68 @@ ORACLES = {
         )
         SELECT node AS doc_id, min(label) AS cluster
         FROM reach GROUP BY node
+    """,
+    "dedup_incremental_lsh": f"""
+        WITH corpus_all AS (SELECT doc_id, text FROM documents),
+        corp AS (SELECT doc_id, text FROM corpus_all WHERE doc_id % 10 <> 0),
+        batch AS (
+            SELECT doc_id, text FROM corpus_all WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text FROM corp WHERE doc_id < 20
+        ),
+        corpus AS (
+            SELECT doc_id, text, 0 AS is_new FROM corp
+            UNION ALL
+            SELECT doc_id, text, 1 AS is_new FROM batch
+        ),
+        {_DUCK_SHINGLE_CTE},
+        side AS (SELECT doc_id, is_new FROM corpus),
+        hashed AS (SELECT doc_id, shingle, {_BASE40_DUCK} AS h40 FROM sh),
+        seeds AS (SELECT unnest(generate_series(0, {_N_SEEDS - 1})) AS seed),
+        sig AS (
+            SELECT doc_id, seed,
+                   min({_seeded("seed", "h40")}) AS minhash
+            FROM hashed, seeds GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, (seed // 2) AS band,
+                   string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+            FROM sig GROUP BY doc_id, (seed // 2)
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+            FROM bands n
+            JOIN side ns ON ns.doc_id = n.doc_id AND ns.is_new = 1
+            JOIN bands c ON n.band = c.band AND n.band_sig = c.band_sig
+            JOIN side cs ON cs.doc_id = c.doc_id AND cs.is_new = 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.new_id, c.corpus_id, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.new_id
+            JOIN sh sb ON sb.doc_id = c.corpus_id AND sa.shingle = sb.shingle
+            GROUP BY c.new_id, c.corpus_id
+        ),
+        scoredm AS (
+            SELECT i.new_id, i.corpus_id,
+                   round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.new_id
+            JOIN sizes zb ON zb.doc_id = i.corpus_id
+            WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) >= 0.5
+        ),
+        agg AS (
+            SELECT new_id, count(*) AS n_matches,
+                   max_by(corpus_id, floor(jaccard * 1e4 + 0.5)::BIGINT
+                          * 1099511627776 - corpus_id) AS best_match,
+                   max(jaccard) AS best_jaccard
+            FROM scoredm GROUP BY new_id
+        )
+        SELECT b.doc_id,
+               coalesce(a.n_matches, 0) AS n_matches,
+               a.best_match, a.best_jaccard
+        FROM batch b LEFT JOIN agg a ON a.new_id = b.doc_id
     """,
     "dedup_simhash": f"""
         WITH {_DUCK_SIMHASH_CTES}

@@ -239,6 +239,21 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _argmin_assign(scored: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment from a (vec_id, v, cent_id, ccos)
+    frame: max ccos, ties to the smallest cent_id — via ``max_by`` over
+    the key struct (ccos, −cent_id), which aggregates with MAP-SIDE
+    partial combine (a window over vec_id would shuffle the whole N·k
+    expanded frame).  ``first(v)`` is deterministic here because v is
+    constant within a vec_id group."""
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cent_id"),
+        F.first("v").alias("v"),
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest
     centroid, then answer each query from its own centroid's cell only
@@ -253,8 +268,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only move centroids, not change the plan shape.
 
     Scale: centroids broadcast (~sqrt(N) rows); assignment is one
-    scan-side broadcast join + per-vector argmin — no shuffle of the
-    corpus; the probe join is an equi-join on cent_id.
+    scan-side broadcast join + per-vector argmin via max_by groupBy —
+    the N·k expanded frame reduces MAP-SIDE (partial aggregation)
+    before its shuffle, unlike a window which would move all N·k rows;
+    the probe join is an equi-join on cent_id.
     """
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
@@ -273,12 +290,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("ark", F.row_number().over(wa))
-        .filter(F.col("ark") == 1)
-        .select("vec_id", "v", "cent_id")
-    )
+    assigned = _argmin_assign(scored)
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -327,12 +339,15 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+    assigned = _argmin_assign(scored)
+    # probe set: the query's two nearest centroids — the rank-2 window
+    # runs over the QUERY rows only (k × n_queries rows, trivial), so
+    # the full expanded frame still reduces map-side in _argmin_assign
     wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    ranked = scored.withColumn("ark", F.row_number().over(wa))
-    assigned = ranked.filter(F.col("ark") == 1).select("vec_id", "v", "cent_id")
-    # probe set: the query's two nearest centroids
-    probes = ranked.filter(
-        (F.col("vec_id") < _N_QUERIES) & (F.col("ark") <= 2)
+    probes = (
+        scored.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") <= 2)
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -388,19 +403,15 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        scored = vecs.join(F.broadcast(cents)).withColumn(
-            "ccos",
-            F.round(
-                F.expr(_DOT.format(a="v", b="cv"))
-                / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
-                6,
-            ),
-        )
-        wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-        return (
-            scored.withColumn("ark", F.row_number().over(wa))
-            .filter(F.col("ark") == 1)
-            .select("vec_id", "v", "cent_id")
+        return _argmin_assign(
+            vecs.join(F.broadcast(cents)).withColumn(
+                "ccos",
+                F.round(
+                    F.expr(_DOT.format(a="v", b="cv"))
+                    / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
+                    6,
+                ),
+            )
         )
 
     assigned0 = _assign(emb, cents0)

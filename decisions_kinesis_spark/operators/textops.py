@@ -339,8 +339,39 @@ def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_K = 50  # hash-ranked sample size per language
+
+
+def sample_per_lang_hashrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per language, keep the K=50
+    documents with the smallest md5-derived hash of doc_id — a seedable
+    'random' sample that is REPRODUCIBLE across engines, runs, and
+    cluster sizes (unlike rand()-based sampling), the standard way a
+    training pipeline draws stable per-stratum eval subsets.
+
+    Scale: the rank is a row_number window over lang — Spark's
+    WindowGroupLimit inserts a PARTIAL per-partition top-K before the
+    exchange, so only K·partitions rows shuffle per stratum, not the
+    corpus.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _SAMPLE_K)
+        .select("lang", "doc_id", "rk")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "sample_per_lang_hashrank": sample_per_lang_hashrank,
     "text_top_words": text_top_words,
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
@@ -356,6 +387,20 @@ _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
 _DUCK_BIGHASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
 
 ORACLES = {
+    "sample_per_lang_hashrank": f"""
+        WITH h AS (
+            SELECT lang, doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+            FROM documents
+        ),
+        ranked AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY hv ASC, doc_id ASC) AS rk
+            FROM h
+        )
+        SELECT lang, doc_id, rk FROM ranked WHERE rk <= {_SAMPLE_K}
+    """,
     "text_chunk_documents": f"""
         WITH t AS (
             SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents

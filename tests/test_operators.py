@@ -50,6 +50,33 @@ def test_minhash_lsh_finds_exact_dups(spark, sf_dir):
     assert all(r.jaccard == 1.0 for r in pairs if r.doc_b == r.doc_a + 100000)
 
 
+def test_dedup_incremental_flags_batch_copies_only(spark, sf_dir):
+    """Incremental LSH: every injected batch copy (doc_id+200000 of a
+    corpus doc) must hit its original with jaccard 1.0; output covers
+    exactly the batch (one row per batch doc, never a corpus doc)."""
+    from decisions_kinesis_spark.operators.dedup import dedup_incremental_lsh
+    from decisions_kinesis_spark.sources.tables import load_table
+
+    rows = {r.doc_id: r for r in dedup_incremental_lsh(spark, sf_dir).collect()}
+    docs = load_table(spark, "documents", sf_dir)
+    corpus_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 10 != 0).select("doc_id").collect()
+    }
+    batch_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").collect()
+    } | {i + 200000 for i in corpus_ids if i < 20}
+    assert set(rows) == batch_ids
+    for orig in (i for i in corpus_ids if i < 20):
+        r = rows[orig + 200000]
+        assert r.n_matches >= 1
+        assert r.best_match == orig
+        assert r.best_jaccard == 1.0
+    # corpus docs never appear on the output side
+    assert not (set(rows) & corpus_ids)
+
+
 def test_dedup_components_cluster_to_min_id(spark, sf_dir):
     from decisions_kinesis_spark.operators.dedup import dedup_components
 
