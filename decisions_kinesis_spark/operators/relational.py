@@ -1206,6 +1206,70 @@ def q21_single_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value compared against a GLOBAL
+    scalar threshold (HAVING value > fraction × sum(value) over ALL
+    groups) — the aggregate-vs-scalar-subquery form.  No partsupp
+    fixture: a part's "stock value" is the discounted revenue of its
+    lineitems whose supplier sits in NATION_7 (same adaptation as
+    q2/q9/q16/q20).
+
+    Scale: one fact shuffle on l_partkey with map-side combine; the
+    per-part frame (|parts| rows) is localCheckpoint'd so the global
+    total re-aggregates the TINY frame, not the fact table, and joins
+    back as a broadcast 1-row scalar.  Money stays DECIMAL(18,4) until
+    the final double cast, so the threshold compare is engine-stable.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_7")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(rev).alias("value_dec"))
+        .localCheckpoint(eager=True)
+    )
+    total = per_part.select(F.sum("value_dec").cast("double").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("tot") * 0.001)
+        .select("p_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + CASE-conditional counts per
+    category.  No l_shipmode/l_receiptdate in the fixture: the category
+    axis is l_returnflag and "late" means shipped after the order date,
+    within the 1997 ship year; the high/low split on o_orderpriority is
+    verbatim Q12.
+
+    Scale: both facts shuffle once on the order key (sort-merge); the
+    conditional counts are codegen'd CASE aggregates with map-side
+    combine onto a 3-row result — no second shuffle.
+    """
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicitly salted shuffle join (functions/skew.salt_join_keys):
     the big side gets a random salt, the small side is replicated per
@@ -1282,6 +1346,8 @@ QUERIES = {
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q20_excess_suppliers": q20_excess_suppliers,
     "q21_single_supplier_orders": q21_single_supplier_orders,
+    "q11_important_parts": q11_important_parts,
+    "q12_late_shipment_priority": q12_late_shipment_priority,
     "join_salted_skew": join_salted_skew,
     "window_rank_suite": window_rank_suite,
     "window_rolling_1h_sum": window_rolling_1h_sum,
@@ -1598,6 +1664,33 @@ ORACLES = {
         FROM ranked WHERE rk = 1
         ORDER BY unit_price ASC, p_partkey ASC, s_suppkey ASC
         LIMIT 25
+    """,
+    "q11_important_parts": """
+        WITH pp AS (
+            SELECT l_partkey AS p_partkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS value_dec
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+            GROUP BY l_partkey
+        )
+        SELECT p_partkey, value_dec::DOUBLE AS part_value
+        FROM pp
+        WHERE value_dec::DOUBLE > (SELECT sum(value_dec)::DOUBLE * 0.001 FROM pp)
+    """,
+    "q12_late_shipment_priority": """
+        SELECT l_returnflag AS ship_class,
+               count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                   AS high_line_count,
+               count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                   AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
     """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
