@@ -369,8 +369,128 @@ def sample_per_lang_hashrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_N = 5  # dup-span n-gram width (Gopher/RefinedWeb quality signal)
+
+_BM25_QUERY_TERMS = (
+    (1, "spark"),
+    (1, "join"),
+    (2, "stream"),
+    (2, "window"),
+    (2, "batch"),
+    (3, "slow"),
+    (3, "fast"),
+)
+_BM25_TOPK = 10
+
+
+def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span quality signal: per document, the fraction of its
+    token 5-gram occurrences that are duplicated ANYWHERE in the corpus
+    (including within the same document) — the Gopher/RefinedWeb
+    "fraction of tokens in duplicate n-grams" filter used to score
+    boilerplate and template text before training.
+
+    Scale: grams are hashed to ONE bigint before the global count, so
+    the vocabulary shuffle moves 8-byte keys, not strings; the count
+    agg combines map-side, and the count→occurrence equi-join is the
+    plan AQE can re-balance.  Docs shorter than the span width drop out
+    (no spans to score) in both engines.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= _SPAN_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SPAN_N} + 1),"
+                f" i -> array_join(slice(toks, i, {_SPAN_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.expr(_BIGHASH.format(e="gram")).alias("g"))
+    counts = grams.groupBy("g").agg(F.count("*").alias("cnt"))
+    return (
+        grams.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count(F.when(F.col("cnt") > 1, F.lit(1))).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction", F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+        )
+    )
+
+
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75): top-10 documents per query for a
+    fixed multi-term query set — the sparse-retrieval dual of the ANN
+    family, the standard way a training pipeline mines topical subsets.
+
+    Engine-exact scoring: idf is the integer-scaled BM25 form
+    ``((2N−2df+1)·SCALE) div (2df+1)`` (the log is dropped for
+    cross-engine exactness, same discipline as text_tfidf_topk); with
+    k1=6/5 and b=3/4 the per-term score reduces to ONE double division
+    of exact integer products, ``idf·22·tf·total / (10·tf·total +
+    3·total + 9·dl·N)``, rounded to 4dp and summed as DECIMAL(18,4) so
+    the per-document total is order-independent.
+
+    Scale: one explode→(doc,term) pass; the query-term frame and the
+    1-row corpus stats broadcast; tf/df aggs combine map-side; ranking
+    is a per-query top-k window (WindowGroupLimit partial top-k).
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_toks"))
+    qterms = spark.createDataFrame(
+        list(_BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_t, "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "tscore",
+            F.round(
+                F.expr(
+                    f"cast(((2 * n_docs - 2 * df + 1) * {_IDF_SCALE})"
+                    " div (2 * df + 1) as double)"
+                    " * 22.0 * tf * total_toks"
+                    " / (10 * tf * total_toks + 3 * total_toks + 9 * dl * n_docs)"
+                ),
+                4,
+            ).cast("decimal(18,4)"),
+        )
+    )
+    from pyspark.sql import Window
+
+    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("tscore").alias("sdec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sdec"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select(
+            "query_id", "doc_id", F.col("sdec").cast("double").alias("bm25"), "rk"
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_dup_span_fraction": text_dup_span_fraction,
+    "retrieval_bm25_topk": retrieval_bm25_topk,
     "sample_per_lang_hashrank": sample_per_lang_hashrank,
     "text_top_words": text_top_words,
     "text_lang_id": text_lang_id,
@@ -386,7 +506,73 @@ QUERIES = {
 _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 _DUCK_BIGHASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
 
+_DUCK_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERY_TERMS)
+
 ORACLES = {
+    "text_dup_span_fraction": f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        nz AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {_SPAN_N}),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) - {_SPAN_N} + 2),
+                       i -> array_to_string(
+                           list_slice(toks, i, i + {_SPAN_N} - 1), ' ')
+                   )) AS gram
+            FROM nz
+        ),
+        gh AS (SELECT doc_id, {_DUCK_BIGHASH.format(e="gram")} AS g FROM g),
+        counts AS (SELECT g, count(*) AS cnt FROM gh GROUP BY g)
+        SELECT doc_id, count(*) AS n_spans,
+               count(*) FILTER (WHERE cnt > 1) AS n_dup_spans,
+               round(count(*) FILTER (WHERE cnt > 1) / count(*), 4)
+                   AS dup_fraction
+        FROM gh JOIN counts USING (g)
+        GROUP BY doc_id
+    """,
+    "retrieval_bm25_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+        ),
+        q AS (SELECT * FROM (VALUES {_DUCK_BM25_VALUES}) AS v(query_id, term)),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*)::BIGINT AS n_docs,
+                         sum(dl)::BIGINT AS total_toks FROM dl),
+        tf AS (
+            SELECT q.query_id, q.term, t.doc_id, count(*)::BIGINT AS tf
+            FROM toks t JOIN q ON t.term = q.term
+            GROUP BY q.query_id, q.term, t.doc_id
+        ),
+        dft AS (
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+            WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.query_id, tf.doc_id,
+                   round((((2 * n_docs - 2 * df + 1) * {_IDF_SCALE})
+                          // (2 * df + 1))::DOUBLE
+                         * 22.0 * tf * total_toks
+                         / (10 * tf * total_toks + 3 * total_toks
+                            + 9 * dl.dl * n_docs),
+                         4)::DECIMAL(18,4) AS tscore
+            FROM tf
+            JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN dft ON tf.term = dft.term
+            CROSS JOIN stats
+        ),
+        agg AS (
+            SELECT query_id, doc_id, sum(tscore) AS sdec
+            FROM scored GROUP BY query_id, doc_id
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, sdec,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sdec DESC, doc_id ASC) AS rk
+            FROM agg
+        )
+        SELECT query_id::BIGINT AS query_id, doc_id, sdec::DOUBLE AS bm25, rk
+        FROM ranked WHERE rk <= {_BM25_TOPK}
+    """,
     "sample_per_lang_hashrank": f"""
         WITH h AS (
             SELECT lang, doc_id,

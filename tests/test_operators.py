@@ -306,3 +306,52 @@ def test_connector_options_efo_and_static_auth():
     assert opts["awsAccessKeyId"] == "AK"
     assert opts["roleArn"].endswith("role/r")
     assert opts["roleSessionName"] == "DecisionsKinesisSession"
+
+
+def test_dup_span_fraction_invariants(spark, sf_dir):
+    """Span accounting: every doc with >= 5 tokens appears, n_spans is
+    exactly n_tokens - 4, and the duplicate count never exceeds it."""
+    from decisions_kinesis_spark.operators.textops import text_dup_span_fraction
+
+    out = {r.doc_id: r for r in text_dup_span_fraction(spark, sf_dir).collect()}
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.size(F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")).alias("n"),
+    )
+    for d in docs.collect():
+        if d.n >= 5:
+            r = out[d.doc_id]
+            assert r.n_spans == d.n - 4
+            assert 0 <= r.n_dup_spans <= r.n_spans
+            assert 0.0 <= r.dup_fraction <= 1.0
+        else:
+            assert d.doc_id not in out
+
+
+def test_bm25_ranking_is_consistent(spark, sf_dir):
+    """Per query: ranks are 1..k, scores non-increasing along rank, and
+    every returned doc actually contains at least one query term."""
+    from decisions_kinesis_spark.operators.textops import (
+        _BM25_QUERY_TERMS,
+        retrieval_bm25_topk,
+    )
+
+    rows = retrieval_bm25_topk(spark, sf_dir).collect()
+    byq: dict[int, list] = {}
+    for r in rows:
+        byq.setdefault(r.query_id, []).append(r)
+    terms_by_q: dict[int, set] = {}
+    for q, t in _BM25_QUERY_TERMS:
+        terms_by_q.setdefault(q, set()).add(t)
+    docs = {
+        r.doc_id: set(r.text.lower().split())
+        for r in load_table(spark, "documents", sf_dir).collect()
+    }
+    assert set(byq) == set(terms_by_q)
+    for q, rs in byq.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.bm25 for r in rs]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        for r in rs:
+            assert docs[r.doc_id] & terms_by_q[q]
