@@ -26,6 +26,7 @@ _OPERATOR_MODULES = (
     "pipeline",
     "similarity",
     "dedup",
+    "corpus",
 )
 
 # Registration order = the order the driver's correctness gate walks the

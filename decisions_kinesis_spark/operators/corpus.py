@@ -1,0 +1,394 @@
+"""Corpus-preparation operators for large-scale training pipelines
+(SURVEY.md §7 M6 extension): Gopher-style quality gating, an n-gram
+LM predictability score, exact-substring dedup, deterministic global
+shuffle + sharding, BPE merge-candidate mining, and inverted-index
+profiling.
+
+All six are pure DataFrame compositions (explode → map-side-combining
+aggregations → equi-joins) with no Python in the hot path; every
+double that leaves an operator is floor-rounded with the
+cross-engine-stable ``floor(x*1e4 + 0.5)/1e4`` pattern and every
+score that feeds a comparison is integer-scaled, so the DuckDB
+oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.operators.textops import (
+    _BIGHASH,
+    _DUCK_BIGHASH,
+    _DUCK_TOKS,
+    _STOP_SQL,
+    _TOKS,
+)
+from decisions_kinesis_spark.sources.tables import load_table
+
+#: floor-based 4dp round — identical IEEE op sequence in both engines
+#: (Spark round() is HALF_UP, DuckDB HALF_EVEN; this sidesteps both).
+def _fl4(col):  # noqa: E302 - module-scope helper, doc above
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000.0
+
+
+_GOPHER_MIN_WORDS = 10
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_WLEN = 3.0
+_GOPHER_MAX_WLEN = 10.0
+_GOPHER_MAX_TOPFRAC = 0.20
+_GOPHER_MIN_STOP = 2
+
+
+def quality_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1 adapted to the
+    fixture's single-line corpus): word-count band, mean-word-length
+    band, most-frequent-word fraction (repetition), and minimum
+    distinct-stopword presence, plus the combined ``keep`` verdict.
+
+    Scale: explode → (doc, word) counts (map-side combine) → per-doc
+    fold.  Two shuffles on bounded keys; no driver participation; the
+    per-word count frame is the same shape MinHash/TF-IDF already
+    shuffle, so at 100 TB this rides the identical partitioning.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    words = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    per = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.col("cnt") * F.length("w")).alias("char_sum"),
+        F.count(F.when(F.expr(f"w in ({_STOP_SQL})"), F.lit(1))).alias(
+            "n_stopwords"
+        ),
+    )
+    out = per.select(
+        "doc_id",
+        "n_words",
+        _fl4(F.col("char_sum") / F.col("n_words")).alias("mean_word_len"),
+        _fl4(F.col("n_distinct") / F.col("n_words")).alias("distinct_ratio"),
+        _fl4(F.col("top_cnt") / F.col("n_words")).alias("top_word_fraction"),
+        "n_stopwords",
+    )
+    return out.withColumn(
+        "keep",
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(_GOPHER_MIN_WLEN, _GOPHER_MAX_WLEN)
+        & (F.col("top_word_fraction") <= _GOPHER_MAX_TOPFRAC)
+        & (F.col("n_stopwords") >= _GOPHER_MIN_STOP),
+    )
+
+
+_LM_SCALE = 1_000_000  # integer-scaled bigram probability
+
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM predictability score (the perplexity-proxy quality
+    filter, CCNet-style but with the corpus itself as the LM): per
+    document, the average integer-scaled corpus bigram probability
+    ``P(w2|w1) ≈ cnt(w1 w2)·1e6 div cnt(w1·)`` over all its bigram
+    positions.  High scores flag templated / repetitive text; the
+    integer div keeps both engines bit-identical (no log, no float
+    accumulation).
+
+    Scale: bigram extraction is a per-row transform; the two count
+    frames combine map-side and join back on (w1, w2) / (w1) equi-keys
+    — the same bounded-vocabulary shuffle shape as TF-IDF.  The final
+    per-doc fold is a bigint sum + integer division.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> named_struct('w1', element_at(toks, i),"
+                " 'w2', element_at(toks, i + 1)))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cnt_bi = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    cnt_uni = bi.groupBy("w1").agg(F.count("*").alias("c_uni"))
+    scored = (
+        bi.join(cnt_bi, ["w1", "w2"])
+        .join(cnt_uni, "w1")
+        .withColumn("p_scaled", F.expr(f"(c_bi * {_LM_SCALE}) div c_uni"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("sum(p_scaled) div count(*)").alias("lm_score_scaled"),
+    )
+
+
+_SUBSTR_N = 8  # exact-substring gram width (token granularity)
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at token-gram granularity (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better",
+    suffix-array pass approximated by hashed 8-token grams): a document
+    is flagged when any of its grams also occurs in a LOWER-doc_id
+    document — the keep-first-occurrence policy of the paper.
+
+    Documents shorter than the gram width have no spans and drop out
+    (consistently in both engines).
+
+    Scale: grams are hashed to one bigint before the global min-owner
+    aggregation, so the shuffle moves 8-byte keys; min() combines
+    map-side; the owner→occurrence equi-join is AQE-splittable.  This
+    is the linear-shuffle alternative to a distributed suffix array.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= _SUBSTR_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SUBSTR_N} + 1),"
+                f" i -> array_join(slice(toks, i, {_SUBSTR_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.expr(_BIGHASH.format(e="gram")).alias("g"))
+    owner = grams.groupBy("g").agg(F.min("doc_id").alias("owner"))
+    return (
+        grams.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("owner") < F.col("doc_id"), F.lit(1))).alias(
+                "n_shared"
+            ),
+        )
+        .withColumn("flagged", F.col("n_shared") > 0)
+    )
+
+
+_N_SHARDS = 16
+
+
+def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the "shuffle
+    once, shard, stream" step every pre-training pipeline runs before
+    tokenization.  shard = md5-hash(doc_id) mod 16; position within a
+    shard = rank by (hash, doc_id).  Reproducible across runs and
+    engines, no RNG.
+
+    Scale: this is exactly Spark's hash-partition + per-partition sort
+    (one exchange, sortWithinPartitions semantics via the window); no
+    global total order is ever materialized — the per-shard window
+    sorts only its own partition.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    h = docs.select(
+        "doc_id",
+        F.expr(
+            _BIGHASH.format(e="concat(cast(doc_id as string), ':shuffle')")
+        ).alias("hv"),
+    ).withColumn("shard", F.expr(f"hv % {_N_SHARDS}"))
+    w = Window.partitionBy("shard").orderBy(F.asc("hv"), F.asc("doc_id"))
+    return h.select(
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+        "hv",
+    )
+
+
+_BPE_TOPK = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate mining: the top-20 most frequent adjacent
+    character pairs inside corpus tokens (frequency-weighted — the
+    statistic the first byte-pair-encoding merge maximizes).
+
+    Scale: two explodes (token, then in-token position) followed by one
+    map-side-combining count and a TakeOrderedAndProject top-k; the
+    pair vocabulary is ≤ alphabet², so the final shuffle is tiny
+    regardless of corpus size.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    toks = docs.select(F.explode(F.expr(_TOKS)).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOPK)
+    )
+
+
+_INDEX_TOPK = 30
+
+
+def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index profile: for the 30 highest-document-frequency
+    terms, the posting-list summary (df, doc_id checksum, first/last
+    posting) — the build-side statistics of a sparse retrieval index,
+    emitted as checksums so the result is order-independent.
+
+    Scale: distinct (doc, term) pairs combine map-side; the per-term
+    fold is a bounded-vocabulary aggregation; top-k is
+    TakeOrderedAndProject (no global sort).
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    postings = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("term")
+    ).distinct()
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("doc_id").alias("postings_checksum"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_INDEX_TOPK)
+    )
+
+
+QUERIES = {
+    "quality_gopher_flags": quality_gopher_flags,
+    "lm_bigram_score": lm_bigram_score,
+    "dedup_exact_substring": dedup_exact_substring,
+    "train_shuffle_shards": train_shuffle_shards,
+    "bpe_pair_counts": bpe_pair_counts,
+    "inverted_index_topdf": inverted_index_topdf,
+}
+
+_DUCK_FL4 = "floor(({e}) * 10000 + 0.5) / 10000.0"
+
+ORACLES = {
+    "quality_gopher_flags": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+        ),
+        wc AS (
+            SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w
+        ),
+        per AS (
+            SELECT doc_id,
+                   sum(cnt)::BIGINT AS n_words,
+                   count(*)::BIGINT AS n_distinct,
+                   max(cnt)::BIGINT AS top_cnt,
+                   sum(cnt * length(w))::BIGINT AS char_sum,
+                   count(*) FILTER (WHERE w IN ({_STOP_SQL}))::BIGINT
+                       AS n_stopwords
+            FROM wc GROUP BY doc_id
+        ),
+        m AS (
+            SELECT doc_id, n_words,
+                   {_DUCK_FL4.format(e="char_sum::DOUBLE / n_words")}
+                       AS mean_word_len,
+                   {_DUCK_FL4.format(e="n_distinct::DOUBLE / n_words")}
+                       AS distinct_ratio,
+                   {_DUCK_FL4.format(e="top_cnt::DOUBLE / n_words")}
+                       AS top_word_fraction,
+                   n_stopwords
+            FROM per
+        )
+        SELECT *,
+               (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {_GOPHER_MIN_WLEN} AND {_GOPHER_MAX_WLEN}
+                AND top_word_fraction <= {_GOPHER_MAX_TOPFRAC}
+                AND n_stopwords >= {_GOPHER_MIN_STOP}) AS keep
+        FROM m
+    """,
+    "lm_bigram_score": f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        nz AS (SELECT * FROM t WHERE len(toks) >= 2),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i + 1])) AS w2
+            FROM nz
+        ),
+        cbi AS (SELECT w1, w2, count(*)::BIGINT AS c_bi FROM bi GROUP BY w1, w2),
+        cun AS (SELECT w1, count(*)::BIGINT AS c_uni FROM bi GROUP BY w1),
+        scored AS (
+            SELECT bi.doc_id, (c_bi * {_LM_SCALE}) // c_uni AS p_scaled
+            FROM bi JOIN cbi USING (w1, w2) JOIN cun USING (w1)
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               (sum(p_scaled) // count(*))::BIGINT AS lm_score_scaled
+        FROM scored GROUP BY doc_id
+    """,
+    "dedup_exact_substring": f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        nz AS (SELECT * FROM t WHERE len(toks) >= {_SUBSTR_N}),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) - {_SUBSTR_N} + 2),
+                       i -> array_to_string(
+                           list_slice(toks, i, i + {_SUBSTR_N} - 1), ' ')
+                   )) AS gram
+            FROM nz
+        ),
+        gh AS (SELECT doc_id, {_DUCK_BIGHASH.format(e="gram")} AS g FROM g),
+        owner AS (SELECT g, min(doc_id) AS owner FROM gh GROUP BY g)
+        SELECT doc_id, count(*)::BIGINT AS n_grams,
+               count(*) FILTER (WHERE owner < doc_id)::BIGINT AS n_shared,
+               count(*) FILTER (WHERE owner < doc_id) > 0 AS flagged
+        FROM gh JOIN owner USING (g)
+        GROUP BY doc_id
+    """,
+    "train_shuffle_shards": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':shuffle'),
+                                   1, 15))::BIGINT AS hv
+            FROM documents
+        ),
+        s AS (SELECT doc_id, hv, hv % {_N_SHARDS} AS shard FROM h)
+        SELECT shard, row_number() OVER (PARTITION BY shard
+                                         ORDER BY hv ASC, doc_id ASC) AS pos,
+               doc_id, hv
+        FROM s
+    """,
+    "bpe_pair_counts": f"""
+        WITH toks AS (
+            SELECT unnest({_DUCK_TOKS}) AS w FROM documents
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, length(w)),
+                                         i -> substr(w, i, 2))) AS pair
+            FROM toks WHERE length(w) >= 2
+        )
+        SELECT pair, count(*) AS n FROM pairs
+        GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {_BPE_TOPK}
+    """,
+    "inverted_index_topdf": f"""
+        WITH postings AS (
+            SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+            )
+        )
+        SELECT term, count(*)::BIGINT AS df,
+               sum(doc_id)::BIGINT AS postings_checksum,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM postings GROUP BY term
+        ORDER BY df DESC, term ASC LIMIT {_INDEX_TOPK}
+    """,
+}

@@ -355,3 +355,91 @@ def test_bm25_ranking_is_consistent(spark, sf_dir):
         assert all(a >= b for a, b in zip(scores, scores[1:]))
         for r in rs:
             assert docs[r.doc_id] & terms_by_q[q]
+
+
+def test_train_shuffle_shards_is_a_permutation(spark, sf_dir):
+    """Every document lands in exactly one shard with contiguous
+    positions 1..n — the deterministic-global-shuffle contract."""
+    from decisions_kinesis_spark.operators.corpus import train_shuffle_shards
+
+    out = train_shuffle_shards(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    per = out.groupBy("shard").agg(
+        F.count("*").alias("c"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert per.filter((F.col("mx") != F.col("c")) | (F.col("mn") != 1)).count() == 0
+    # deterministic: two invocations produce identical assignments
+    again = train_shuffle_shards(spark, sf_dir)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_gopher_keep_matches_band_constraints(spark, sf_dir):
+    from decisions_kinesis_spark.operators.corpus import (
+        _GOPHER_MAX_TOPFRAC,
+        _GOPHER_MIN_STOP,
+        _GOPHER_MIN_WLEN,
+        _GOPHER_MIN_WORDS,
+        quality_gopher_flags,
+    )
+
+    rows = quality_gopher_flags(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expected = (
+            r.n_words >= _GOPHER_MIN_WORDS
+            and _GOPHER_MIN_WLEN <= r.mean_word_len <= 10.0
+            and r.top_word_fraction <= _GOPHER_MAX_TOPFRAC
+            and r.n_stopwords >= _GOPHER_MIN_STOP
+        )
+        assert r.keep == expected, r
+
+
+def test_exact_substring_dedup_flags_injected_copy(spark, sf_dir):
+    """A verbatim copy of a longer document must be flagged (every gram
+    shared with the lower-id original); counters stay consistent."""
+    from decisions_kinesis_spark.operators.corpus import (
+        _SUBSTR_N,
+        dedup_exact_substring,
+    )
+    from decisions_kinesis_spark.operators.textops import _TOKS
+
+    out = dedup_exact_substring(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.n_shared <= r.n_grams
+        assert r.flagged == (r.n_shared > 0)
+    docs = load_table(spark, "documents", sf_dir)
+    long_docs = docs.withColumn("n", F.size(F.expr(_TOKS))).filter(
+        F.col("n") >= _SUBSTR_N
+    )
+    src = long_docs.orderBy("doc_id").limit(1).collect()[0]
+    copy = docs.sparkSession.createDataFrame(
+        [(src.doc_id + 10_000_000, src.text)], "doc_id long, text string"
+    )
+    patched = docs.select("doc_id", "text").unionByName(copy)
+    from decisions_kinesis_spark.operators import corpus as corpus_mod
+
+    toks = patched.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= corpus_mod._SUBSTR_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SUBSTR_N} + 1),"
+                f" i -> array_join(slice(toks, i, {_SUBSTR_N}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("owner"))
+    flagged = (
+        grams.join(owner, "gram")
+        .filter(F.col("owner") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert src.doc_id + 10_000_000 in {r.doc_id for r in flagged}
