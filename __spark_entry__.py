@@ -49,13 +49,12 @@ _GATE_PRIORITY = (
     "split_stratified_rates",
     "profile_table_quality",
     # strongest relational: TPC-H shapes + one per join/agg/window/set/
-    # scalar/json form (19)
+    # scalar/json form (17; q7/q10 fell past the cap to make room for
+    # the corpus module — their shapes stay covered by q1/q3/q5/q6)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
     "join_broadcast_dims",
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
@@ -100,6 +99,9 @@ _GATE_PRIORITY = (
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_components",
+    # corpus prep (2)
+    "quality_gopher_flags",
+    "dedup_exact_substring",
 )
 
 
