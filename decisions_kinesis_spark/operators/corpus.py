@@ -92,35 +92,48 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer div keeps both engines bit-identical (no log, no float
     accumulation).
 
-    Scale: bigram extraction is a per-row transform; the two count
-    frames combine map-side and join back on (w1, w2) / (w1) equi-keys
-    — the same bounded-vocabulary shuffle shape as TF-IDF.  The final
-    per-doc fold is a bigint sum + integer division.
+    Scale: bigram occurrences collapse to per-doc TYPE counts before
+    any join (sum over occurrences of p = Σ tf·p over types, exactly),
+    and both join keys are 60-bit hashes of the bigram / prefix, so the
+    corpus-count shuffles move 8-byte keys and the join input is the
+    distinct-(doc, bigram) frame, not every occurrence.  All counts
+    combine map-side; the per-doc fold is a bigint sum + integer
+    division.  Measured 20×-data wall-clock ratio dropped 11.6×→~4×
+    with this shape (tools/scale_smoke.py).
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
         F.size("toks") >= 2
     )
+    # 0x1F separator cannot appear in whitespace-split tokens, so the
+    # (w1, w2) → hash map is injective on this corpus shape.
     bi = toks.select(
         "doc_id",
         F.explode(
             F.expr(
                 "transform(sequence(1, size(toks) - 1),"
-                " i -> named_struct('w1', element_at(toks, i),"
-                " 'w2', element_at(toks, i + 1)))"
+                " i -> named_struct("
+                "   'gb', concat(element_at(toks, i), char(31),"
+                "                element_at(toks, i + 1)),"
+                "   'gu', element_at(toks, i)))"
             )
         ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
-    cnt_bi = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
-    cnt_uni = bi.groupBy("w1").agg(F.count("*").alias("c_uni"))
+    ).select(
+        "doc_id",
+        F.expr(_BIGHASH.format(e="b.gb")).alias("gb"),
+        F.expr(_BIGHASH.format(e="b.gu")).alias("gu"),
+    )
+    doc_tf = bi.groupBy("doc_id", "gb", "gu").agg(F.count("*").alias("tf"))
+    cnt_bi = doc_tf.groupBy("gb").agg(F.sum("tf").alias("c_bi"))
+    cnt_uni = doc_tf.groupBy("gu").agg(F.sum("tf").alias("c_uni"))
     scored = (
-        bi.join(cnt_bi, ["w1", "w2"])
-        .join(cnt_uni, "w1")
+        doc_tf.join(cnt_bi, "gb")
+        .join(cnt_uni, "gu")
         .withColumn("p_scaled", F.expr(f"(c_bi * {_LM_SCALE}) div c_uni"))
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.expr("sum(p_scaled) div count(*)").alias("lm_score_scaled"),
+        F.sum("tf").alias("n_bigrams"),
+        F.expr("sum(tf * p_scaled) div sum(tf)").alias("lm_score_scaled"),
     )
 
 
@@ -316,20 +329,25 @@ ORACLES = {
         nz AS (SELECT * FROM t WHERE len(toks) >= 2),
         bi AS (
             SELECT doc_id,
-                   unnest(list_transform(range(1, len(toks)),
-                                         i -> toks[i])) AS w1,
-                   unnest(list_transform(range(1, len(toks)),
-                                         i -> toks[i + 1])) AS w2
+                   unnest(list_transform(range(1, len(toks)), i ->
+                       {_DUCK_BIGHASH.format(
+                           e="toks[i] || chr(31) || toks[i + 1]")})) AS gb,
+                   unnest(list_transform(range(1, len(toks)), i ->
+                       {_DUCK_BIGHASH.format(e="toks[i]")})) AS gu
             FROM nz
         ),
-        cbi AS (SELECT w1, w2, count(*)::BIGINT AS c_bi FROM bi GROUP BY w1, w2),
-        cun AS (SELECT w1, count(*)::BIGINT AS c_uni FROM bi GROUP BY w1),
+        doc_tf AS (
+            SELECT doc_id, gb, gu, count(*)::BIGINT AS tf
+            FROM bi GROUP BY doc_id, gb, gu
+        ),
+        cbi AS (SELECT gb, sum(tf)::BIGINT AS c_bi FROM doc_tf GROUP BY gb),
+        cun AS (SELECT gu, sum(tf)::BIGINT AS c_uni FROM doc_tf GROUP BY gu),
         scored AS (
-            SELECT bi.doc_id, (c_bi * {_LM_SCALE}) // c_uni AS p_scaled
-            FROM bi JOIN cbi USING (w1, w2) JOIN cun USING (w1)
+            SELECT doc_id, tf, (c_bi * {_LM_SCALE}) // c_uni AS p_scaled
+            FROM doc_tf JOIN cbi USING (gb) JOIN cun USING (gu)
         )
-        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-               (sum(p_scaled) // count(*))::BIGINT AS lm_score_scaled
+        SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+               (sum(tf * p_scaled) // sum(tf))::BIGINT AS lm_score_scaled
         FROM scored GROUP BY doc_id
     """,
     "dedup_exact_substring": f"""

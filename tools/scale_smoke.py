@@ -1,0 +1,134 @@
+"""Empirical scale smoke: replicate the sf0.1 corpus K× (default 20 —
+100k documents / 40k embeddings) and measure how the heavy operators'
+wall-clock grows relative to 1×.
+
+Correctness is the oracle harness's job at the driver SFs; THIS tool
+answers the 100 TB question with data: a family whose time ratio
+tracks the data ratio (±ε for fixed overhead) is shuffle-linear; a
+super-linear ratio exposes a quadratic candidate set or a
+single-reducer stage.
+
+Replicas are deterministically perturbed so they are NOT near-dups of
+their originals (every 3rd token is suffixed with the replica id →
+token-set Jaccard ≈ 0.5, below the dedup thresholds; embeddings get a
+per-replica deterministic offset on one component).  This keeps the
+candidate-pair volume realistic instead of exploding it artificially
+with 20-way exact duplicates.
+
+Usage:  python tools/scale_smoke.py [K] [op ...]
+Writes replicated parquet under .scale_smoke/ (gitignored) and prints
+one JSON line {op: {"t1": sec, "tK": sec, "ratio": tK/t1}, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/root/repo/.scale_smoke"  # per-K subdir; reused across runs
+
+DEFAULT_OPS = (
+    "quality_gopher_flags",
+    "dedup_exact_substring",
+    "text_dup_span_fraction",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_hamming_pairs",
+    "dedup_ngram_jaccard_blocked",
+    "dedup_components",
+    "ann_ivf_topk",
+    "ann_cosine_topk",
+    "dedup_embedding_components",
+    "lm_bigram_score",
+    "retrieval_bm25_topk",
+)
+
+
+def build_replica(spark, k: int) -> str:
+    """K deterministic perturbed copies of documents + embeddings; all
+    other tables symlinked from the base sf dir.  The dataset is
+    K-keyed and immutable once built, so concurrent/subsequent runs
+    reuse it instead of deleting it out from under each other."""
+    out = f"{OUT}/k{k}"
+    if os.path.isdir(f"{out}/_DONE"):
+        return out
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    big = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.expr(
+                    "array_join(transform(split(text, ' '), (t, i) ->"
+                    " if(i % 3 = 0, concat(t, '_', cast(rep as string)), t)),"
+                    " ' ')"
+                )
+            ),
+        )
+        .drop("rep")
+    )
+    big.repartition(32).write.parquet(f"{out}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    bige = (
+        emb.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 1_000_000)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, i) -> if(i = 0,"
+                " cast(x + rep * 0.37 as float), x))"
+            ),
+        )
+        .drop("rep")
+    )
+    bige.repartition(32).write.parquet(f"{out}/embeddings.parquet")
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    os.makedirs(f"{out}/_DONE")
+    return out
+
+
+def run(spark, queries, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    ops = tuple(sys.argv[2:]) or DEFAULT_OPS
+
+    import __spark_entry__ as entry_mod
+    from decisions_kinesis_spark.session import get_session
+
+    spark = get_session(app_name="dks-scale-smoke")
+    queries = entry_mod.queries()
+    out_dir = build_replica(spark, k)
+
+    out: dict[str, dict[str, float]] = {}
+    for name in ops:
+        # warm both paths once (codegen/JIT), then time steady-state
+        t1 = min(run(spark, queries, name, BASE) for _ in range(2))
+        tk = min(run(spark, queries, name, out_dir) for _ in range(2))
+        out[name] = {"t1": t1, "tK": tk, "ratio": round(tk / t1, 2)}
+        print(f"  {name}: 1x={t1}s {k}x={tk}s ratio={out[name]['ratio']}",
+              file=sys.stderr)
+    print(json.dumps({"k": k, "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
