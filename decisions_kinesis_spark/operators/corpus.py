@@ -275,6 +275,102 @@ def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVAL_MOD = 97  # doc_id % 97 == 0 → held-out "benchmark" set
+
+
+def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (the n-gram-collision pass every
+    pre-training pipeline runs before a model ships — e.g. GPT-3
+    appendix C / PaLM §6): a deterministic held-out slice
+    (``doc_id % 97 = 0``) stands in for the benchmark suite, and every
+    TRAINING document is scored by how many of its 8-token grams also
+    appear in any eval document.
+
+    Output per training doc: distinct-gram count, number of distinct
+    contaminated grams, number of distinct eval docs hit, and the
+    ``contaminated`` verdict.
+
+    Scale: benchmarks are tiny next to a 100 TB corpus, so the eval
+    gram set (hashed to 8-byte keys, distinct'd) is broadcast and the
+    train side never shuffles — the plan is scan → explode → distinct
+    per-doc grams (map-side combine) → broadcast-hash semi-ish join →
+    per-doc fold.  The eval set here is ~1% of docs by construction,
+    matching that asymmetry.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= _SUBSTR_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SUBSTR_N} + 1),"
+                f" i -> array_join(slice(toks, i, {_SUBSTR_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.expr(_BIGHASH.format(e="gram")).alias("g"))
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    train = grams.filter(~is_eval).distinct()
+    eval_grams = (
+        grams.filter(is_eval)
+        .groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("n_eval_docs"))
+    )
+    joined = train.join(F.broadcast(eval_grams), "g", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.count("n_eval_docs").alias("n_contaminated_grams"),
+            F.coalesce(F.sum("n_eval_docs"), F.lit(0)).alias("eval_doc_hits"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
+
+
+_MIX_SCALE = 1_000_000  # integer-scaled corpus share
+
+
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per (source, lang) domain: document and
+    token counts, the integer-scaled corpus share, and the
+    temperature-flattened sampling weight ``share^(1/2)`` every
+    multi-domain pre-training recipe uses to up-weight small domains
+    (the τ=2 temperature mixture of mT5/XLM-R; DoReMi's starting
+    point).  sqrt is IEEE-exact in both engines; the result is
+    floor-rounded to 4dp for hash stability.
+
+    Scale: one map-side-combining aggregation over the corpus to the
+    tiny domain frame, then a single-row total broadcast-joined back —
+    no full-data second pass, no driver collect.
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "lang", "text"
+    )
+    toks = docs.select(
+        "source", "lang", F.size(F.expr(_TOKS)).alias("n_toks")
+    )
+    dom = toks.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    total = dom.groupBy().agg(F.sum("n_tokens").alias("total_tokens"))
+    out = dom.join(F.broadcast(total))
+    return out.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"(n_tokens * {_MIX_SCALE}) div total_tokens").alias(
+            "share_scaled"
+        ),
+        _fl4(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("total_tokens"))
+        ).alias("temp_weight"),
+    )
+
+
 QUERIES = {
     "quality_gopher_flags": quality_gopher_flags,
     "lm_bigram_score": lm_bigram_score,
@@ -282,6 +378,8 @@ QUERIES = {
     "train_shuffle_shards": train_shuffle_shards,
     "bpe_pair_counts": bpe_pair_counts,
     "inverted_index_topdf": inverted_index_topdf,
+    "decontam_eval_overlap": decontam_eval_overlap,
+    "mix_domain_weights": mix_domain_weights,
 }
 
 _DUCK_FL4 = "floor(({e}) * 10000 + 0.5) / 10000.0"
@@ -408,5 +506,53 @@ ORACLES = {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM postings GROUP BY term
         ORDER BY df DESC, term ASC LIMIT {_INDEX_TOPK}
+    """,
+    "decontam_eval_overlap": f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        nz AS (SELECT * FROM t WHERE len(toks) >= {_SUBSTR_N}),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) - {_SUBSTR_N} + 2),
+                       i -> array_to_string(
+                           list_slice(toks, i, i + {_SUBSTR_N} - 1), ' ')
+                   )) AS gram
+            FROM nz
+        ),
+        gh AS (SELECT doc_id, {_DUCK_BIGHASH.format(e="gram")} AS g FROM g),
+        train AS (
+            SELECT DISTINCT doc_id, g FROM gh WHERE doc_id % {_EVAL_MOD} <> 0
+        ),
+        ev AS (
+            SELECT g, count(DISTINCT doc_id)::BIGINT AS n_eval_docs
+            FROM gh WHERE doc_id % {_EVAL_MOD} = 0 GROUP BY g
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_distinct_grams,
+               count(n_eval_docs)::BIGINT AS n_contaminated_grams,
+               coalesce(sum(n_eval_docs), 0)::BIGINT AS eval_doc_hits,
+               count(n_eval_docs) > 0 AS contaminated
+        FROM train LEFT JOIN ev USING (g)
+        GROUP BY doc_id
+    """,
+    "mix_domain_weights": f"""
+        WITH toks AS (
+            SELECT source, lang, len({_DUCK_TOKS})::BIGINT AS n_toks
+            FROM documents
+        ),
+        dom AS (
+            SELECT source, lang, count(*)::BIGINT AS n_docs,
+                   sum(n_toks)::BIGINT AS n_tokens
+            FROM toks GROUP BY source, lang
+        ),
+        tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM dom)
+        SELECT source, lang, n_docs, n_tokens,
+               ((n_tokens * {_MIX_SCALE}) // total_tokens)::BIGINT
+                   AS share_scaled,
+               {_DUCK_FL4.format(
+                   e="sqrt(n_tokens::DOUBLE / total_tokens)")} AS temp_weight
+        FROM dom, tot
     """,
 }

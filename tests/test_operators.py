@@ -443,3 +443,46 @@ def test_exact_substring_dedup_flags_injected_copy(spark, sf_dir):
         .collect()
     )
     assert src.doc_id + 10_000_000 in {r.doc_id for r in flagged}
+
+
+def test_decontam_scores_train_side_only(spark, sf_dir):
+    """Decontamination contract: eval docs (doc_id % 97 == 0) never
+    appear on the output side; every counted gram is one of the doc's
+    own distinct grams; the verdict is exactly n_contaminated > 0; and
+    each contaminated gram contributes at least one eval-doc hit."""
+    from decisions_kinesis_spark.operators.corpus import (
+        _EVAL_MOD,
+        decontam_eval_overlap,
+    )
+
+    rows = decontam_eval_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % _EVAL_MOD != 0
+        assert 0 <= r.n_contaminated_grams <= r.n_distinct_grams
+        assert r.contaminated == (r.n_contaminated_grams > 0)
+        assert r.eval_doc_hits >= r.n_contaminated_grams
+
+
+def test_mixture_weights_partition_the_corpus(spark, sf_dir):
+    """Domain weights: doc counts partition the corpus, integer shares
+    sum to ~1e6 (floor loss < one unit per domain), and the temperature
+    weight is the square root of the exact share (4dp floor-round)."""
+    import math
+
+    from decisions_kinesis_spark.operators.corpus import (
+        _MIX_SCALE,
+        mix_domain_weights,
+    )
+
+    rows = mix_domain_weights(spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    total = sum(r.n_tokens for r in rows)
+    share_sum = sum(r.share_scaled for r in rows)
+    assert _MIX_SCALE - len(rows) < share_sum <= _MIX_SCALE
+    for r in rows:
+        assert r.share_scaled == r.n_tokens * _MIX_SCALE // total
+        expect = math.floor(math.sqrt(r.n_tokens / total) * 10000 + 0.5) / 10000
+        assert r.temp_weight == expect

@@ -120,6 +120,22 @@ def test_ann_uses_broadcast_not_shuffle_join(spark):
     a.assert_no_python()
 
 
+def test_decontam_broadcasts_eval_gram_set(spark):
+    from decisions_kinesis_spark.operators import corpus
+
+    a = audit_plan(corpus.decontam_eval_overlap(spark, SF))
+    a.assert_broadcasts(1)  # eval gram set; train side never shuffles for it
+    a.assert_no_python()
+
+
+def test_mixture_weights_broadcast_total(spark):
+    from decisions_kinesis_spark.operators import corpus
+
+    a = audit_plan(corpus.mix_domain_weights(spark, SF))
+    a.assert_broadcasts(1)  # single-row corpus-total frame
+    a.assert_no_python()
+
+
 def test_every_registered_query_plan_is_clean(spark):
     """Global plan hygiene: NO registered query may contain row-at-a-time
     Python (BatchEvalPython) or an unintended CartesianProduct.  Arrow
