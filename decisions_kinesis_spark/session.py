@@ -44,9 +44,11 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet stores ts as TIMESTAMP(NANOS) (FIXTURES.md);
-        # Spark reads it as long-nanos with this flag, converted back to
-        # a timestamp in sources.tables.load_table.
+        # Older fixture generations stored events.ts as TIMESTAMP(NANOS);
+        # Spark reads those as long-nanos with this flag, converted back
+        # to a timestamp in sources.tables.load_table.  Current fixtures
+        # use TIMESTAMP(MICROS, isAdjustedToUTC=false), which load_table
+        # normalizes from TimestampNTZ to the session timestamp type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         # keep stdout machine-parseable (bench/driver protocols): the

@@ -59,6 +59,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             if dict(df.dtypes).get("ts") == "bigint":
                 # integer division: ns-since-epoch overflows double precision
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+                # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet comes out
+                # TimestampNTZ under inferTimestampNTZ; normalize to the
+                # session type.  The session tz is pinned UTC above, so the
+                # NTZ→LTZ cast reinterprets the naive value as UTC — the
+                # same instants DuckDB sees for its naive TIMESTAMP.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     else:
