@@ -145,15 +145,23 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Deduplicating Training Data Makes Language Models Better",
     suffix-array pass approximated by hashed 8-token grams): a document
     is flagged when any of its grams also occurs in a LOWER-doc_id
-    document — the keep-first-occurrence policy of the paper.
+    document — the keep-first-occurrence policy of the paper — and
+    ``n_dup_tokens`` reports how many of its TOKENS lie inside at least
+    one shared gram (the interval-union of the shared spans), which is
+    the quantity the paper's *removal* policy deletes: a consumer can
+    drop whole flagged docs or subtract the duplicated spans.
 
     Documents shorter than the gram width have no spans and drop out
     (consistently in both engines).
 
     Scale: grams are hashed to one bigint before the global min-owner
     aggregation, so the shuffle moves 8-byte keys; min() combines
-    map-side; the owner→occurrence equi-join is AQE-splittable.  This
-    is the linear-shuffle alternative to a distributed suffix array.
+    map-side; the owner→occurrence equi-join is AQE-splittable.  The
+    span union needs no interval sweep: every span has fixed width
+    ``_SUBSTR_N``, so covered = Σ min(width, next_start − start) over a
+    per-doc window ordered by position — one doc_id-keyed window whose
+    partitions are single documents.  This is the linear-shuffle
+    alternative to a distributed suffix array.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
@@ -161,22 +169,48 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = toks.select(
         "doc_id",
-        F.explode(
+        F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(toks) - {_SUBSTR_N} + 1),"
                 f" i -> array_join(slice(toks, i, {_SUBSTR_N}), ' '))"
             )
-        ).alias("gram"),
-    ).select("doc_id", F.expr(_BIGHASH.format(e="gram")).alias("g"))
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.expr(_BIGHASH.format(e="gram")).alias("g"),
+    )
     owner = grams.groupBy("g").agg(F.min("doc_id").alias("owner"))
-    return (
-        grams.join(owner, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.count(F.when(F.col("owner") < F.col("doc_id"), F.lit(1))).alias(
-                "n_shared"
+    j = grams.join(owner, "g")
+    base = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count(F.when(F.col("owner") < F.col("doc_id"), F.lit(1))).alias(
+            "n_shared"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        j.filter(F.col("owner") < F.col("doc_id"))
+        .withColumn("nxt", F.lead("pos").over(w))
+        .withColumn(
+            "covered",
+            F.least(
+                F.lit(_SUBSTR_N),
+                F.coalesce(F.col("nxt") - F.col("pos"), F.lit(_SUBSTR_N)),
             ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("covered").alias("n_dup_tokens"))
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.coalesce("n_dup_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_tokens"),
         )
         .withColumn("flagged", F.col("n_shared") > 0)
     )
@@ -245,6 +279,57 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Greedy encode fold, one BIGINT accumulator ``acc = 2·count + skip``:
+#: at each char position, if the skip bit is set this char is the tail
+#: of a consumed pair (clear the bit, no new token); otherwise emit one
+#: token (+2) and set the skip bit when the 2-char window at this
+#: position is a vocabulary merge.  Sequential greedy semantics in a
+#: single JVM higher-order fold — no Python, no per-char rows.
+_GREEDY_ENC = (
+    "aggregate(sequence(1, length(w)), cast(0 as bigint),"
+    " (acc, i) -> if(acc % 2 = 1, acc - 1,"
+    " acc + 2 + if(array_contains(vocab, substring(w, i, 2)),"
+    " cast(1 as bigint), cast(0 as bigint)))) div 2"
+)
+
+
+def tokenize_bpe_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: greedy longest-match encode of every document
+    against the mined merge vocabulary (the ``bpe_pair_counts`` top-20
+    pairs + implicit single characters) — the step that turns the
+    corpus-prep story (gate → dedup → decontam → shuffle) into model
+    input.  Per doc: word count, char count, emitted BPE-unit count,
+    and the chars-per-token compression ratio (the statistic tokenizer
+    training monitors).
+
+    With merge width 2 the greedy scan is a left fold with a
+    2-state accumulator (see ``_GREEDY_ENC``), so the whole encode
+    runs inside one JVM expression per word — deterministic and
+    identically expressible as DuckDB ``list_reduce``.
+
+    Scale: the vocabulary is a 20-row frame collapsed to ONE broadcast
+    row (same 1-row-broadcast pattern as ``mix_domain_weights``); the
+    encode is scan-side; the only data shuffle is the per-doc fold,
+    keyed by doc_id with map-side combine.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    vocab = bpe_pair_counts(spark, sf_dir).groupBy().agg(
+        F.collect_list("pair").alias("vocab")
+    )
+    enc = toks.join(F.broadcast(vocab)).withColumn(
+        "cnt", F.expr(_GREEDY_ENC)
+    )
+    per = enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("n_chars"),
+        F.sum("cnt").alias("n_bpe_tokens"),
+    )
+    return per.withColumn(
+        "compression", _fl4(F.col("n_chars") / F.col("n_bpe_tokens"))
+    )
+
+
 _INDEX_TOPK = 30
 
 
@@ -276,6 +361,11 @@ def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVAL_MOD = 97  # doc_id % 97 == 0 → held-out "benchmark" set
+#: Broadcast the eval gram set only below this row count (~16 bytes/row
+#: → ~32 MB at the limit, well inside executor broadcast budgets); a
+#: larger eval side falls back to a plain shuffled equi-join.  Module
+#: constant so the plan test can exercise both paths.
+_EVAL_BCAST_LIMIT = 2_000_000
 
 
 def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,11 +381,16 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``contaminated`` verdict.
 
     Scale: benchmarks are tiny next to a 100 TB corpus, so the eval
-    gram set (hashed to 8-byte keys, distinct'd) is broadcast and the
+    gram set (hashed to 8-byte keys, aggregated) is broadcast and the
     train side never shuffles — the plan is scan → explode → distinct
-    per-doc grams (map-side combine) → broadcast-hash semi-ish join →
-    per-doc fold.  The eval set here is ~1% of docs by construction,
-    matching that asymmetry.
+    per-doc grams (map-side combine) → broadcast-hash join → per-doc
+    fold.  But the broadcast is COUNT-GATED, not forced: the eval gram
+    frame is materialized once (localCheckpoint), counted, and only
+    hinted broadcast below ``_EVAL_BCAST_LIMIT`` rows — above it (an
+    "eval" slice that is really a corpus split) the join degrades to a
+    plain shuffled equi-join on the 8-byte key instead of OOMing the
+    executors, the same discipline the TF-IDF document-frequency frame
+    uses (SCALE.md).
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
@@ -316,8 +411,15 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.filter(is_eval)
         .groupBy("g")
         .agg(F.count_distinct("doc_id").alias("n_eval_docs"))
+        # materialized once so the size probe below doesn't recompute
+        # the explode/aggregate pipeline when the join consumes it
+        .localCheckpoint(eager=True)
     )
-    joined = train.join(F.broadcast(eval_grams), "g", "left")
+    if eval_grams.count() <= _EVAL_BCAST_LIMIT:
+        eval_side = F.broadcast(eval_grams)
+    else:
+        eval_side = eval_grams
+    joined = train.join(eval_side, "g", "left")
     return (
         joined.groupBy("doc_id")
         .agg(
@@ -377,6 +479,7 @@ QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "train_shuffle_shards": train_shuffle_shards,
     "bpe_pair_counts": bpe_pair_counts,
+    "tokenize_bpe_greedy": tokenize_bpe_greedy,
     "inverted_index_topdf": inverted_index_topdf,
     "decontam_eval_overlap": decontam_eval_overlap,
     "mix_domain_weights": mix_domain_weights,
@@ -457,18 +560,41 @@ ORACLES = {
             SELECT doc_id,
                    unnest(list_transform(
                        range(1, len(toks) - {_SUBSTR_N} + 2),
-                       i -> array_to_string(
-                           list_slice(toks, i, i + {_SUBSTR_N} - 1), ' ')
-                   )) AS gram
+                       i -> {{'pos': i, 'gram': array_to_string(
+                           list_slice(toks, i, i + {_SUBSTR_N} - 1), ' ')}}
+                   )) AS u
             FROM nz
         ),
-        gh AS (SELECT doc_id, {_DUCK_BIGHASH.format(e="gram")} AS g FROM g),
-        owner AS (SELECT g, min(doc_id) AS owner FROM gh GROUP BY g)
-        SELECT doc_id, count(*)::BIGINT AS n_grams,
-               count(*) FILTER (WHERE owner < doc_id)::BIGINT AS n_shared,
-               count(*) FILTER (WHERE owner < doc_id) > 0 AS flagged
-        FROM gh JOIN owner USING (g)
-        GROUP BY doc_id
+        gh AS (
+            SELECT doc_id, u.pos AS pos,
+                   {_DUCK_BIGHASH.format(e="u.gram")} AS g
+            FROM g
+        ),
+        owner AS (SELECT g, min(doc_id) AS owner FROM gh GROUP BY g),
+        j AS (
+            SELECT doc_id, pos, owner FROM gh JOIN owner USING (g)
+        ),
+        base AS (
+            SELECT doc_id, count(*)::BIGINT AS n_grams,
+                   count(*) FILTER (WHERE owner < doc_id)::BIGINT AS n_shared
+            FROM j GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT doc_id, pos,
+                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM j WHERE owner < doc_id
+        ),
+        cov AS (
+            SELECT doc_id,
+                   sum(least({_SUBSTR_N},
+                             coalesce(nxt - pos, {_SUBSTR_N})))::BIGINT
+                       AS n_dup_tokens
+            FROM sh GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, n_shared,
+               coalesce(n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+               n_shared > 0 AS flagged
+        FROM base LEFT JOIN cov USING (doc_id)
     """,
     "train_shuffle_shards": f"""
         WITH h AS (
@@ -494,6 +620,44 @@ ORACLES = {
         )
         SELECT pair, count(*) AS n FROM pairs
         GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {_BPE_TOPK}
+    """,
+    "tokenize_bpe_greedy": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+        ),
+        pt AS (
+            SELECT unnest(list_transform(range(1, length(w)),
+                                         i -> substr(w, i, 2))) AS pair
+            FROM toks WHERE length(w) >= 2
+        ),
+        top AS (
+            SELECT pair FROM (
+                SELECT pair, count(*) AS n FROM pt GROUP BY pair
+                ORDER BY n DESC, pair ASC LIMIT {_BPE_TOPK}
+            )
+        ),
+        voc AS (SELECT list(pair) AS vocab FROM top),
+        enc AS (
+            SELECT doc_id, w,
+                   list_reduce(
+                       list_prepend(0::BIGINT, range(1, length(w) + 1)),
+                       (acc, i) -> CASE WHEN acc % 2 = 1 THEN acc - 1
+                           ELSE acc + 2 + (CASE WHEN list_contains(
+                                    vocab, substr(w, i, 2))
+                                THEN 1 ELSE 0 END) END
+                   ) // 2 AS cnt
+            FROM toks, voc
+        ),
+        per AS (
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   sum(length(w))::BIGINT AS n_chars,
+                   sum(cnt)::BIGINT AS n_bpe_tokens
+            FROM enc GROUP BY doc_id
+        )
+        SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+               {_DUCK_FL4.format(e="n_chars::DOUBLE / n_bpe_tokens")}
+                   AS compression
+        FROM per
     """,
     "inverted_index_topdf": f"""
         WITH postings AS (

@@ -360,6 +360,11 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(2))).alias("blk"),
     ).withColumn("blk_val", F.expr("(simhash div shiftleft(cast(1 as bigint), blk * 11)) % 2048"))
     a, b = blocks.alias("a"), blocks.alias("b")
+    # The exact popcount check runs BEFORE the distinct: a pair found via
+    # k agreeing blocks would otherwise reach the dedup shuffle k times,
+    # and false candidates (same block, hamming > 2) would reach it at
+    # all.  bit_count on the join output is codegen'd, so filtering here
+    # is free and the distinct exchange carries only true near-pairs.
     cand = (
         a.join(
             b,
@@ -370,16 +375,14 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").alias(
+                "hamming"
+            ),
         )
+        .filter(F.col("hamming") <= 2)
         .distinct()
     )
-    out = cand.withColumn(
-        "hamming",
-        F.expr("bit_count(sh_a ^ sh_b)").cast("bigint"),
-    ).filter(F.col("hamming") <= 2)
-    return out.select("doc_a", "doc_b", "hamming")
+    return cand.select("doc_a", "doc_b", "hamming")
 
 
 _SIG_BITS = 1024  # hashed token-signature width

@@ -379,18 +379,23 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest seed centroid → recompute each cell's centroid as the
     element-wise MEAN of its members → re-assign → probe (nprobe=1).
     Shows centroid *training*, not just assignment, while staying
-    oracle-replicable: the mean is a LEFT FOLD over member values in
-    vec_id order (Spark ``aggregate`` HOF = DuckDB ``list_reduce``),
-    so both engines produce bit-identical centroids, then the half-up
-    floor trick quantizes to 9 decimals engine-stably.
+    oracle-replicable: member values are quantized to integers
+    scan-side (floor(val·1e9 + 0.5) as bigint), so the per-cell
+    per-dimension reduction is an exact BIGINT sum — order-FREE and
+    map-side combining, unlike the ordered float fold this replaced,
+    which had to disable partial aggregation and collect_list every
+    cell member.  The mean is then ONE double division of two exact
+    integers (a single IEEE op, bit-identical across engines),
+    quantized back to 9 decimals with the half-up floor.
 
     Scale: both assignment passes are broadcast joins (centroid set is
     ~sqrt(N) rows) + scan-side argmin — the corpus never shuffles for
-    assignment; the mean step shuffles N·d (cent_id, pos) cells once.
-    The ordered-fold mean disables partial aggregation by design (the
-    determinism contract); a production run at 100 TB would swap in
-    plain ``avg`` (order-free, partial-agg friendly) when last-ulp
-    reproducibility isn't required.
+    assignment; the mean step shuffles only the PARTIAL per-(cent, pos)
+    sums (≤ cells·d rows per map task), not N·d member rows.  |sum|
+    stays below 2^53 for cells up to ~9M members (|val| ≲ 1 ⇒ ≤ 1e9
+    per member), far above the ~sqrt(N) cell sizes this seeding
+    produces; the 0.5e-9 per-element quantization is noise relative to
+    cosine assignment at 6 decimals.
     """
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
@@ -415,17 +420,18 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     assigned0 = _assign(emb, cents0)
-    # Lloyd step: element-wise mean per cell, deterministic fold order
-    mem = assigned0.select("cent_id", "vec_id", F.posexplode("v").alias("pos", "val"))
+    # Lloyd step: element-wise mean per cell over integer-quantized
+    # member values — exact bigint sums keep partial aggregation ON
+    # (see docstring); the collect_list below gathers d=64 (pos, m)
+    # structs per CENTROID, bounded by dimensionality, not cell size.
+    mem = assigned0.select(
+        "cent_id", F.posexplode("v").alias("pos", "val")
+    ).withColumn("sv", F.expr("cast(floor(val * 1e9 + 0.5) as bigint)"))
     sums = mem.groupBy("cent_id", "pos").agg(
-        F.expr(
-            "aggregate(transform(array_sort(collect_list(struct(vec_id, val))),"
-            " s -> s.val), cast(0.0 as double), (acc, x) -> acc + x)"
-        ).alias("s"),
-        F.count("*").alias("n"),
+        F.sum("sv").alias("s"), F.count("*").alias("n")
     )
     refined = (
-        sums.withColumn("m", F.expr("floor(s / n * 1e9 + 0.5) / 1e9"))
+        sums.withColumn("m", F.expr("floor(cast(s as double) / n + 0.5) / 1e9"))
         .groupBy("cent_id")
         .agg(
             F.expr(
@@ -455,6 +461,69 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+_SEMDEDUP_PRUNE_PCT = 20  # flag the 20% most centroid-redundant per cell
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the corpus (here: the deterministic seeded
+    IVF cell assignment shared with ``ann_ivf_topk``), rank each cell's
+    members by cosine-to-centroid, and flag the top
+    ``_SEMDEDUP_PRUNE_PCT``% most centroid-similar members as semantic
+    near-duplicates — the points packed tightest around the cell center
+    carry the least marginal information, so pruning them (keeping the
+    diverse tail, the paper's keep-low-centroid-similarity policy)
+    shrinks the training set with minimal quality loss.
+
+    Deterministic end-to-end: seeded cells (vec_id % isqrt(N)), cosine
+    at 6 decimals, ties broken by vec_id, integer percent arithmetic
+    (``n_cell·pct div 100``) — so the DuckDB oracle verifies values.
+
+    Scale: assignment is the broadcast-join + map-side argmin of the
+    IVF family (the corpus never shuffles to be assigned); the ranking
+    is ONE window over cent_id — a single bounded shuffle whose
+    partitions are ~sqrt(N)-member cells, not the corpus.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    import math
+
+    mod = max(1, math.isqrt(table_count(spark, "embeddings", sf_dir)))
+    cents = emb.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "ccos",
+        F.round(
+            F.expr(_DOT.format(a="v", b="cv"))
+            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
+            6,
+        ),
+    )
+    # assigned ccos = max(ccos): assignment maximizes (ccos, -cent_id),
+    # so the winning centroid's cosine is the groupwise maximum
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cent_id"),
+        F.max("ccos").alias("ccos"),
+    )
+    w = Window.partitionBy("cent_id").orderBy(F.desc("ccos"), F.asc("vec_id"))
+    wc = Window.partitionBy("cent_id")
+    return (
+        assigned.withColumn("cell_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("n_cell", F.count("*").over(wc))
+        .withColumn(
+            "pruned",
+            F.col("cell_rank")
+            <= F.expr(f"n_cell * {_SEMDEDUP_PRUNE_PCT} div 100"),
+        )
+        .select("vec_id", "cent_id", "ccos", "cell_rank", "n_cell", "pruned")
     )
 
 
@@ -636,6 +705,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe2": ann_ivf_nprobe2,
     "ann_ivf_refined": ann_ivf_refined,
+    "semdedup_prune": semdedup_prune,
     "pq_reconstruction_stats": pq_reconstruction_stats,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_components": dedup_embedding_components,
@@ -895,25 +965,24 @@ ORACLES = {
                   FROM scored0)
             WHERE ark = 1
         ),
-        -- one Lloyd step: per-cell element-wise mean, computed as a
-        -- LEFT FOLD over members in vec_id order (list_reduce with a
-        -- 0.0 prepend = Spark's aggregate(..., 0.0, acc + x)) so the
-        -- float sum is bit-identical to the engine, then quantized
-        -- with the engine-stable half-up floor at 9 decimals.
+        -- one Lloyd step: per-cell element-wise mean over
+        -- integer-quantized member values (floor(val*1e9 + 0.5) as
+        -- BIGINT) — the sum is exact integer arithmetic, so it is
+        -- order-free and bit-identical to Spark's map-side-combining
+        -- bigint sum; the mean is one double division of two exact
+        -- integers, quantized with the engine-stable half-up floor.
         mem AS (
-            SELECT cent_id, vec_id, p.pos AS pos, v[p.pos] AS val
+            SELECT cent_id, p.pos AS pos,
+                   floor(v[p.pos] * 1e9 + 0.5)::BIGINT AS sv
             FROM assigned0, (SELECT unnest(generate_series(1, {_N_DIMS})) AS pos) p
         ),
         sums AS (
-            SELECT cent_id, pos,
-                   list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
-                               (acc, x) -> acc + x) AS s,
-                   count(*) AS n
+            SELECT cent_id, pos, sum(sv)::BIGINT AS s, count(*) AS n
             FROM mem GROUP BY cent_id, pos
         ),
         refined AS (
             SELECT cent_id,
-                   list(floor(s / n * 1e9 + 0.5) / 1e9 ORDER BY pos) AS cv
+                   list(floor(s::DOUBLE / n + 0.5) / 1e9 ORDER BY pos) AS cv
             FROM sums GROUP BY cent_id
         ),
         scored AS (
@@ -944,6 +1013,44 @@ ORACLES = {
                       ORDER BY cos DESC, vec_id ASC) AS rank
               FROM cand)
         WHERE rank <= {_TOP_K}
+    """,
+    "semdedup_prune": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        -- exact isqrt(N) modulus (Newton-corrected; see ann_ivf_topk)
+        p AS (SELECT greatest(CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1
+                                   WHEN s * s > n THEN s - 1
+                                   ELSE s END, 1) AS md
+              FROM (SELECT count(*) AS n,
+                           floor(sqrt(count(*)))::BIGINT AS s
+                    FROM embeddings)),
+        cents AS (
+            SELECT vec_id AS cent_id, v AS cv FROM e
+            WHERE vec_id % (SELECT md FROM p) = 0
+        ),
+        scored AS (
+            SELECT e.vec_id, c.cent_id,
+                   round(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+            FROM e, cents c
+        ),
+        assigned AS (
+            SELECT vec_id, cent_id, ccos
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, cent_id ASC) AS ark
+                  FROM scored)
+            WHERE ark = 1
+        ),
+        ranked AS (
+            SELECT vec_id, cent_id, ccos,
+                   row_number() OVER (PARTITION BY cent_id
+                       ORDER BY ccos DESC, vec_id ASC) AS cell_rank,
+                   count(*) OVER (PARTITION BY cent_id) AS n_cell
+            FROM assigned
+        )
+        SELECT vec_id, cent_id, ccos, cell_rank, n_cell,
+               cell_rank <= (n_cell * {_SEMDEDUP_PRUNE_PCT}) // 100 AS pruned
+        FROM ranked
     """,
     "ann_ivf_nprobe2": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

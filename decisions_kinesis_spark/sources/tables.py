@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 TABLE_NAMES = (
     "region",
@@ -61,11 +62,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             elif dict(df.dtypes).get("ts") == "timestamp_ntz":
                 # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet comes out
-                # TimestampNTZ under inferTimestampNTZ; normalize to the
-                # session type.  The session tz is pinned UTC above, so the
-                # NTZ→LTZ cast reinterprets the naive value as UTC — the
-                # same instants DuckDB sees for its naive TIMESTAMP.
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+                # TimestampNTZ under inferTimestampNTZ; normalize to LTZ.
+                # The session tz is pinned UTC above, so the NTZ→LTZ cast
+                # reinterprets the naive value as UTC — the same instants
+                # DuckDB sees for its naive TIMESTAMP.  The cast target is
+                # the EXPLICIT TimestampType (not the "timestamp" alias,
+                # which resolves through spark.sql.timestampType and would
+                # silently no-op if a caller overrode that conf to NTZ).
+                df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     else:
