@@ -30,78 +30,69 @@ _OPERATOR_MODULES = (
 )
 
 # Registration order = the order the driver's correctness gate walks the
-# queries, and the gate hard-caps at 50 rows.  So the first ~50 names are
-# a STRATIFIED sample: every operator family contributes representatives
-# (payload, relational joins/aggs/windows/sets/scalars, windows_ext, asof,
-# textops, multimodal, udfs, pipeline, similarity incl. IVF, dedup incl.
-# LSH pairs + connected components).  The remaining (mostly redundant
-# relational variants) follow and stay registered + benched; they simply
-# land past the cap.
+# queries, and the gate hard-caps at 50 rows.  Rounds 1-3 accumulated
+# driver-green rows for 83 of the registered queries; this round the
+# window ROTATES to the 39 queries the gate has never reached (all green
+# under tools/oracle_check.py locally), plus the 4 queries that are new
+# or semantically changed this round, plus 7 cross-module sentinels that
+# stay in every round's window as regression canaries.  One rotated
+# round makes cumulative driver coverage complete.
 _GATE_PRIORITY = (
-    # payload / filter compiler (5)
+    # sentinels — one stable representative per long-green family (7)
     "flagship_premium_filter",
-    "payload_filter_or_verbs",
-    "payload_filter_ci_band",
-    "payload_filter_contains_ci",
-    "envelope_metadata_projection",
-    # previously-red oracle rows, now BIGINT-cast (3)
-    "split_train_val",
-    "split_stratified_rates",
-    "profile_table_quality",
-    # strongest relational: TPC-H shapes + one per join/agg/window/set/
-    # scalar/json form (17; q7/q10 fell past the cap to make room for
-    # the corpus module — their shapes stay covered by q1/q3/q5/q6)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "join_broadcast_dims",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_outer_customer_order_counts",
-    "agg_rollup_lineitem",
-    "agg_count_distinct",
-    "agg_stats_suite",
-    "agg_salted_skew",
-    "window_topk_orders_per_customer",
-    "window_sessionize_events",
-    "set_except_all_statuses",
-    "scalar_function_suite",
-    "json_typed_extraction",
-    # windows_ext (4)
     "window_tumbling_hourly",
-    "window_session_bounds",
-    "join_time_range_purchase_errors",
-    "events_funnel_conversion",
-    # asof (3)
     "asof_join_events_orders",
-    "asof_join_with_tolerance",
-    "range_join_event_pairs",
-    # textops (4)
     "text_token_stats",
-    "text_lang_id",
-    "text_pack_context_bins",
-    "doc_fingerprint",
-    # multimodal (2)
-    "multimodal_blob_metadata",
-    "multimodal_feature_extract",
-    # pandas-UDF tiers (2)
     "pandas_udf_engagement_score",
-    "pandas_grouped_map_minmax",
-    # composed pipeline (1)
-    "pipeline_clean_corpus",
-    # similarity / ANN (4)
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_ivf_refined",
-    "dedup_embedding_components",
-    # dedup (3)
     "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_components",
-    # corpus prep (2)
-    "quality_gopher_flags",
+    # new / changed this round (4): semdedup + tokenizer are new
+    # operators; substring dedup gained span-level n_dup_tokens; the
+    # IVF Lloyd mean switched to the integer-scaled partial-agg form
+    "semdedup_prune",
+    "tokenize_bpe_greedy",
     "dedup_exact_substring",
+    "ann_ivf_refined",
+    # rotation: the 39 never-driver-checked queries (39)
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q20_excess_suppliers",
+    "q21_single_supplier_orders",
+    "join_salted_skew",
+    "join_time_range_purchase_errors_left",
+    "join_time_range_purchase_errors_full",
+    "json_nested_array_extraction",
+    "scalar_conditional_suite",
+    "window_rows_frame_stats",
+    "asof_join_forward",
+    "text_top_words",
+    "text_length_quantiles",
+    "text_quality_score",
+    "text_tfidf_topk",
+    "text_chunk_documents",
+    "text_redact_patterns",
+    "text_dup_span_fraction",
+    "sample_per_lang_hashrank",
+    "retrieval_bm25_topk",
+    "multimodal_frame_stats",
+    "pandas_udaf_user_rms",
+    "embedding_norm_stats",
+    "embedding_quantize_stats",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "ann_ivf_nprobe2",
+    "pq_reconstruction_stats",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dedup_simhash_hamming_pairs",
+    "dedup_ngram_jaccard_blocked",
+    "dedup_incremental_lsh",
+    "lm_bigram_score",
+    "train_shuffle_shards",
+    "bpe_pair_counts",
+    "inverted_index_topdf",
+    "decontam_eval_overlap",
+    "mix_domain_weights",
 )
 
 
