@@ -373,6 +373,61 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assign_cents(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Broadcast the centroid frame against the corpus and argmin via
+    the map-side-combining ``_argmin_assign`` — the shared assignment
+    step of the IVF family (the corpus never shuffles to be assigned)."""
+    return _argmin_assign(
+        vecs.join(F.broadcast(cents)).withColumn(
+            "ccos",
+            F.round(
+                F.expr(_DOT.format(a="v", b="cv"))
+                / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
+                6,
+            ),
+        )
+    )
+
+
+def _seed_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """Deterministic seeded centroid sample: vec_id % isqrt(N) == 0."""
+    import math
+
+    mod = max(1, math.isqrt(table_count(spark, "embeddings", sf_dir)))
+    return emb.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+
+def _ivf_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One integer-quantized Lloyd step over the seeded assignment →
+    (cent_id, cv).  Exposed as a helper so tests can compare the
+    quantized mean against the true float mean directly."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    assigned0 = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
+    # element-wise mean per cell over integer-quantized member values —
+    # exact bigint sums keep partial aggregation ON (see ann_ivf_refined
+    # docstring); the collect_list below gathers d=64 (pos, m) structs
+    # per CENTROID, bounded by dimensionality, not cell size.
+    mem = assigned0.select(
+        "cent_id", F.posexplode("v").alias("pos", "val")
+    ).withColumn("sv", F.expr("cast(floor(val * 1e9 + 0.5) as bigint)"))
+    sums = mem.groupBy("cent_id", "pos").agg(
+        F.sum("sv").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        sums.withColumn("m", F.expr("floor(cast(s as double) / n + 0.5) / 1e9"))
+        .groupBy("cent_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("cv")
+        )
+    )
+
+
 def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with ONE deterministic Lloyd (k-means) refinement step:
     seeded init (vec_id % isqrt(N) == 0) → assign all vectors to the
@@ -400,46 +455,8 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    import math
-
-    mod = max(1, math.isqrt(table_count(spark, "embeddings", sf_dir)))
-    cents0 = emb.filter(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-
-    def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        return _argmin_assign(
-            vecs.join(F.broadcast(cents)).withColumn(
-                "ccos",
-                F.round(
-                    F.expr(_DOT.format(a="v", b="cv"))
-                    / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
-                    6,
-                ),
-            )
-        )
-
-    assigned0 = _assign(emb, cents0)
-    # Lloyd step: element-wise mean per cell over integer-quantized
-    # member values — exact bigint sums keep partial aggregation ON
-    # (see docstring); the collect_list below gathers d=64 (pos, m)
-    # structs per CENTROID, bounded by dimensionality, not cell size.
-    mem = assigned0.select(
-        "cent_id", F.posexplode("v").alias("pos", "val")
-    ).withColumn("sv", F.expr("cast(floor(val * 1e9 + 0.5) as bigint)"))
-    sums = mem.groupBy("cent_id", "pos").agg(
-        F.sum("sv").alias("s"), F.count("*").alias("n")
-    )
-    refined = (
-        sums.withColumn("m", F.expr("floor(cast(s as double) / n + 0.5) / 1e9"))
-        .groupBy("cent_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
-            ).alias("cv")
-        )
-    )
-    assigned = _assign(emb, refined)
+    refined = _ivf_refined_centroids(spark, sf_dir)
+    assigned = _assign_cents(emb, refined)
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -491,13 +508,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    import math
-
-    mod = max(1, math.isqrt(table_count(spark, "embeddings", sf_dir)))
-    cents = emb.filter(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-    scored = emb.join(F.broadcast(cents)).withColumn(
+    scored = emb.join(
+        F.broadcast(_seed_centroids(spark, sf_dir, emb))
+    ).withColumn(
         "ccos",
         F.round(
             F.expr(_DOT.format(a="v", b="cv"))

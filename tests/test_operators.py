@@ -486,3 +486,32 @@ def test_mixture_weights_partition_the_corpus(spark, sf_dir):
         assert r.share_scaled == r.n_tokens * _MIX_SCALE // total
         expect = math.floor(math.sqrt(r.n_tokens / total) * 10000 + 0.5) / 10000
         assert r.temp_weight == expect
+
+
+def test_ivf_refined_quantized_mean_tracks_true_mean(spark):
+    """The integer-quantized Lloyd mean (exact bigint sums, see
+    similarity._ivf_refined_centroids) may differ from the true float
+    mean only by the quantization budget: 0.5e-9 per member value plus
+    0.5e-9 final rounding."""
+    from decisions_kinesis_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned0 = S._assign_cents(emb, S._seed_centroids(spark, sf, emb))
+    true_mean = (
+        assigned0.select("cent_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cent_id", "pos")
+        .agg(F.avg("val").alias("avg"))
+    )
+    quantized = S._ivf_refined_centroids(spark, sf).select(
+        "cent_id", F.posexplode("cv").alias("pos0", "m")
+    )
+    worst = (
+        quantized.withColumn("pos", F.col("pos0").cast("int"))
+        .join(true_mean, ["cent_id", "pos"])
+        .agg(F.max(F.abs(F.col("m") - F.col("avg"))).alias("err"))
+        .collect()[0]["err"]
+    )
+    assert worst <= 2e-9, f"quantized mean drifted {worst} from true mean"

@@ -128,6 +128,61 @@ def test_decontam_broadcasts_eval_gram_set(spark):
     a.assert_no_python()
 
 
+def test_decontam_falls_back_to_shuffle_join_above_limit(spark, monkeypatch):
+    """The eval-gram broadcast is count-gated.  Auto-broadcast is
+    disabled for the whole test so ONLY the gate's explicit hint can
+    broadcast: below the limit the hint still forces the broadcast;
+    with the limit forced to 0 the hint disappears and the join
+    degrades to a shuffled equi-join on the 8-byte gram key instead of
+    broadcasting an arbitrarily large eval side.  (At sf fixtures the
+    planner would auto-broadcast the tiny frame either way — that's
+    the planner sizing real data, not the operator forcing it.)"""
+    from decisions_kinesis_spark.operators import corpus
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = audit_plan(corpus.decontam_eval_overlap(spark, SF))
+        a.assert_broadcasts(1)  # hinted: broadcasts despite threshold -1
+        a.assert_no_python()
+        monkeypatch.setattr(corpus, "_EVAL_BCAST_LIMIT", 0)
+        a = audit_plan(corpus.decontam_eval_overlap(spark, SF))
+        assert a.broadcast_joins == 0, "eval side must not broadcast above limit"
+        a.assert_no_python()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_semdedup_broadcasts_centroids_single_bounded_shuffle(spark):
+    a = audit_plan(similarity.semdedup_prune(spark, SF))
+    a.assert_broadcasts(1)  # centroid frame; the corpus never shuffles to assign
+    a.assert_no_python()
+    # argmin groupBy + the per-cell ranking window — nothing else
+    a.assert_max_shuffles(2)
+
+
+def test_ivf_refined_mean_keeps_partial_aggregation(spark):
+    """The Lloyd mean must reduce map-side: integer-quantized member
+    sums (partial_sum in the plan), never a per-member collect_list
+    (the pre-round-4 ordered fold gathered every cell member per
+    dimension, disabling partial aggregation)."""
+    refined = similarity._ivf_refined_centroids(spark, SF)
+    plan = refined._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, "member sum lost partial aggregation"
+    assert "collect_list(struct(vec_id" not in plan, (
+        "per-member collect_list resurfaced in the Lloyd mean"
+    )
+    audit_plan(refined).assert_no_python()
+
+
+def test_tokenizer_broadcasts_vocab_row(spark):
+    from decisions_kinesis_spark.operators import corpus
+
+    a = audit_plan(corpus.tokenize_bpe_greedy(spark, SF))
+    a.assert_broadcasts(1)  # one-row vocabulary frame
+    a.assert_no_python()
+
+
 def test_mixture_weights_broadcast_total(spark):
     from decisions_kinesis_spark.operators import corpus
 
