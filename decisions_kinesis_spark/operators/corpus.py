@@ -431,6 +431,79 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 4096  # hashed feature space (DSIR's dimensionality trick)
+_DSIR_SCALE = 1_000_000  # integer-scaled likelihood ratio
+_DSIR_TARGET_LANG = "en"  # deterministic stand-in for the target corpus
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weights à la DSIR (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hash every document's unigram+bigram features into a fixed
+    ``_DSIR_BUCKETS``-dimensional space, estimate target (here: the
+    ``en`` slice) and raw feature distributions from bucket counts, and
+    score each document by its average per-feature likelihood ratio —
+    high scores mark documents that look like the target domain and
+    drive the resampling step of the recipe.
+
+    The ratio is kept in the LINEAR domain with integer scaling
+    (``cnt_target·1e6 div cnt_raw``, then a tf-weighted integer mean)
+    rather than DSIR's log-domain sum: libm ``log`` is not bit-stable
+    across engines, integer division is — so the DuckDB oracle matches
+    exactly.  Unseen-in-target buckets contribute 0 (no smoothing
+    needed: every bucket a document emits exists in the raw counts).
+
+    Scale: features hash to ≤4096 buckets BY CONSTRUCTION, so both
+    distribution frames are bounded and force-broadcast is safe (the
+    data-dependent decontam gate is unnecessary here); per-doc TYPE
+    counts collapse occurrences before any join (the lm_bigram_score
+    shape); the per-doc fold is a bigint sum + integer division.
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text"
+    )
+    toks = docs.select("doc_id", "lang", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(toks, case when size(toks) < 2 then array()"
+                " else transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), char(31),"
+                "             element_at(toks, i + 1))) end)"
+            )
+        ).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"({_BIGHASH.format(e='f')}) % {_DSIR_BUCKETS}").alias("b"),
+    )
+    doc_tf = feats.groupBy("doc_id", "lang", "b").agg(
+        F.count("*").alias("tf")
+    )
+    cnt_raw = doc_tf.groupBy("b").agg(F.sum("tf").alias("c_raw"))
+    cnt_tgt = (
+        doc_tf.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("tf").alias("c_tgt"))
+    )
+    scored = (
+        doc_tf.join(F.broadcast(cnt_raw), "b")
+        .join(F.broadcast(cnt_tgt), "b", "left")
+        .withColumn(
+            "r_scaled",
+            F.expr(f"(coalesce(c_tgt, 0) * {_DSIR_SCALE}) div c_raw"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.sum("tf").alias("n_feats"),
+        F.expr("sum(tf * r_scaled) div sum(tf)").alias("imp_scaled"),
+    )
+
+
 _MIX_SCALE = 1_000_000  # integer-scaled corpus share
 
 
@@ -483,6 +556,7 @@ QUERIES = {
     "inverted_index_topdf": inverted_index_topdf,
     "decontam_eval_overlap": decontam_eval_overlap,
     "mix_domain_weights": mix_domain_weights,
+    "dsir_importance_weights": dsir_importance_weights,
 }
 
 _DUCK_FL4 = "floor(({e}) * 10000 + 0.5) / 10000.0"
@@ -700,6 +774,40 @@ ORACLES = {
                count(n_eval_docs) > 0 AS contaminated
         FROM train LEFT JOIN ev USING (g)
         GROUP BY doc_id
+    """,
+    "dsir_importance_weights": f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        nz AS (SELECT * FROM t WHERE len(toks) >= 1),
+        f AS (
+            SELECT doc_id, lang,
+                   unnest(toks || list_transform(range(1, len(toks)),
+                       i -> toks[i] || chr(31) || toks[i + 1])) AS f
+            FROM nz
+        ),
+        fb AS (
+            SELECT doc_id, lang,
+                   ({_DUCK_BIGHASH.format(e="f")}) % {_DSIR_BUCKETS} AS b
+            FROM f
+        ),
+        doc_tf AS (
+            SELECT doc_id, lang, b, count(*)::BIGINT AS tf
+            FROM fb GROUP BY doc_id, lang, b
+        ),
+        craw AS (SELECT b, sum(tf)::BIGINT AS c_raw FROM doc_tf GROUP BY b),
+        ctgt AS (
+            SELECT b, sum(tf)::BIGINT AS c_tgt FROM doc_tf
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+        ),
+        scored AS (
+            SELECT doc_id, lang, tf,
+                   (coalesce(c_tgt, 0) * {_DSIR_SCALE}) // c_raw AS r_scaled
+            FROM doc_tf JOIN craw USING (b) LEFT JOIN ctgt USING (b)
+        )
+        SELECT doc_id, lang, sum(tf)::BIGINT AS n_feats,
+               (sum(tf * r_scaled) // sum(tf))::BIGINT AS imp_scaled
+        FROM scored GROUP BY doc_id, lang
     """,
     "mix_domain_weights": f"""
         WITH toks AS (
