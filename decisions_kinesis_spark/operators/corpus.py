@@ -158,10 +158,13 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, so the shuffle moves 8-byte keys; min() combines
     map-side; the owner→occurrence equi-join is AQE-splittable.  The
     span union needs no interval sweep: every span has fixed width
-    ``_SUBSTR_N``, so covered = Σ min(width, next_start − start) over a
-    per-doc window ordered by position — one doc_id-keyed window whose
-    partitions are single documents.  This is the linear-shuffle
-    alternative to a distributed suffix array.
+    ``_SUBSTR_N``, so covered = Σ min(width, start − prev_start) over
+    the doc's sorted shared positions — computed INSIDE the single
+    per-doc aggregation as a sorted-array fold (shared positions per
+    doc are bounded by doc length), so there is no separate window
+    pass and no join-back: one groupBy produces all five columns.
+    This is the linear-shuffle alternative to a distributed suffix
+    array.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
@@ -181,36 +184,27 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BIGHASH.format(e="gram")).alias("g"),
     )
     owner = grams.groupBy("g").agg(F.min("doc_id").alias("owner"))
-    j = grams.join(owner, "g")
-    base = j.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-        F.count(F.when(F.col("owner") < F.col("doc_id"), F.lit(1))).alias(
-            "n_shared"
-        ),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cov = (
-        j.filter(F.col("owner") < F.col("doc_id"))
-        .withColumn("nxt", F.lead("pos").over(w))
-        .withColumn(
-            "covered",
-            F.least(
-                F.lit(_SUBSTR_N),
-                F.coalesce(F.col("nxt") - F.col("pos"), F.lit(_SUBSTR_N)),
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("covered").alias("n_dup_tokens"))
+    # interval-union fold: prev starts at -width so the first shared
+    # span contributes the full width; each later span adds
+    # min(width, start - prev_start).  array_sort makes the fold
+    # order-deterministic regardless of partial-aggregation order.
+    span_union = F.expr(
+        "aggregate(array_sort(collect_list("
+        " case when owner < doc_id then pos end)),"
+        f" named_struct('tot', cast(0 as bigint), 'prev', {-_SUBSTR_N}),"
+        " (acc, p) -> named_struct("
+        f"   'tot', acc.tot + least({_SUBSTR_N}, p - acc.prev),"
+        "   'prev', p)).tot"
     )
     return (
-        base.join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_shared",
-            F.coalesce("n_dup_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("n_dup_tokens"),
+        grams.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("owner") < F.col("doc_id"), F.lit(1))).alias(
+                "n_shared"
+            ),
+            span_union.alias("n_dup_tokens"),
         )
         .withColumn("flagged", F.col("n_shared") > 0)
     )
