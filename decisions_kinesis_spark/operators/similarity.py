@@ -31,6 +31,14 @@ _DOT = (
 )
 _NORM = "sqrt(" + _DOT.format(a="{v}", b="{v}") + ")"
 
+#: Pair cosine from PRE-COMPUTED norms.  Every join in this module
+#: precomputes each side's L2 norm scan-side (N + k sqrt-dots) instead
+#: of recomputing both inside the pair expression (N·k of each) — the
+#: value is bit-identical (same sqrt, same multiply, same round) but
+#: the per-pair cost drops from 3 dot products + 2 sqrts to 1 dot
+#: product + 1 divide.
+_PAIR_COS = "round(({dot}) / ({na} * {nb}), 6)"
+
 
 def _as_double(col: str) -> F.Column:
     return F.col(col).cast("array<double>")
@@ -49,21 +57,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
-    )
+    ).withColumn("nv", F.expr(_NORM.format(v="v")))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
     )
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cos",
-            F.round(
-                F.expr(_DOT.format(a="v", b="qv"))
-                / (
-                    F.expr(_NORM.format(v="v"))
-                    * F.expr(_NORM.format(v="qv"))
-                ),
-                6,
+            F.expr(
+                _PAIR_COS.format(
+                    dot=_DOT.format(a="v", b="qv"), na="nv", nb="qnv"
+                )
             ),
         )
         .withColumn("pid", F.spark_partition_id())
@@ -140,11 +147,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
-    )
+    ).withColumn("nv", F.expr(_NORM.format(v="v")))
     bucketed = emb.withColumn("bucket", _bucket_expr())
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
         F.col("bucket").alias("qbucket"),
     )
     cand = bucketed.join(
@@ -152,10 +160,8 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     ).withColumn(
         "cos",
-        F.round(
-            F.expr(_DOT.format(a="v", b="qv"))
-            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="qv"))),
-            6,
+        F.expr(
+            _PAIR_COS.format(dot=_DOT.format(a="v", b="qv"), na="nv", nb="qnv")
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -190,7 +196,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
-    )
+    ).withColumn("nv", F.expr(_NORM.format(v="v")))
     bucketed = emb.withColumn("bucket", _bucket_expr())
     probes = F.array(
         F.col("qbucket"),
@@ -204,6 +210,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("nv").alias("qnv"),
             F.col("bucket").alias("qbucket"),
         )
         .withColumn("probe", F.explode(probes))
@@ -213,10 +220,8 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
     ).withColumn(
         "cos",
-        F.round(
-            F.expr(_DOT.format(a="v", b="qv"))
-            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="qv"))),
-            6,
+        F.expr(
+            _PAIR_COS.format(dot=_DOT.format(a="v", b="qv"), na="nv", nb="qnv")
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -276,24 +281,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    import math
-
-    mod = max(1, math.isqrt(table_count(spark, "embeddings", sf_dir)))
-    cents = emb.filter(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "ccos",
-        F.round(
-            F.expr(_DOT.format(a="v", b="cv"))
-            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
-            6,
-        ),
-    )
-    assigned = _argmin_assign(scored)
+    assigned = _assign_cents(
+        emb, _seed_centroids(spark, sf_dir, emb)
+    ).withColumn("nv", F.expr(_NORM.format(v="v")))
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
         F.col("cent_id").alias("qcent"),
     )
     cand = assigned.join(
@@ -301,10 +295,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cent_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id")),
     ).withColumn(
         "cos",
-        F.round(
-            F.expr(_DOT.format(a="v", b="qv"))
-            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="qv"))),
-            6,
+        F.expr(
+            _PAIR_COS.format(dot=_DOT.format(a="v", b="qv"), na="nv", nb="qnv")
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -324,22 +316,19 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
-    )
-    import math
-
-    mod = max(1, math.isqrt(table_count(spark, "embeddings", sf_dir)))
-    cents = emb.filter(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    ).withColumn("nv", F.expr(_NORM.format(v="v")))
+    cents = _seed_centroids(spark, sf_dir, emb).withColumn(
+        "ncv", F.expr(_NORM.format(v="cv"))
     )
     scored = emb.join(F.broadcast(cents)).withColumn(
         "ccos",
-        F.round(
-            F.expr(_DOT.format(a="v", b="cv"))
-            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
-            6,
+        F.expr(
+            _PAIR_COS.format(dot=_DOT.format(a="v", b="cv"), na="nv", nb="ncv")
         ),
     )
-    assigned = _argmin_assign(scored)
+    assigned = _argmin_assign(scored).withColumn(
+        "nv", F.expr(_NORM.format(v="v"))
+    )
     # probe set: the query's two nearest centroids — the rank-2 window
     # runs over the QUERY rows only (k × n_queries rows, trivial), so
     # the full expanded frame still reduces map-side in _argmin_assign
@@ -351,6 +340,7 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
         F.col("cent_id").alias("probe_cent"),
     )
     cand = assigned.join(
@@ -359,10 +349,8 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_id") != F.col("query_id")),
     ).withColumn(
         "cos",
-        F.round(
-            F.expr(_DOT.format(a="v", b="qv"))
-            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="qv"))),
-            6,
+        F.expr(
+            _PAIR_COS.format(dot=_DOT.format(a="v", b="qv"), na="nv", nb="qnv")
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -376,14 +364,18 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _assign_cents(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Broadcast the centroid frame against the corpus and argmin via
     the map-side-combining ``_argmin_assign`` — the shared assignment
-    step of the IVF family (the corpus never shuffles to be assigned)."""
+    step of the IVF family (the corpus never shuffles to be assigned).
+    Norms are precomputed on each side BEFORE the join (N + k sqrts
+    instead of N·k recomputations inside the pair expression)."""
     return _argmin_assign(
-        vecs.join(F.broadcast(cents)).withColumn(
+        vecs.withColumn("nv", F.expr(_NORM.format(v="v")))
+        .join(F.broadcast(cents.withColumn("ncv", F.expr(_NORM.format(v="cv")))))
+        .withColumn(
             "ccos",
-            F.round(
-                F.expr(_DOT.format(a="v", b="cv"))
-                / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
-                6,
+            F.expr(
+                _PAIR_COS.format(
+                    dot=_DOT.format(a="v", b="cv"), na="nv", nb="ncv"
+                )
             ),
         )
     )
@@ -456,10 +448,13 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double("embedding").alias("v")
     )
     refined = _ivf_refined_centroids(spark, sf_dir)
-    assigned = _assign_cents(emb, refined)
+    assigned = _assign_cents(emb, refined).withColumn(
+        "nv", F.expr(_NORM.format(v="v"))
+    )
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
         F.col("cent_id").alias("qcent"),
     )
     cand = assigned.join(
@@ -467,10 +462,8 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cent_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id")),
     ).withColumn(
         "cos",
-        F.round(
-            F.expr(_DOT.format(a="v", b="qv"))
-            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="qv"))),
-            6,
+        F.expr(
+            _PAIR_COS.format(dot=_DOT.format(a="v", b="qv"), na="nv", nb="qnv")
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -508,15 +501,23 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    scored = emb.join(
-        F.broadcast(_seed_centroids(spark, sf_dir, emb))
-    ).withColumn(
-        "ccos",
-        F.round(
-            F.expr(_DOT.format(a="v", b="cv"))
-            / (F.expr(_NORM.format(v="v")) * F.expr(_NORM.format(v="cv"))),
-            6,
-        ),
+    scored = (
+        emb.withColumn("nv", F.expr(_NORM.format(v="v")))
+        .join(
+            F.broadcast(
+                _seed_centroids(spark, sf_dir, emb).withColumn(
+                    "ncv", F.expr(_NORM.format(v="cv"))
+                )
+            )
+        )
+        .withColumn(
+            "ccos",
+            F.expr(
+                _PAIR_COS.format(
+                    dot=_DOT.format(a="v", b="cv"), na="nv", nb="ncv"
+                )
+            ),
+        )
     )
     # assigned ccos = max(ccos): assignment maximizes (ccos, -cent_id),
     # so the winning centroid's cosine is the groupwise maximum
@@ -638,11 +639,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached corpus count sizes the blocking; planes are inlined as
     # literals so the bucket id is still a pure scan-side projection
     nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))
-    bucketed = emb.withColumn("bucket", _bucket_expr(nbits))
+    bucketed = emb.withColumn("nv", F.expr(_NORM.format(v="v"))).withColumn(
+        "bucket", _bucket_expr(nbits)
+    )
     a = bucketed.alias("a")
     b = bucketed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
+        F.col("nv").alias("nvb"),
         F.col("bucket").alias("bucket_b"),
     ).alias("b")
     pairs = a.join(
@@ -651,10 +655,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.vec_id") < F.col("vec_b")),
     ).withColumn(
         "cos",
-        F.round(
-            F.expr(_DOT.format(a="a.v", b="vb"))
-            / (F.expr(_NORM.format(v="a.v")) * F.expr(_NORM.format(v="vb"))),
-            6,
+        F.expr(
+            _PAIR_COS.format(
+                dot=_DOT.format(a="a.v", b="vb"), na="a.nv", nb="nvb"
+            )
         ),
     )
     return pairs.filter(F.col("cos") >= 0.35).select(
