@@ -309,10 +309,15 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (majority vote over token-hash bits).
 
-    Scale: |docs|×|distinct tokens|×32 intermediate rows shrink via
-    map-side partial sums; output is one row per doc.  Near-dup pairs
-    are then found by hamming distance on the 32-bit key (grouping on
-    rotated key segments), not implemented as a pair query here.
+    Scale: the 32 per-bit majority counters are 32 CONDITIONAL SUM
+    aggregate columns (codegen'd ±1 sums with map-side partial
+    aggregation) — the doc_id shuffle carries 32 ints per partial
+    group instead of the per-doc token-hash list a collect_list
+    variant would move, and the key assembles scan-side from the
+    finished sums.  Exact integer arithmetic, so the majority verdict
+    is order-free and bit-identical to the DuckDB oracle.  Near-dup
+    pairs are then found by hamming distance on the 32-bit key
+    (pigeonhole blocking, see ``dedup_simhash_hamming_pairs``).
     """
     from decisions_kinesis_spark.functions.parallel import ensure_parallelism
 
@@ -325,19 +330,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("h", F.expr(_bighash("token")))
     )
-    # Collect the (small) per-doc hash set, then evaluate all 32 bit
-    # majorities in ONE codegen expression — no 32× row explode, no
-    # second shuffle; the only shuffle is the groupBy on doc_id.
-    per_doc = toks.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
-    return per_doc.select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->"
-            " acc + if(aggregate(hs, 0, (s, h) ->"
-            " s + if((h div shiftleft(cast(1 as bigint), b)) % 2 = 1, 1, -1)) > 0,"
-            " shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
-        ).alias("simhash"),
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"if((h div {1 << b}) % 2 = 1, 1, -1)")
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
     )
+    key = " + ".join(
+        f"if(s{b} > 0, cast({1 << b} as bigint), cast(0 as bigint))"
+        for b in range(32)
+    )
+    return sums.select("doc_id", F.expr(key).alias("simhash"))
 
 
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
