@@ -1,0 +1,85 @@
+"""Hypothesis differential tests for the round-4 sequential folds:
+the greedy BPE encode (corpus._GREEDY_ENC) and the fixed-width span
+interval-union (corpus.dedup_exact_substring's fold) are each checked
+against an independent pure-Python reference over randomized inputs —
+the same differential pattern the filter compiler uses.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.operators.corpus import _GREEDY_ENC, _SUBSTR_N
+
+_words = st.text(alphabet="abcd", min_size=1, max_size=12)
+_vocab = st.lists(
+    st.text(alphabet="abcd", min_size=2, max_size=2), max_size=6, unique=True
+)
+
+
+def _py_greedy(word: str, vocab: list[str]) -> int:
+    """Reference greedy longest-match encode: 2-char merge else 1 char."""
+    i, n = 0, 0
+    while i < len(word):
+        if word[i : i + 2] in vocab and len(word[i : i + 2]) == 2:
+            i += 2
+        else:
+            i += 1
+        n += 1
+    return n
+
+
+def _py_span_union(positions: list[int], width: int) -> int:
+    """Reference interval union of fixed-width spans at sorted starts."""
+    tot, prev_end = 0, None
+    for p in sorted(positions):
+        start = p if prev_end is None else max(p, prev_end + 1)
+        end = p + width - 1
+        if end >= start:
+            tot += end - start + 1
+        prev_end = end if prev_end is None else max(prev_end, end)
+    return tot
+
+
+@settings(max_examples=30, deadline=None)
+@given(words=st.lists(_words, min_size=1, max_size=6), vocab=_vocab)
+def test_greedy_bpe_fold_matches_python_reference(spark, words, vocab):
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    vocab_arr = (
+        "array(" + ", ".join(f"'{p}'" for p in vocab) + ")"
+        if vocab
+        else "array()"
+    )
+    got = {
+        r["w"]: r["cnt"]
+        for r in df.withColumn("vocab", F.expr(vocab_arr))
+        .withColumn("cnt", F.expr(_GREEDY_ENC))
+        .collect()
+    }
+    for w in words:
+        assert got[w] == _py_greedy(w, vocab), (w, vocab)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    positions=st.lists(
+        st.integers(min_value=1, max_value=60), min_size=0, max_size=20, unique=True
+    )
+)
+def test_span_union_fold_matches_python_reference(spark, positions):
+    span_union = (
+        "aggregate(array_sort(collect_list(pos)),"
+        f" named_struct('tot', cast(0 as bigint), 'prev', {-_SUBSTR_N}),"
+        " (acc, p) -> named_struct("
+        f"   'tot', acc.tot + least({_SUBSTR_N}, p - acc.prev),"
+        "   'prev', p)).tot"
+    )
+    df = spark.createDataFrame(
+        [(1, p) for p in positions] or [(1, None)], "doc_id long, pos int"
+    )
+    got = df.groupBy("doc_id").agg(F.expr(span_union).alias("tot")).collect()[0][
+        "tot"
+    ]
+    assert got == _py_span_union(positions, _SUBSTR_N), positions
