@@ -245,17 +245,22 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _argmin_assign(scored: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment from a (vec_id, v, cent_id, ccos)
+    """Nearest-centroid assignment from a (vec_id, v, nv, cent_id, ccos)
     frame: max ccos, ties to the smallest cent_id — via ``max_by`` over
     the key struct (ccos, −cent_id), which aggregates with MAP-SIDE
     partial combine (a window over vec_id would shuffle the whole N·k
-    expanded frame).  ``first(v)`` is deterministic here because v is
-    constant within a vec_id group."""
+    expanded frame).  ``first(v)``/``first(nv)`` are deterministic here
+    because both are constant within a vec_id group; carrying nv saves
+    downstream probe joins a corpus-wide norm recompute, and the
+    winner's ccos (= max ccos, since the struct max orders on ccos
+    first) rides along for consumers like SemDeDup."""
     return scored.groupBy("vec_id").agg(
         F.max_by(
             "cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))
         ).alias("cent_id"),
         F.first("v").alias("v"),
+        F.first("nv").alias("nv"),
+        F.max("ccos").alias("ccos"),
     )
 
 
@@ -281,9 +286,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    assigned = _assign_cents(
-        emb, _seed_centroids(spark, sf_dir, emb)
-    ).withColumn("nv", F.expr(_NORM.format(v="v")))
+    assigned = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -326,9 +329,7 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PAIR_COS.format(dot=_DOT.format(a="v", b="cv"), na="nv", nb="ncv")
         ),
     )
-    assigned = _argmin_assign(scored).withColumn(
-        "nv", F.expr(_NORM.format(v="v"))
-    )
+    assigned = _argmin_assign(scored)
     # probe set: the query's two nearest centroids — the rank-2 window
     # runs over the QUERY rows only (k × n_queries rows, trivial), so
     # the full expanded frame still reduces map-side in _argmin_assign
@@ -448,9 +449,7 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double("embedding").alias("v")
     )
     refined = _ivf_refined_centroids(spark, sf_dir)
-    assigned = _assign_cents(emb, refined).withColumn(
-        "nv", F.expr(_NORM.format(v="v"))
-    )
+    assigned = _assign_cents(emb, refined)
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -501,32 +500,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    scored = (
-        emb.withColumn("nv", F.expr(_NORM.format(v="v")))
-        .join(
-            F.broadcast(
-                _seed_centroids(spark, sf_dir, emb).withColumn(
-                    "ncv", F.expr(_NORM.format(v="cv"))
-                )
-            )
-        )
-        .withColumn(
-            "ccos",
-            F.expr(
-                _PAIR_COS.format(
-                    dot=_DOT.format(a="v", b="cv"), na="nv", nb="ncv"
-                )
-            ),
-        )
-    )
-    # assigned ccos = max(ccos): assignment maximizes (ccos, -cent_id),
-    # so the winning centroid's cosine is the groupwise maximum
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cent_id", F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))
-        ).alias("cent_id"),
-        F.max("ccos").alias("ccos"),
-    )
+    # shared IVF assignment; _argmin_assign carries the winner's ccos
+    assigned = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
     w = Window.partitionBy("cent_id").orderBy(F.desc("ccos"), F.asc("vec_id"))
     wc = Window.partitionBy("cent_id")
     return (
