@@ -644,6 +644,32 @@ def dedup_components(
     )
 
 
+def dedup_cluster_stats(
+    spark: SparkSession, sf_dir: str, driver_max_edges: int = 1_000_000
+) -> DataFrame:
+    """Representative selection + reduction report per duplicate
+    cluster — the step that turns CC labels into the dedup DECISION:
+    ``keeper`` is the kept document (min doc_id, which by CC
+    construction equals the cluster label), ``n_dropped`` the corpus
+    reduction the cluster contributes.  Summing n_dropped over this
+    frame is the headline "X% of the corpus was near-duplicate" number
+    every dedup run reports.
+
+    Scale: one map-side-combining aggregation over the components
+    frame (cluster-id keyed, cluster-count cardinality) on top of the
+    shared CC machinery.
+    """
+    comps = dedup_components(spark, sf_dir, driver_max_edges)
+    return (
+        comps.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .withColumn("n_dropped", F.col("n_docs") - 1)
+    )
+
+
 # cheap scan-shaped queries first, pair pipelines after, the iterative
 # components query (which contains the LSH pipeline) last
 QUERIES = {
@@ -654,6 +680,7 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
     "dedup_components": dedup_components,
+    "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_incremental_lsh": dedup_incremental_lsh,
 }
 
@@ -768,6 +795,27 @@ ORACLES = {
         )
         SELECT node AS doc_id, min(label) AS cluster
         FROM reach GROUP BY node
+    """,
+    "dedup_cluster_stats": f"""
+        WITH RECURSIVE {_DUCK_LSH_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairsel
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairsel
+        ),
+        reach(node, label) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(label) AS cluster
+            FROM reach GROUP BY node
+        )
+        SELECT cluster, count(*)::BIGINT AS n_docs,
+               min(doc_id) AS keeper,
+               (count(*) - 1)::BIGINT AS n_dropped
+        FROM comp GROUP BY cluster
     """,
     "dedup_incremental_lsh": f"""
         WITH corpus_all AS (SELECT doc_id, text FROM documents),
