@@ -33,26 +33,26 @@ _OPERATOR_MODULES = (
 # queries, and the gate hard-caps at 50 rows.  Rounds 1-3 accumulated
 # driver-green rows for 83 of the registered queries; this round the
 # window ROTATES to the 39 queries the gate has never reached (all green
-# under tools/oracle_check.py locally), plus the 4 queries that were new
-# or semantically changed at rotation time, plus 7 cross-module
-# sentinels that stay in every round's window as regression canaries.
-# One exception: `dsir_importance_weights` was added AFTER the rotation
-# and lands past the cap (green in local oracle runs at all three SFs)
-# — rotate it into the round-5 window.
+# under tools/oracle_check.py locally), plus the 6 queries that are new
+# or semantically changed this round, plus 5 cross-module sentinels
+# that stay in every round's window as regression canaries (two r1-r3
+# double-green sentinels ceded their slots to the late additions so
+# EVERY new operator gets a driver row this round).
 _GATE_PRIORITY = (
-    # sentinels — one stable representative per long-green family (7)
+    # sentinels — one stable representative per long-green family (5)
     "flagship_premium_filter",
     "q1_pricing_summary",
     "window_tumbling_hourly",
     "asof_join_events_orders",
-    "text_token_stats",
-    "pandas_udf_engagement_score",
     "dedup_exact",
-    # new / changed this round (4): semdedup + tokenizer are new
-    # operators; substring dedup gained span-level n_dup_tokens; the
-    # IVF Lloyd mean switched to the integer-scaled partial-agg form
+    # new / changed this round (6): semdedup, tokenizer, DSIR, and
+    # cluster-stats are new operators; substring dedup gained
+    # span-level n_dup_tokens; the IVF Lloyd mean switched to the
+    # integer-scaled partial-agg form
     "semdedup_prune",
     "tokenize_bpe_greedy",
+    "dsir_importance_weights",
+    "dedup_cluster_stats",
     "dedup_exact_substring",
     "ann_ivf_refined",
     # rotation: the 39 never-driver-checked queries (39)
