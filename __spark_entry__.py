@@ -33,26 +33,27 @@ _OPERATOR_MODULES = (
 # queries, and the gate hard-caps at 50 rows.  Rounds 1-3 accumulated
 # driver-green rows for 83 of the registered queries; this round the
 # window ROTATES to the 39 queries the gate has never reached (all green
-# under tools/oracle_check.py locally), plus the 6 queries that are new
-# or semantically changed this round, plus 5 cross-module sentinels
-# that stay in every round's window as regression canaries (two r1-r3
-# double-green sentinels ceded their slots to the late additions so
-# EVERY new operator gets a driver row this round).
+# under tools/oracle_check.py locally), plus the 7 queries that are new
+# or semantically changed this round, plus 4 cross-module sentinels
+# that stay in every round's window as regression canaries (three
+# r1-r3 double-green sentinels ceded their slots to late additions so
+# EVERY new operator gets a driver row this round; the asof family is
+# re-checked via asof_join_forward in the rotation below).
 _GATE_PRIORITY = (
-    # sentinels — one stable representative per long-green family (5)
+    # sentinels — one stable representative per long-green family (4)
     "flagship_premium_filter",
     "q1_pricing_summary",
     "window_tumbling_hourly",
-    "asof_join_events_orders",
     "dedup_exact",
-    # new / changed this round (6): semdedup, tokenizer, DSIR, and
-    # cluster-stats are new operators; substring dedup gained
-    # span-level n_dup_tokens; the IVF Lloyd mean switched to the
-    # integer-scaled partial-agg form
+    # new / changed this round (7): semdedup, tokenizer, DSIR,
+    # cluster-stats, and the funnel report are new operators;
+    # substring dedup gained span-level n_dup_tokens; the IVF Lloyd
+    # mean switched to the integer-scaled partial-agg form
     "semdedup_prune",
     "tokenize_bpe_greedy",
     "dsir_importance_weights",
     "dedup_cluster_stats",
+    "corpus_funnel_report",
     "dedup_exact_substring",
     "ann_ivf_refined",
     # rotation: the 39 never-driver-checked queries (39)

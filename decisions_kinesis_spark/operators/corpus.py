@@ -564,6 +564,67 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline YIELD report: how many documents survive each stage of
+    the corpus-prep funnel — the one-page number every data-curation
+    run publishes (cf. the filtering tables in Gopher/RefinedWeb/
+    FineWeb papers).  Stages compose CUMULATIVELY:
+
+      0 total                — corpus size
+      1 gopher_quality       — passes the Gopher gate (``keep``)
+      2 exact_substring_dedup— not flagged by keep-first substring dedup
+      3 holdout_removed      — not in the held-out eval slice
+      4 decontaminated       — no eval n-gram collision
+
+    Documents absent from a stage's frame (too short to emit grams)
+    pass that stage vacuously — coalesce(flag, false) on the left
+    joins, identically in both engines.
+
+    Scale: reuses the three stage operators (each already
+    shuffle-linear), three left equi-joins on doc_id, then ONE
+    global fold to a 5-row frame via conditional counts + stack — no
+    new shuffle shapes.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    gopher = quality_gopher_flags(spark, sf_dir).select("doc_id", "keep")
+    sub = dedup_exact_substring(spark, sf_dir).select("doc_id", "flagged")
+    dec = decontam_eval_overlap(spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    j = (
+        docs.join(gopher, "doc_id", "left")
+        .join(sub, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            F.coalesce("keep", F.lit(False)).alias("keep"),
+            F.coalesce("flagged", F.lit(False)).alias("flagged"),
+            (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+    s1 = F.col("keep")
+    s2 = s1 & ~F.col("flagged")
+    s3 = s2 & ~F.col("is_eval")
+    s4 = s3 & ~F.col("contaminated")
+    one = j.agg(
+        F.count("*").alias("n0"),
+        F.count(F.when(s1, 1)).alias("n1"),
+        F.count(F.when(s2, 1)).alias("n2"),
+        F.count(F.when(s3, 1)).alias("n3"),
+        F.count(F.when(s4, 1)).alias("n4"),
+    )
+    return one.select(
+        F.expr(
+            "stack(5,"
+            " 0, 'total', n0,"
+            " 1, 'gopher_quality', n1,"
+            " 2, 'exact_substring_dedup', n2,"
+            " 3, 'holdout_removed', n3,"
+            " 4, 'decontaminated', n4) as (stage_id, stage, n_docs)"
+        )
+    ).select(F.col("stage_id").cast("bigint"), "stage", "n_docs")
+
+
 QUERIES = {
     "quality_gopher_flags": quality_gopher_flags,
     "lm_bigram_score": lm_bigram_score,
@@ -575,6 +636,7 @@ QUERIES = {
     "decontam_eval_overlap": decontam_eval_overlap,
     "mix_domain_weights": mix_domain_weights,
     "dsir_importance_weights": dsir_importance_weights,
+    "corpus_funnel_report": corpus_funnel_report,
 }
 
 _DUCK_FL4 = "floor(({e}) * 10000 + 0.5) / 10000.0"
@@ -846,3 +908,38 @@ ORACLES = {
         FROM dom, tot
     """,
 }
+
+# The funnel oracle COMPOSES the three stage oracles as nested
+# subqueries (DuckDB allows WITH inside a CTE body), so the funnel is
+# verified against the exact same stage definitions the standalone
+# queries use — one source of truth per stage.
+ORACLES["corpus_funnel_report"] = f"""
+    WITH g AS ({ORACLES["quality_gopher_flags"]}),
+    s AS ({ORACLES["dedup_exact_substring"]}),
+    d AS ({ORACLES["decontam_eval_overlap"]}),
+    j AS (
+        SELECT coalesce(g.keep, false) AS keep,
+               coalesce(s.flagged, false) AS flagged,
+               (doc.doc_id % {_EVAL_MOD} = 0) AS is_eval,
+               coalesce(d.contaminated, false) AS contaminated
+        FROM documents doc
+        LEFT JOIN g USING (doc_id)
+        LEFT JOIN s USING (doc_id)
+        LEFT JOIN d USING (doc_id)
+    ),
+    one AS (
+        SELECT count(*)::BIGINT AS n0,
+               count(*) FILTER (WHERE keep)::BIGINT AS n1,
+               count(*) FILTER (WHERE keep AND NOT flagged)::BIGINT AS n2,
+               count(*) FILTER (WHERE keep AND NOT flagged
+                                AND NOT is_eval)::BIGINT AS n3,
+               count(*) FILTER (WHERE keep AND NOT flagged AND NOT is_eval
+                                AND NOT contaminated)::BIGINT AS n4
+        FROM j
+    )
+    SELECT 0::BIGINT AS stage_id, 'total' AS stage, n0 AS n_docs FROM one
+    UNION ALL SELECT 1, 'gopher_quality', n1 FROM one
+    UNION ALL SELECT 2, 'exact_substring_dedup', n2 FROM one
+    UNION ALL SELECT 3, 'holdout_removed', n3 FROM one
+    UNION ALL SELECT 4, 'decontaminated', n4 FROM one
+"""
