@@ -101,8 +101,11 @@ def _query_fingerprints() -> dict[str, str]:
             continue
         with open(path) as f:
             src = f.read()
+        found = re.findall(
+            r"operators\.(\w+) import|operators import (\w+)", src
+        )
         deps[name] = sorted(
-            set(re.findall(r"operators\.(\w+) import", src)) - {name}
+            {a or b for a, b in found} - {name}
         )
     out: dict[str, str] = {}
     for name in _OPERATOR_MODULES:

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from decisions_kinesis_spark.operators import stage_cache
 from decisions_kinesis_spark.operators.textops import (
     _BIGHASH,
     _DUCK_BIGHASH,
@@ -375,13 +376,6 @@ _EVAL_MOD = 97  # doc_id % 97 == 0 → held-out "benchmark" set
 #: constant so the plan test can exercise both paths.
 _EVAL_BCAST_LIMIT = 2_000_000
 
-#: The size probe materializes the eval-gram frame (localCheckpoint +
-#: count) at DataFrame-construction time; cache frame + verdict per
-#: (session, sf_dir, limit) so repeated constructions — bench cold/warm
-#: passes, plan reports, test sweeps — pay it once instead of pinning a
-#: fresh checkpoint RDD per call.
-_EVAL_GRAMS_CACHE: dict[tuple[str, str, int], tuple[DataFrame, bool]] = {}
-
 
 def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination (the n-gram-collision pass every
@@ -422,20 +416,23 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.expr(_BIGHASH.format(e="gram")).alias("g"))
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     train = grams.filter(~is_eval).distinct()
-    key = (spark.sparkContext.applicationId, sf_dir, _EVAL_BCAST_LIMIT)
-    cached = _EVAL_GRAMS_CACHE.get(key)
-    if cached is None:
+
+    def _build() -> tuple[DataFrame, bool]:
         eval_grams = (
             grams.filter(is_eval)
             .groupBy("g")
             .agg(F.count_distinct("doc_id").alias("n_eval_docs"))
             # materialized once so the size probe doesn't recompute the
-            # explode/aggregate pipeline when the join consumes it
+            # explode/aggregate pipeline when the join consumes it;
+            # the checkpoint+count runs at DataFrame-CONSTRUCTION time
+            # on a cache miss (see stage_cache module doc)
             .localCheckpoint(eager=True)
         )
-        cached = (eval_grams, eval_grams.count() <= _EVAL_BCAST_LIMIT)
-        _EVAL_GRAMS_CACHE[key] = cached
-    eval_grams, fits_broadcast = cached
+        return eval_grams, eval_grams.count() <= _EVAL_BCAST_LIMIT
+
+    eval_grams, fits_broadcast = stage_cache.get_or_build(
+        spark, "decontam_eval_grams", f"{sf_dir}|{_EVAL_BCAST_LIMIT}", _build
+    )
     eval_side = F.broadcast(eval_grams) if fits_broadcast else eval_grams
     joined = train.join(eval_side, "g", "left")
     return (
@@ -470,6 +467,19 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, integer division is — so the DuckDB oracle matches
     exactly.  Unseen-in-target buckets contribute 0 (no smoothing
     needed: every bucket a document emits exists in the raw counts).
+
+    Overflow bound (cf. the 2^53 analysis in ``ann_ivf_refined``): the
+    scaled ratio is computed in TWO exact integer steps of ×1000 each —
+    ``hi = (c_tgt·1000) div c_raw; r = hi·1000 + ((c_tgt·1000) mod
+    c_raw)·1000 div c_raw`` — algebraically identical to
+    ``(c_tgt·1e6) div c_raw`` (both engines floor toward zero on
+    non-negative counts) but the largest intermediate is
+    ``max(c_tgt, c_raw)·1000``, so BIGINT arithmetic is exact up to
+    ~9.2e15 occurrences per bucket instead of the single-step form's
+    ~9.2e12 — at the 100 TB narrative (~5e13 total features over 4096
+    buckets) even a fully-skewed bucket stays 3 orders of magnitude
+    inside the bound, where the naive form could silently wrap in
+    Spark while DuckDB raised.
 
     Scale: features hash to ≤4096 buckets BY CONSTRUCTION, so both
     distribution frames are bounded and force-broadcast is safe (the
@@ -513,7 +523,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cnt_tgt), "b", "left")
         .withColumn(
             "r_scaled",
-            F.expr(f"(coalesce(c_tgt, 0) * {_DSIR_SCALE}) div c_raw"),
+            # two-step ×1000 form: exact floor(c_tgt·1e6 / c_raw) with
+            # intermediates ≤ max(c_tgt, c_raw)·1000 (see docstring)
+            F.expr(
+                "((coalesce(c_tgt, 0) * 1000) div c_raw) * 1000"
+                " + (((coalesce(c_tgt, 0) * 1000) % c_raw) * 1000)"
+                " div c_raw"
+            ),
         )
     )
     return scored.groupBy("doc_id", "lang").agg(
@@ -576,20 +592,40 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       3 holdout_removed      — not in the held-out eval slice
       4 decontaminated       — no eval n-gram collision
 
-    Documents absent from a stage's frame (too short to emit grams)
-    pass that stage vacuously — coalesce(flag, false) on the left
-    joins, identically in both engines.
+    Absent-from-frame handling is ASYMMETRIC by stage shape, and the
+    coalesce defaults encode exactly that: for the FLAG-shaped stages
+    (``flagged``, ``contaminated``) a document too short to emit grams
+    has nothing to collide, so coalesce(flag, false) means "passes
+    vacuously"; for the KEEP-shaped gopher stage, absence means the
+    document produced zero words, which FAILS the word-count band —
+    coalesce(keep, false) marks it dropped, the same verdict
+    ``quality_gopher_flags`` would emit if it produced a row (it emits
+    one for every document with ≥1 token).
 
     Scale: reuses the three stage operators (each already
     shuffle-linear), three left equi-joins on doc_id, then ONE
     global fold to a 5-row frame via conditional counts + stack — no
-    new shuffle shapes.
+    new shuffle shapes.  Stage outputs come through the session
+    ``stage_cache`` (localCheckpoint'd on first use), so a session that
+    builds the funnel repeatedly reuses the materialized stages instead
+    of re-running their pipelines; cache misses run the stage jobs at
+    construction time (see stage_cache module doc).
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    gopher = quality_gopher_flags(spark, sf_dir).select("doc_id", "keep")
-    sub = dedup_exact_substring(spark, sf_dir).select("doc_id", "flagged")
-    dec = decontam_eval_overlap(spark, sf_dir).select(
-        "doc_id", "contaminated"
+    gopher, sub, dec = (
+        stage_cache.get_or_build(
+            spark,
+            f"funnel:{stage}",
+            sf_dir,
+            lambda fn=fn, cols=cols: fn(spark, sf_dir)
+            .select(*cols)
+            .localCheckpoint(eager=True),
+        )
+        for stage, fn, cols in (
+            ("gopher", quality_gopher_flags, ("doc_id", "keep")),
+            ("substr", dedup_exact_substring, ("doc_id", "flagged")),
+            ("decontam", decontam_eval_overlap, ("doc_id", "contaminated")),
+        )
     )
     j = (
         docs.join(gopher, "doc_id", "left")
@@ -881,8 +917,12 @@ ORACLES = {
             WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
         ),
         scored AS (
+            -- two-step ×1000 form, identical to the engine: exact
+            -- floor(c_tgt·1e6 / c_raw) without the ×1e6 intermediate
             SELECT doc_id, lang, tf,
-                   (coalesce(c_tgt, 0) * {_DSIR_SCALE}) // c_raw AS r_scaled
+                   ((coalesce(c_tgt, 0) * 1000) // c_raw) * 1000
+                   + (((coalesce(c_tgt, 0) * 1000) % c_raw) * 1000)
+                     // c_raw AS r_scaled
             FROM doc_tf JOIN craw USING (b) LEFT JOIN ctgt USING (b)
         )
         SELECT doc_id, lang, sum(tf)::BIGINT AS n_feats,

@@ -657,9 +657,21 @@ def dedup_cluster_stats(
 
     Scale: one map-side-combining aggregation over the components
     frame (cluster-id keyed, cluster-count cardinality) on top of the
-    shared CC machinery.
+    shared CC machinery.  The components frame comes through the
+    session ``stage_cache`` (localCheckpoint'd on first use), so a
+    session that builds this report repeatedly reuses the LSH+CC
+    pipeline output instead of re-running it; a cache miss runs those
+    jobs at DataFrame-construction time (see stage_cache module doc).
     """
-    comps = dedup_components(spark, sf_dir, driver_max_edges)
+    from decisions_kinesis_spark.operators import stage_cache
+
+    comps = stage_cache.get_or_build(
+        spark,
+        "cluster_stats:components",
+        f"{sf_dir}|{driver_max_edges}",
+        lambda: dedup_components(spark, sf_dir, driver_max_edges)
+        .localCheckpoint(eager=True),
+    )
     return (
         comps.groupBy("cluster")
         .agg(

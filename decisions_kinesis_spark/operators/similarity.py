@@ -477,16 +477,21 @@ _SEMDEDUP_PRUNE_PCT = 20  # flag the 20% most centroid-redundant per cell
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
-    Data-efficient learning at web-scale through semantic
-    deduplication"): cluster the corpus (here: the deterministic seeded
-    IVF cell assignment shared with ``ann_ivf_topk``), rank each cell's
-    members by cosine-to-centroid, and flag the top
-    ``_SEMDEDUP_PRUNE_PCT``% most centroid-similar members as semantic
-    near-duplicates — the points packed tightest around the cell center
-    carry the least marginal information, so pruning them (keeping the
-    diverse tail, the paper's keep-low-centroid-similarity policy)
-    shrinks the training set with minimal quality loss.
+    """Semantic pruning in the spirit of SemDeDup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication") — APPROXIMATED with per-cell prototypicality
+    ranking, not the paper's exact algorithm: cluster the corpus (the
+    deterministic seeded IVF cell assignment shared with
+    ``ann_ivf_topk``), rank each cell's members by cosine-to-centroid,
+    and flag the top ``_SEMDEDUP_PRUNE_PCT``% most centroid-similar
+    members.  The paper instead finds PAIRWISE near-duplicate groups
+    within each cluster and keeps the lowest-centroid-similarity member
+    per group; this operator keeps the same keep-the-diverse-tail
+    intuition (points packed tightest around the center carry the least
+    marginal information) at one bounded window instead of a per-cell
+    quadratic pass — the prototypicality-pruning baseline, with
+    ``dedup_embedding_cosine``/``dedup_embedding_components`` as the
+    true pairwise path when exact SemDeDup grouping is required.
 
     Deterministic end-to-end: seeded cells (vec_id % isqrt(N)), cosine
     at 6 decimals, ties broken by vec_id, integer percent arithmetic
