@@ -694,6 +694,93 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_SCALE = 1_000_000
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality CALIBRATION: recall@k of every approximate index
+    against the exact brute-force ground truth (``ann_cosine_topk``) —
+    the number that actually picks plane count / nprobe at 100 TB,
+    where re-running brute force to check an index is impossible and
+    this report (computed on a sampled slice) is the tuning loop.
+
+    Per method: ``n_truth`` (ground-truth pairs = queries × k),
+    ``n_pred`` (pairs the method returned — k per query for the IVF
+    top-k variants, ≤1 per query for the best-neighbor LSH variants),
+    ``n_hits`` (predicted pairs that are true top-k pairs),
+    ``recall_scaled`` (hits·1e6 div truth) and ``precision_scaled``
+    (hits·1e6 div predicted — the meaningful figure for the
+    best-neighbor methods, whose recall is capped at 1/k by
+    construction).  All counts are exact integers; the ratios are
+    integer divisions — deterministic in both engines.
+
+    Scale: each method frame reduces to per-method scalar counts via
+    equi-joins on (query_id, neighbor_id) + global aggregates; the
+    expensive inputs (ground truth + 5 method pipelines) come through
+    the session ``stage_cache`` (localCheckpoint'd on first use), so
+    repeated constructions — and the funnel-style composition with the
+    standalone queries in one report session — pay each pipeline once
+    (cache misses run those jobs at construction time).  The oracle
+    composes the six method oracles as CTEs: one source of truth per
+    index definition.
+    """
+    from decisions_kinesis_spark.operators import stage_cache
+
+    def _cached(name: str, builder) -> DataFrame:
+        return stage_cache.get_or_build(
+            spark,
+            f"annrecall:{name}",
+            sf_dir,
+            lambda: builder().localCheckpoint(eager=True),
+        )
+
+    truth = _cached(
+        "truth",
+        lambda: ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+    )
+    top_k = lambda fn: lambda: fn(spark, sf_dir).select(  # noqa: E731
+        "query_id", "neighbor_id"
+    )
+    best = lambda fn: lambda: fn(spark, sf_dir).filter(  # noqa: E731
+        F.col("best_neighbor").isNotNull()
+    ).select("query_id", F.col("best_neighbor").alias("neighbor_id"))
+    methods = (
+        ("lsh_bucket", best(ann_lsh_bucketed)),
+        ("lsh_multiprobe", best(ann_lsh_multiprobe)),
+        ("ivf_nprobe1", top_k(ann_ivf_topk)),
+        ("ivf_nprobe2", top_k(ann_ivf_nprobe2)),
+        ("ivf_refined", top_k(ann_ivf_refined)),
+    )
+    n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
+    out = None
+    for mname, builder in methods:
+        preds = _cached(mname, builder)
+        n_pred = preds.groupBy().agg(F.count("*").alias("n_pred"))
+        n_hits = (
+            preds.join(truth, ["query_id", "neighbor_id"])
+            .groupBy()
+            .agg(F.count("*").alias("n_hits"))
+        )
+        row = (
+            n_truth.join(F.broadcast(n_pred))
+            .join(F.broadcast(n_hits))
+            .select(
+                F.lit(mname).alias("method"),
+                "n_truth",
+                "n_pred",
+                "n_hits",
+                F.expr(f"n_hits * {_RECALL_SCALE} div n_truth").alias(
+                    "recall_scaled"
+                ),
+                F.expr(
+                    f"if(n_pred = 0, 0, n_hits * {_RECALL_SCALE} div n_pred)"
+                ).alias("precision_scaled"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norm_stats": embedding_norm_stats,
@@ -707,6 +794,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_components": dedup_embedding_components,
     "embedding_quantize_stats": embedding_quantize_stats,
+    "ann_recall_at_k": ann_recall_at_k,
 }
 
 _DUCK_COS = (
@@ -1118,3 +1206,52 @@ ORACLES = {
         LEFT JOIN best ON best.query_id = q.query_id
     """,
 }
+
+# The recall-calibration oracle COMPOSES the six method oracles as CTEs
+# (the corpus_funnel_report pattern): every index is verified against
+# the exact same SQL definition its standalone query uses.
+_RECALL_METHODS = (
+    ("lsh_bucket", "ann_lsh_bucketed", "best"),
+    ("lsh_multiprobe", "ann_lsh_multiprobe", "best"),
+    ("ivf_nprobe1", "ann_ivf_topk", "topk"),
+    ("ivf_nprobe2", "ann_ivf_nprobe2", "topk"),
+    ("ivf_refined", "ann_ivf_refined", "topk"),
+)
+
+def _recall_oracle() -> str:
+    ctes = [f"m_truth AS ({ORACLES['ann_cosine_topk']})",
+            "truth AS (SELECT query_id, neighbor_id FROM m_truth)"]
+    rows = []
+    for mname, oracle_key, shape in _RECALL_METHODS:
+        ctes.append(f"m_{mname} AS ({ORACLES[oracle_key]})")
+        if shape == "best":
+            ctes.append(
+                f"p_{mname} AS (SELECT query_id,"
+                f" best_neighbor AS neighbor_id FROM m_{mname}"
+                f" WHERE best_neighbor IS NOT NULL)"
+            )
+        else:
+            ctes.append(
+                f"p_{mname} AS (SELECT query_id, neighbor_id FROM m_{mname})"
+            )
+        rows.append(f"""
+            SELECT '{mname}' AS method,
+                   (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+                   (SELECT count(*) FROM p_{mname})::BIGINT AS n_pred,
+                   (SELECT count(*) FROM p_{mname} p JOIN truth t
+                      ON p.query_id = t.query_id
+                     AND p.neighbor_id = t.neighbor_id)::BIGINT AS n_hits
+        """)
+    stats = " UNION ALL ".join(rows)
+    return f"""
+        WITH {", ".join(ctes)},
+        stats AS ({stats})
+        SELECT method, n_truth, n_pred, n_hits,
+               (n_hits * {_RECALL_SCALE}) // n_truth AS recall_scaled,
+               CASE WHEN n_pred = 0 THEN 0
+                    ELSE (n_hits * {_RECALL_SCALE}) // n_pred
+               END AS precision_scaled
+        FROM stats
+    """
+
+ORACLES["ann_recall_at_k"] = _recall_oracle()
