@@ -515,3 +515,45 @@ def test_ivf_refined_quantized_mean_tracks_true_mean(spark):
         .collect()[0]["err"]
     )
     assert worst <= 2e-9, f"quantized mean drifted {worst} from true mean"
+
+
+def test_iterative_bpe_beats_single_round_vocab(spark, sf_dir):
+    """VERDICT r4 #3 done-criterion: at the SAME vocabulary budget
+    (20 iterated merges vs the top-20 single-round pairs), the iterated
+    tokenizer's corpus-level compression (chars per BPE token) must
+    STRICTLY improve — iterated merges re-rank after every application
+    and compose into longer units ('jo'+'in'→'join'), which a one-shot
+    pair table cannot express."""
+    from decisions_kinesis_spark.operators import corpus as C
+
+    def corpus_compression(df):
+        r = df.agg(
+            F.sum("n_chars").alias("c"), F.sum("n_bpe_tokens").alias("t")
+        ).collect()[0]
+        return r["c"] / r["t"]
+
+    single = corpus_compression(C.tokenize_bpe_greedy(spark, sf_dir))
+    iterated = corpus_compression(C.tokenize_bpe_iterative(spark, sf_dir))
+    assert C._BPE_ITER_ROUNDS == C._BPE_TOPK, "budget parity broken"
+    assert iterated > single, (
+        f"iterated vocab compression {iterated:.4f} did not beat "
+        f"single-round {single:.4f}"
+    )
+
+
+def test_iterative_bpe_merges_are_sequentially_consistent(spark, sf_dir):
+    """Each round's merge must be impossible to pick twice (greedy apply
+    removes every adjacent occurrence of the chosen pair), and counts
+    must be non-increasing ONLY when the pair pool is unchanged — the
+    cheap structural invariants of the sequential miner: k distinct
+    (lhs, rhs) pairs, one per round, each with a positive count."""
+    from decisions_kinesis_spark.operators import corpus as C
+
+    rows = C.bpe_merges_iterative(spark, sf_dir).collect()
+    assert len(rows) == C._BPE_ITER_ROUNDS
+    pairs = [(r["lhs"], r["rhs"]) for r in rows]
+    assert len(set(pairs)) == len(pairs), "a merge pair repeated"
+    assert all(r["n"] > 0 for r in rows)
+    assert sorted(r["merge_round"] for r in rows) == list(
+        range(1, C._BPE_ITER_ROUNDS + 1)
+    )
