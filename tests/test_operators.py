@@ -557,3 +557,49 @@ def test_iterative_bpe_merges_are_sequentially_consistent(spark, sf_dir):
     assert sorted(r["merge_round"] for r in rows) == list(
         range(1, C._BPE_ITER_ROUNDS + 1)
     )
+
+
+def test_ppm_decoder_is_a_real_parser():
+    """decode_ppm must parse arbitrary standards-conformant P6 headers
+    (extra whitespace, '#' comments, multi-digit dims) and reject
+    malformed payloads — i.e. it is a format parser, not a lookup keyed
+    to documents_as_ppm's fixed layout."""
+    import pytest as _pytest
+
+    from decisions_kinesis_spark.operators.multimodal import decode_ppm
+
+    px = bytes(range(2 * 3 * 3))  # 2x3 image, 18 pixel bytes
+    weird_header = b"P6\n# a comment\n  2\t3 # trailing\n255\n" + px
+    d = decode_ppm(weird_header)
+    assert (d["width"], d["height"], d["n_pix"]) == (2, 3, 6)
+    assert d["sum_r"] == sum(px[0::3])
+    assert d["sum_g"] == sum(px[1::3])
+    assert d["sum_b"] == sum(px[2::3])
+    assert d["luma_sum"] == (
+        2126 * d["sum_r"] + 7152 * d["sum_g"] + 722 * d["sum_b"]
+    )
+    # multi-digit dimensions
+    big = b"P6 12 10 255\n" + bytes(360)
+    assert decode_ppm(big)["n_pix"] == 120
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 3\n255\n" + px)  # wrong magic (P5 = grayscale)
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 3\n255\n" + px[:-1])  # truncated pixels
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 3\n65535\n" + px)  # 16-bit unsupported
+
+
+def test_generated_ppm_blobs_are_format_valid(spark, sf_dir):
+    """Every blob documents_as_ppm emits must round-trip through the
+    real parser with dimensions matching the doc_id derivation."""
+    from decisions_kinesis_spark.operators.multimodal import (
+        decode_ppm,
+        documents_as_ppm,
+    )
+
+    rows = documents_as_ppm(spark, sf_dir).limit(50).collect()
+    assert rows
+    for r in rows:
+        d = decode_ppm(bytes(r.blob))
+        assert d["width"] == 2 + r.media_id % 8
+        assert d["height"] == 2 + (r.media_id // 8) % 8
