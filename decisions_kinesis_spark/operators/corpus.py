@@ -138,6 +138,90 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_LAMBDA_BI = 7  # interpolation weight numerators (λ = 0.7 bigram,
+_LM_LAMBDA_UNI = 3  # 0.3 unigram), denominator 10 — integer arithmetic
+
+#: Overflow-safe scaled ratio floor(num·1e6 / den) in two exact ×1000
+#: steps (the DSIR discipline): largest intermediate is
+#: max(num, den)·1000, exact to ~9.2e15 instead of ~9.2e12.
+_RATIO_SPARK = (
+    "((({n}) * 1000) div ({d})) * 1000"
+    " + (((({n}) * 1000) % ({d})) * 1000) div ({d})"
+)
+_RATIO_DUCK = (
+    "((({n}) * 1000) // ({d})) * 1000"
+    " + (((({n}) * 1000) % ({d})) * 1000) // ({d})"
+)
+
+
+def lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document LM predictability with UNIGRAM BACKOFF — the
+    interpolated form every CCNet-style quality stack actually ships
+    (Jelinek-Mercer smoothing: ``P ≈ 0.7·P(w2|w1) + 0.3·P(w2)``), so a
+    rare-but-valid continuation after a common prefix is no longer
+    scored zero the way the pure-bigram ``lm_bigram_score`` scores it.
+    Both component probabilities are integer-scaled (×1e6) corpus
+    estimates; the interpolation is exact integer arithmetic
+    (``(7·p_bi + 3·p_uni) div 10``), so the DuckDB oracle matches
+    bit-for-bit — the same no-libm-log discipline as DSIR, with the
+    overflow-safe two-step ratio.
+
+    Scale: identical topology to ``lm_bigram_score`` (type-collapsed
+    per-doc counts, 8-byte hash keys through every shuffle) plus one
+    vocabulary-sized unigram-count join (AQE-sized, the TF-IDF
+    document-frequency shape) and a 1-row total broadcast.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
+    # unigram model over ALL token positions
+    tok = toks.select(F.explode("toks").alias("t")).select(
+        F.expr(_BIGHASH.format(e="t")).alias("gv")
+    )
+    cnt_tok = tok.groupBy("gv").agg(F.count("*").alias("c_tok"))
+    total = cnt_tok.groupBy().agg(F.sum("c_tok").alias("n_total"))
+    bi = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> named_struct("
+                "   'gb', concat(element_at(toks, i), char(31),"
+                "                element_at(toks, i + 1)),"
+                "   'gu', element_at(toks, i),"
+                "   'gv', element_at(toks, i + 1)))"
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        F.expr(_BIGHASH.format(e="b.gb")).alias("gb"),
+        F.expr(_BIGHASH.format(e="b.gu")).alias("gu"),
+        F.expr(_BIGHASH.format(e="b.gv")).alias("gv"),
+    )
+    doc_tf = bi.groupBy("doc_id", "gb", "gu", "gv").agg(
+        F.count("*").alias("tf")
+    )
+    cnt_bi = doc_tf.groupBy("gb").agg(F.sum("tf").alias("c_bi"))
+    cnt_uni = doc_tf.groupBy("gu").agg(F.sum("tf").alias("c_uni"))
+    scored = (
+        doc_tf.join(cnt_bi, "gb")
+        .join(cnt_uni, "gu")
+        .join(cnt_tok, "gv")
+        .join(F.broadcast(total))
+        .withColumn(
+            "p_int",
+            F.expr(
+                f"({_LM_LAMBDA_BI} * ({_RATIO_SPARK.format(n='c_bi', d='c_uni')})"
+                f" + {_LM_LAMBDA_UNI} * ({_RATIO_SPARK.format(n='c_tok', d='n_total')}))"
+                " div 10"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.expr("sum(tf * p_int) div sum(tf)").alias("lm_interp_scaled"),
+    )
+
+
 _SUBSTR_N = 8  # exact-substring gram width (token granularity)
 
 
@@ -847,6 +931,7 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "quality_gopher_flags": quality_gopher_flags,
     "lm_bigram_score": lm_bigram_score,
+    "lm_interpolated_score": lm_interpolated_score,
     "dedup_exact_substring": dedup_exact_substring,
     "train_shuffle_shards": train_shuffle_shards,
     "bpe_pair_counts": bpe_pair_counts,
@@ -924,6 +1009,46 @@ ORACLES = {
         )
         SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
                (sum(tf * p_scaled) // sum(tf))::BIGINT AS lm_score_scaled
+        FROM scored GROUP BY doc_id
+    """,
+    "lm_interpolated_score": f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        tok AS (
+            SELECT {_DUCK_BIGHASH.format(e="x")} AS gv
+            FROM (SELECT unnest(toks) AS x FROM t)
+        ),
+        ctok AS (SELECT gv, count(*)::BIGINT AS c_tok FROM tok GROUP BY gv),
+        tot AS (SELECT sum(c_tok)::BIGINT AS n_total FROM ctok),
+        nz AS (SELECT * FROM t WHERE len(toks) >= 2),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)), i ->
+                       {_DUCK_BIGHASH.format(
+                           e="toks[i] || chr(31) || toks[i + 1]")})) AS gb,
+                   unnest(list_transform(range(1, len(toks)), i ->
+                       {_DUCK_BIGHASH.format(e="toks[i]")})) AS gu,
+                   unnest(list_transform(range(1, len(toks)), i ->
+                       {_DUCK_BIGHASH.format(e="toks[i + 1]")})) AS gv
+            FROM nz
+        ),
+        doc_tf AS (
+            SELECT doc_id, gb, gu, gv, count(*)::BIGINT AS tf
+            FROM bi GROUP BY doc_id, gb, gu, gv
+        ),
+        cbi AS (SELECT gb, sum(tf)::BIGINT AS c_bi FROM doc_tf GROUP BY gb),
+        cun AS (SELECT gu, sum(tf)::BIGINT AS c_uni FROM doc_tf GROUP BY gu),
+        scored AS (
+            SELECT doc_id, tf,
+                   ({_LM_LAMBDA_BI} * ({_RATIO_DUCK.format(n="c_bi", d="c_uni")})
+                    + {_LM_LAMBDA_UNI} * ({_RATIO_DUCK.format(n="c_tok", d="n_total")}))
+                   // 10 AS p_int
+            FROM doc_tf
+            JOIN cbi USING (gb) JOIN cun USING (gu) JOIN ctok USING (gv), tot
+        )
+        SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+               (sum(tf * p_int) // sum(tf))::BIGINT AS lm_interp_scaled
         FROM scored GROUP BY doc_id
     """,
     "dedup_exact_substring": f"""

@@ -345,6 +345,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", F.expr(key).alias("simhash"))
 
 
+_SIMHASH_MAX_HAMMING = 2  # the pigeonhole contract: 3 blocks cover h ≤ 2
+
+
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ 2, with pigeonhole
     blocking: split the 32-bit key into 3 ~11-bit blocks — a pair
@@ -354,11 +357,21 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from an equi-join on (block_idx, block_value); the exact
     popcount(xor) check verifies.  This is the standard way to scale
     simhash dedup: |blocks|×|docs| index rows, no quadratic scan.
+    Completeness for h ≤ 2 is proven empirically by
+    ``test_simhash_banding_complete_for_contract_distance``.
     """
     # materialize the (doc_id, simhash) frame once (tiny: one row per
     # doc) so the self-join does not recompute the token-hash pipeline
     # on both sides
     sim = dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
+    return simhash_hamming_pairs_from_keys(sim)
+
+
+def simhash_hamming_pairs_from_keys(sim: DataFrame) -> DataFrame:
+    """Pigeonhole blocking + exact verify over ANY (doc_id, simhash)
+    frame — split out so the banding recall contract is testable on
+    synthetic keys at controlled hamming distances (the oracle cannot
+    see a recall bug: it replays the same blocking)."""
     blocks = sim.select(
         "doc_id",
         "simhash",
@@ -384,7 +397,7 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hamming"
             ),
         )
-        .filter(F.col("hamming") <= 2)
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .distinct()
     )
     return cand.select("doc_a", "doc_b", "hamming")
