@@ -636,6 +636,26 @@ def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_token_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) hashed ``_SUBSTR_N``-token grams of a (doc_id, text)
+    frame — the shared gram pipeline of ``decontam_eval_overlap`` and
+    the streaming decontamination shape (tests/test_streaming_decontam):
+    tokenize, slide the fixed-width window, hash each gram to one
+    8-byte key.  Documents shorter than the gram width emit nothing."""
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= _SUBSTR_N
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SUBSTR_N} + 1),"
+                f" i -> array_join(slice(toks, i, {_SUBSTR_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.expr(_BIGHASH.format(e="gram")).alias("g"))
+
+
 _EVAL_MOD = 97  # doc_id % 97 == 0 → held-out "benchmark" set
 #: Broadcast the eval gram set only below this row count (~16 bytes/row
 #: → ~32 MB at the limit, well inside executor broadcast budgets); a
@@ -669,18 +689,7 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses (SCALE.md).
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
-        F.size("toks") >= _SUBSTR_N
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {_SUBSTR_N} + 1),"
-                f" i -> array_join(slice(toks, i, {_SUBSTR_N}), ' '))"
-            )
-        ).alias("gram"),
-    ).select("doc_id", F.expr(_BIGHASH.format(e="gram")).alias("g"))
+    grams = doc_token_grams(docs)
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     train = grams.filter(~is_eval).distinct()
 

@@ -1,0 +1,132 @@
+"""Streaming × decontamination crossover (VERDICT r4 #6): continuous
+ingestion checks each micro-batch of training documents against the
+ACCUMULATED eval n-gram index through foreachBatch — the production
+shape for decontamination at 100 TB, where the benchmark suite is
+registered up front and training data flows afterwards; re-running the
+batch pass per ingest is impossible.  Mirrors the incremental-LSH
+streaming test; composes the batch gram machinery
+(``corpus.doc_token_grams``) so stream and batch share one gram
+definition — the single-source-of-truth discipline of the oracles.
+
+The equality assertion is the hard signal: the per-document verdicts
+collected through the stream must EXACTLY equal the batch
+``decontam_eval_overlap`` output on the same corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.operators import corpus as C
+from decisions_kinesis_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage_file(df, src_dir: str, name: str, mtime: float) -> None:
+    tmp = os.path.join(src_dir, f"_tmp_{name}")
+    df.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dest = os.path.join(src_dir, name)
+    shutil.move(os.path.join(tmp, part), dest)
+    shutil.rmtree(tmp)
+    os.utime(dest, (mtime, mtime))
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    is_eval = F.col("doc_id") % C._EVAL_MOD == 0
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    now = time.time()
+    # the benchmark suite registers FIRST (batch 1), then training data
+    # streams in two micro-batches — mtime orders the file source
+    _stage_file(docs.filter(is_eval), src, "b1_eval.parquet", now - 120)
+    train = docs.filter(~is_eval)
+    _stage_file(
+        train.filter(F.col("doc_id") % 2 == 0), src, "b2_train.parquet", now - 60
+    )
+    _stage_file(
+        train.filter(F.col("doc_id") % 2 == 1), src, "b3_train.parquet", now
+    )
+
+    state = {"index": None, "verdicts": {}, "epochs": 0}
+
+    def handler(batch_df, epoch_id):
+        state["epochs"] += 1
+        b_eval = F.col("doc_id") % C._EVAL_MOD == 0
+        # 1. fold this batch's eval documents into the accumulated gram
+        #    index (g -> distinct eval doc count; eval doc_ids never
+        #    repeat across batches, so per-batch counts SUM exactly)
+        new_eval = (
+            C.doc_token_grams(batch_df.filter(b_eval).select("doc_id", "text"))
+            .groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("n_eval_docs"))
+        )
+        merged = (
+            new_eval
+            if state["index"] is None
+            else state["index"]
+            .unionByName(new_eval)
+            .groupBy("g")
+            .agg(F.sum("n_eval_docs").alias("n_eval_docs"))
+        )
+        state["index"] = merged.localCheckpoint(eager=True)
+        # 2. score this batch's TRAINING documents against the index —
+        #    identical join + fold shape to the batch operator
+        train_grams = C.doc_token_grams(
+            batch_df.filter(~b_eval).select("doc_id", "text")
+        ).distinct()
+        scored = (
+            train_grams.join(F.broadcast(state["index"]), "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_distinct_grams"),
+                F.count("n_eval_docs").alias("n_contaminated_grams"),
+                F.coalesce(F.sum("n_eval_docs"), F.lit(0)).alias(
+                    "eval_doc_hits"
+                ),
+            )
+            .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+        )
+        for r in scored.collect():
+            state["verdicts"][r.doc_id] = (
+                r.n_distinct_grams,
+                r.n_contaminated_grams,
+                r.eval_doc_hits,
+                r.contaminated,
+            )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert state["epochs"] == 3
+
+    expected = {
+        r.doc_id: (
+            r.n_distinct_grams,
+            r.n_contaminated_grams,
+            r.eval_doc_hits,
+            r.contaminated,
+        )
+        for r in C.decontam_eval_overlap(spark, SF).collect()
+    }
+    assert expected, "batch reference unexpectedly empty"
+    assert state["verdicts"] == expected, (
+        "streaming verdicts diverged from batch decontam: "
+        f"missing={set(expected) - set(state['verdicts'])} "
+        f"extra={set(state['verdicts']) - set(expected)}"
+    )
+    # sanity: the stream actually saw contamination, not a vacuous match
+    assert any(v[3] for v in expected.values())
