@@ -81,6 +81,92 @@ def quality_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gopher repetition thresholds (Rae et al. 2021 Table A1): max char
+#: fraction of the most frequent n-gram, and of all DUPLICATED n-grams.
+_REP_TOP = {2: 0.20, 3: 0.18, 4: 0.16}
+_REP_DUP = {5: 0.15, 10: 0.10}
+
+
+def quality_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION rules (Rae et al. 2021 §A1.1, Table A1) — the
+    half of the quality gate ``quality_gopher_flags`` does not cover:
+    per document, the character fraction covered by the most frequent
+    {2,3,4}-gram and by all duplicated (count ≥ 2) {5,10}-grams, with
+    the paper's thresholds and the combined ``keep`` verdict.
+    Character fraction = occurrences × gram length (incl. internal
+    spaces) over the single-space-normalized document length — the
+    standard approximation that charges overlapping occurrences
+    per-occurrence.  Documents with fewer than n tokens have no n-grams
+    and pass that rule vacuously (coalesce 0).
+
+    Scale: ONE combined explode emits (n, gram) pairs for all five
+    widths, counts combine map-side on (doc, n, hashed-gram-free
+    string) keys, and the per-doc pivot is conditional aggregation —
+    two bounded-key shuffles total, the gopher-gate shape.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    arms = ", ".join(
+        f"case when size(toks) >= {n} then"
+        f" transform(sequence(1, size(toks) - {n} + 1),"
+        f" i -> named_struct('n', {n},"
+        f" 'g', array_join(slice(toks, i, {n}), ' ')))"
+        f" else cast(array() as array<struct<n:int,g:string>>) end"
+        for n in (*_REP_TOP, *_REP_DUP)
+    )
+    gr = toks.select(
+        "doc_id", F.explode(F.expr(f"concat({arms})")).alias("x")
+    ).select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    cnt = gr.groupBy("doc_id", "n", "g").agg(F.count("*").alias("cnt"))
+    per = cnt.groupBy("doc_id", "n").agg(
+        F.max(F.col("cnt") * F.length("g")).alias("top_chars"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(
+                0
+            )
+        ).alias("dup_chars"),
+    )
+    piv = per.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(
+                f"top{n}"
+            )
+            for n in _REP_TOP
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(
+                f"dup{n}"
+            )
+            for n in _REP_DUP
+        ],
+    )
+    chars = toks.select(
+        "doc_id", F.length(F.expr("array_join(toks, ' ')")).alias("doc_chars")
+    )
+    out = chars.join(piv, "doc_id", "left")
+    frac = lambda c: _fl4(  # noqa: E731
+        F.coalesce(F.col(c), F.lit(0)) / F.col("doc_chars")
+    )
+    for n in _REP_TOP:
+        out = out.withColumn(f"top_{n}gram_frac", frac(f"top{n}"))
+    for n in _REP_DUP:
+        out = out.withColumn(f"dup_{n}gram_frac", frac(f"dup{n}"))
+    keep = F.lit(True)
+    for n, thr in _REP_TOP.items():
+        keep = keep & (F.col(f"top_{n}gram_frac") <= thr)
+    for n, thr in _REP_DUP.items():
+        keep = keep & (F.col(f"dup_{n}gram_frac") <= thr)
+    return out.select(
+        "doc_id",
+        "doc_chars",
+        *[f"top_{n}gram_frac" for n in _REP_TOP],
+        *[f"dup_{n}gram_frac" for n in _REP_DUP],
+        keep.alias("keep"),
+    )
+
+
 _LM_SCALE = 1_000_000  # integer-scaled bigram probability
 
 
@@ -722,6 +808,74 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontam_leakage_by_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-document leakage report — the reverse direction of
+    ``decontam_eval_overlap``: for each held-out benchmark document,
+    how many of its 8-token grams appear in ≥1 training document, how
+    many training documents they hit, and the leaked-gram fraction.
+    This is the table a benchmark owner reads to decide whether a
+    benchmark is compromised (GPT-3 appendix C reports exactly this
+    per-benchmark "dirtiness"), where the forward report drives
+    training-doc removal.
+
+    Scale: the train side is pruned scan-side by a broadcast of the
+    eval gram SET before any aggregation — at 100 TB the corpus never
+    shuffles; only eval-colliding (train doc, gram) pairs reach the
+    distinct+count, and that frame is bounded by |eval grams| ×
+    collision fanout.  The broadcast reuses the decontam session cache
+    and its count-gate verdict: an oversized "eval" slice degrades to
+    the shuffled join instead of OOMing, exactly like the forward pass.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    grams = doc_token_grams(docs)
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    ev = grams.filter(is_eval).distinct()
+
+    def _build() -> tuple[DataFrame, bool]:
+        eval_grams = (
+            grams.filter(is_eval)
+            .groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("n_eval_docs"))
+            .localCheckpoint(eager=True)
+        )
+        return eval_grams, eval_grams.count() <= _EVAL_BCAST_LIMIT
+
+    eval_grams, fits = stage_cache.get_or_build(
+        spark, "decontam_eval_grams", f"{sf_dir}|{_EVAL_BCAST_LIMIT}", _build
+    )
+    ev_g = eval_grams.select("g")
+    prune_side = F.broadcast(ev_g) if fits else ev_g
+    hits = (
+        grams.filter(~is_eval)
+        .join(prune_side, "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("n_train_docs"))
+    )
+    hit_side = F.broadcast(hits) if fits else hits
+    per = (
+        ev.join(hit_side, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.count("n_train_docs").alias("n_leaked_grams"),
+            F.coalesce(F.sum("n_train_docs"), F.lit(0)).alias(
+                "train_doc_hits"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_distinct_grams",
+        "n_leaked_grams",
+        "train_doc_hits",
+        F.expr(
+            _RATIO_SPARK.format(n="n_leaked_grams", d="n_distinct_grams")
+        ).alias("leak_frac_scaled"),
+        (F.col("n_leaked_grams") > 0).alias("leaked"),
+    )
+
+
 _DSIR_BUCKETS = 4096  # hashed feature space (DSIR's dimensionality trick)
 _DSIR_SCALE = 1_000_000  # integer-scaled likelihood ratio
 _DSIR_TARGET_LANG = "en"  # deterministic stand-in for the target corpus
@@ -939,6 +1093,7 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "quality_gopher_flags": quality_gopher_flags,
+    "quality_repetition_flags": quality_repetition_flags,
     "lm_bigram_score": lm_bigram_score,
     "lm_interpolated_score": lm_interpolated_score,
     "dedup_exact_substring": dedup_exact_substring,
@@ -949,6 +1104,7 @@ QUERIES = {
     "tokenize_bpe_iterative": tokenize_bpe_iterative,
     "inverted_index_topdf": inverted_index_topdf,
     "decontam_eval_overlap": decontam_eval_overlap,
+    "decontam_leakage_by_eval": decontam_leakage_by_eval,
     "mix_domain_weights": mix_domain_weights,
     "dsir_importance_weights": dsir_importance_weights,
     "corpus_funnel_report": corpus_funnel_report,
@@ -990,6 +1146,73 @@ ORACLES = {
                 AND mean_word_len BETWEEN {_GOPHER_MIN_WLEN} AND {_GOPHER_MAX_WLEN}
                 AND top_word_fraction <= {_GOPHER_MAX_TOPFRAC}
                 AND n_stopwords >= {_GOPHER_MIN_STOP}) AS keep
+        FROM m
+    """,
+    "quality_repetition_flags": f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        nz AS (SELECT * FROM t WHERE len(toks) >= 1),
+        g AS (
+            {" UNION ALL ".join(
+                f'''SELECT doc_id, {n} AS n,
+                   array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS g
+            FROM nz, LATERAL (
+                SELECT unnest(range(1, len(toks) - {n} + 2)) AS i
+            ) li
+            WHERE len(toks) >= {n}'''
+                for n in (*_REP_TOP, *_REP_DUP)
+            )}
+        ),
+        cnt AS (
+            SELECT doc_id, n, g, count(*)::BIGINT AS cnt
+            FROM g GROUP BY doc_id, n, g
+        ),
+        per AS (
+            SELECT doc_id, n,
+                   max(cnt * length(g))::BIGINT AS top_chars,
+                   sum(CASE WHEN cnt >= 2 THEN cnt * length(g)
+                            ELSE 0 END)::BIGINT AS dup_chars
+            FROM cnt GROUP BY doc_id, n
+        ),
+        piv AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"max(top_chars) FILTER (WHERE n = {n}) AS top{n}"
+                       for n in _REP_TOP
+                   )},
+                   {", ".join(
+                       f"max(dup_chars) FILTER (WHERE n = {n}) AS dup{n}"
+                       for n in _REP_DUP
+                   )}
+            FROM per GROUP BY doc_id
+        ),
+        chars AS (
+            SELECT doc_id,
+                   length(array_to_string(toks, ' '))::BIGINT AS doc_chars
+            FROM nz
+        ),
+        m AS (
+            SELECT c.doc_id, c.doc_chars,
+                   {", ".join(
+                       _DUCK_FL4.format(
+                           e=f"coalesce(top{n}, 0)::DOUBLE / c.doc_chars"
+                       ) + f" AS top_{n}gram_frac"
+                       for n in _REP_TOP
+                   )},
+                   {", ".join(
+                       _DUCK_FL4.format(
+                           e=f"coalesce(dup{n}, 0)::DOUBLE / c.doc_chars"
+                       ) + f" AS dup_{n}gram_frac"
+                       for n in _REP_DUP
+                   )}
+            FROM chars c LEFT JOIN piv USING (doc_id)
+        )
+        SELECT *,
+               ({" AND ".join(
+                   [f"top_{n}gram_frac <= {thr}" for n, thr in _REP_TOP.items()]
+                   + [f"dup_{n}gram_frac <= {thr}" for n, thr in _REP_DUP.items()]
+               )}) AS keep
         FROM m
     """,
     "lm_bigram_score": f"""
@@ -1209,6 +1432,45 @@ ORACLES = {
                count(n_eval_docs) > 0 AS contaminated
         FROM train LEFT JOIN ev USING (g)
         GROUP BY doc_id
+    """,
+    "decontam_leakage_by_eval": f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        nz AS (SELECT * FROM t WHERE len(toks) >= {_SUBSTR_N}),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks) - {_SUBSTR_N} + 2),
+                       i -> array_to_string(
+                           list_slice(toks, i, i + {_SUBSTR_N} - 1), ' ')
+                   )) AS gram
+            FROM nz
+        ),
+        gh AS (SELECT doc_id, {_DUCK_BIGHASH.format(e="gram")} AS g FROM g),
+        ev AS (
+            SELECT DISTINCT doc_id, g FROM gh WHERE doc_id % {_EVAL_MOD} = 0
+        ),
+        hits AS (
+            SELECT g, count(DISTINCT doc_id)::BIGINT AS n_train_docs
+            FROM gh
+            WHERE doc_id % {_EVAL_MOD} <> 0
+              AND g IN (SELECT g FROM ev)
+            GROUP BY g
+        ),
+        per AS (
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_distinct_grams,
+                   count(n_train_docs)::BIGINT AS n_leaked_grams,
+                   coalesce(sum(n_train_docs), 0)::BIGINT AS train_doc_hits
+            FROM ev LEFT JOIN hits USING (g)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_distinct_grams, n_leaked_grams, train_doc_hits,
+               ({_RATIO_DUCK.format(n="n_leaked_grams", d="n_distinct_grams")})
+                   AS leak_frac_scaled,
+               n_leaked_grams > 0 AS leaked
+        FROM per
     """,
     "dsir_importance_weights": f"""
         WITH t AS (
