@@ -219,3 +219,50 @@ def test_events_scan_prunes_props_when_unused(spark):
     ev = load_table(spark, "events", SF)
     a = audit_plan(ev.groupBy("event_type").count())
     a.assert_pruned_to(0, 1)
+
+
+def test_repetition_gate_two_bounded_shuffles_no_python(spark):
+    from decisions_kinesis_spark.operators import corpus
+
+    a = audit_plan(corpus.quality_repetition_flags(spark, SF))
+    a.assert_no_python()
+    # gram counts + per-doc pivot + the doc_chars join — nothing
+    # corpus-sized funnels through one reducer
+    a.assert_max_shuffles(4)
+
+
+def test_interpolated_lm_broadcasts_total_only(spark):
+    from decisions_kinesis_spark.operators import corpus
+
+    a = audit_plan(corpus.lm_interpolated_score(spark, SF))
+    a.assert_no_python()
+    a.assert_broadcasts(1)  # the 1-row token total; vocab joins AQE-sized
+
+
+def test_iterated_tokenizer_broadcasts_unit_row(spark):
+    from decisions_kinesis_spark.operators import corpus
+
+    a = audit_plan(corpus.tokenize_bpe_iterative(spark, SF))
+    a.assert_no_python()
+    # mined-unit array is one broadcast row, exactly like the
+    # single-round tokenizer's vocabulary
+    assert a.broadcast_joins >= 1
+
+
+def test_leakage_report_prunes_train_side_with_broadcast(spark):
+    from decisions_kinesis_spark.operators import corpus
+
+    a = audit_plan(corpus.decontam_leakage_by_eval(spark, SF))
+    a.assert_no_python()
+    # eval gram set + hits frame both broadcast under the count gate:
+    # the training side never shuffles before the scan-side prune
+    assert a.broadcast_joins >= 2
+
+
+def test_ppm_feature_extract_is_arrow_map_only(spark):
+    from decisions_kinesis_spark.operators import multimodal
+
+    a = audit_plan(multimodal.multimodal_feature_extract(spark, SF))
+    assert a.arrow_eval  # mapInPandas decode tier
+    assert not a.python_eval  # never row-at-a-time
+    assert a.shuffles == 0  # pure per-partition map
