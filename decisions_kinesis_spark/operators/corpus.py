@@ -100,8 +100,9 @@ def quality_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pass that rule vacuously (coalesce 0).
 
     Scale: ONE combined explode emits (n, gram) pairs for all five
-    widths, counts combine map-side on (doc, n, hashed-gram-free
-    string) keys, and the per-doc pivot is conditional aggregation —
+    widths; grams hash to an 8-byte key scan-side (char length carried
+    alongside) so the count shuffle never moves gram strings; counts
+    combine map-side and the per-doc pivot is conditional aggregation —
     two bounded-key shuffles total, the gopher-gate shape.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
@@ -118,12 +119,26 @@ def quality_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gr = toks.select(
         "doc_id", F.explode(F.expr(f"concat({arms})")).alias("x")
-    ).select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
-    cnt = gr.groupBy("doc_id", "n", "g").agg(F.count("*").alias("cnt"))
+    ).select(
+        "doc_id",
+        F.col("x.n").alias("n"),
+        # hash the gram to ONE bigint key scan-side and carry only its
+        # char length — the count shuffle moves 8-byte keys instead of
+        # up-to-10-word gram strings (local wall-clock is construction-
+        # bound and unchanged; shuffle BYTES drop ~5-10×, which is the
+        # term that matters on a real cluster); a hash collision merges
+        # identically in both engines (same md5), so oracle parity is
+        # exact
+        F.length("x.g").alias("glen"),
+        F.expr(_BIGHASH.format(e="x.g")).alias("gh"),
+    )
+    cnt = gr.groupBy("doc_id", "n", "gh").agg(
+        F.count("*").alias("cnt"), F.max("glen").alias("glen")
+    )
     per = cnt.groupBy("doc_id", "n").agg(
-        F.max(F.col("cnt") * F.length("g")).alias("top_chars"),
+        F.max(F.col("cnt") * F.col("glen")).alias("top_chars"),
         F.sum(
-            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen")).otherwise(
                 0
             )
         ).alias("dup_chars"),
@@ -1165,13 +1180,15 @@ ORACLES = {
             )}
         ),
         cnt AS (
-            SELECT doc_id, n, g, count(*)::BIGINT AS cnt
-            FROM g GROUP BY doc_id, n, g
+            SELECT doc_id, n, {_DUCK_BIGHASH.format(e="g")} AS gh,
+                   count(*)::BIGINT AS cnt,
+                   max(length(g))::BIGINT AS glen
+            FROM g GROUP BY doc_id, n, gh
         ),
         per AS (
             SELECT doc_id, n,
-                   max(cnt * length(g))::BIGINT AS top_chars,
-                   sum(CASE WHEN cnt >= 2 THEN cnt * length(g)
+                   max(cnt * glen)::BIGINT AS top_chars,
+                   sum(CASE WHEN cnt >= 2 THEN cnt * glen
                             ELSE 0 END)::BIGINT AS dup_chars
             FROM cnt GROUP BY doc_id, n
         ),
