@@ -95,6 +95,13 @@ def main() -> None:
     }
     line = json.dumps(payload)
     full = dict(payload, queries=timings)
+    # self-explaining artifact: registered queries deliberately outside
+    # the headline total (alternate implementations of a recommended
+    # path) are listed, so n_queries vs the registry count needs no
+    # archaeology
+    full["excluded_alternates"] = sorted(
+        alternates & set(entry_mod.queries())
+    )
     if errors:
         full["errors"] = errors
     sys.stdout.flush()

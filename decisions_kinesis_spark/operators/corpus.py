@@ -1025,6 +1025,65 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_resample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the temperature mixture: deterministic per-domain document
+    resampling toward the τ=2 target shares ``mix_domain_weights``
+    computes — the step that turns mixture weights into an actual
+    training corpus (what mT5/XLM-R do between "compute weights" and
+    "train").  Per domain, acceptance rate = min(1, target_share /
+    actual_share) in exact integer arithmetic; per document, keep iff
+    ``md5-hash(doc_id:resample) mod 1e6 < rate`` — reproducible across
+    runs and engines, no RNG, and INDEPENDENT of the shuffle/shard
+    hash (different salt).  Domains above their target are downsampled
+    proportionally; domains below keep everything (up-sampling is a
+    repeat-epoch concern, not a filter).  Output per domain: document
+    counts before/after and the applied rate.
+
+    Scale: the domain rate table is a tiny broadcast (one row per
+    (source, lang)); acceptance is a scan-side hash compare; the only
+    shuffle is the final per-domain count — map-side combining.
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "lang", "doc_id"
+    )
+    dom = mix_domain_weights(spark, sf_dir).select(
+        "source",
+        "lang",
+        "share_scaled",
+        # temp_weight is 4dp-floored, so ×1e4 + 0.5 floor recovers the
+        # exact integer in both engines
+        F.expr("cast(floor(temp_weight * 10000 + 0.5) as bigint)").alias(
+            "w"
+        ),
+    )
+    wsum = dom.groupBy().agg(F.sum("w").alias("w_sum"))
+    acc = (
+        dom.join(F.broadcast(wsum))
+        .withColumn(
+            "accept_scaled",
+            F.expr(
+                "least(1000000, ((w * 1000000) div w_sum) * 1000000"
+                " div greatest(share_scaled, 1))"
+            ),
+        )
+        .select("source", "lang", "accept_scaled")
+    )
+    scored = docs.join(F.broadcast(acc), ["source", "lang"]).withColumn(
+        "hv",
+        F.expr(
+            _BIGHASH.format(e="concat(cast(doc_id as string), ':resample')")
+            + " % 1000000"
+        ),
+    )
+    return scored.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("hv") < F.col("accept_scaled"), 1)).alias(
+            "n_kept"
+        ),
+        F.max("accept_scaled").alias("accept_scaled"),
+    )
+
+
 def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline YIELD report: how many documents survive each stage of
     the corpus-prep funnel — the one-page number every data-curation
@@ -1032,10 +1091,11 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FineWeb papers).  Stages compose CUMULATIVELY:
 
       0 total                — corpus size
-      1 gopher_quality       — passes the Gopher gate (``keep``)
-      2 exact_substring_dedup— not flagged by keep-first substring dedup
-      3 holdout_removed      — not in the held-out eval slice
-      4 decontaminated       — no eval n-gram collision
+      1 gopher_quality       — passes the Gopher word gate (``keep``)
+      2 low_repetition       — passes the Gopher repetition rules
+      3 exact_substring_dedup— not flagged by keep-first substring dedup
+      4 holdout_removed      — not in the held-out eval slice
+      5 decontaminated       — no eval n-gram collision
 
     Absent-from-frame handling is ASYMMETRIC by stage shape, and the
     coalesce defaults encode exactly that: for the FLAG-shaped stages
@@ -1057,7 +1117,7 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction time (see stage_cache module doc).
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    gopher, sub, dec = (
+    gopher, rep, sub, dec = (
         stage_cache.get_or_build(
             spark,
             f"funnel:{stage}",
@@ -1068,40 +1128,46 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for stage, fn, cols in (
             ("gopher", quality_gopher_flags, ("doc_id", "keep")),
+            ("repetition", quality_repetition_flags, ("doc_id", "keep")),
             ("substr", dedup_exact_substring, ("doc_id", "flagged")),
             ("decontam", decontam_eval_overlap, ("doc_id", "contaminated")),
         )
     )
     j = (
         docs.join(gopher, "doc_id", "left")
+        .join(rep.withColumnRenamed("keep", "rep_keep"), "doc_id", "left")
         .join(sub, "doc_id", "left")
         .join(dec, "doc_id", "left")
         .select(
             F.coalesce("keep", F.lit(False)).alias("keep"),
+            F.coalesce("rep_keep", F.lit(False)).alias("rep_keep"),
             F.coalesce("flagged", F.lit(False)).alias("flagged"),
             (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
     )
     s1 = F.col("keep")
-    s2 = s1 & ~F.col("flagged")
-    s3 = s2 & ~F.col("is_eval")
-    s4 = s3 & ~F.col("contaminated")
+    s2 = s1 & F.col("rep_keep")
+    s3 = s2 & ~F.col("flagged")
+    s4 = s3 & ~F.col("is_eval")
+    s5 = s4 & ~F.col("contaminated")
     one = j.agg(
         F.count("*").alias("n0"),
         F.count(F.when(s1, 1)).alias("n1"),
         F.count(F.when(s2, 1)).alias("n2"),
         F.count(F.when(s3, 1)).alias("n3"),
         F.count(F.when(s4, 1)).alias("n4"),
+        F.count(F.when(s5, 1)).alias("n5"),
     )
     return one.select(
         F.expr(
-            "stack(5,"
+            "stack(6,"
             " 0, 'total', n0,"
             " 1, 'gopher_quality', n1,"
-            " 2, 'exact_substring_dedup', n2,"
-            " 3, 'holdout_removed', n3,"
-            " 4, 'decontaminated', n4) as (stage_id, stage, n_docs)"
+            " 2, 'low_repetition', n2,"
+            " 3, 'exact_substring_dedup', n3,"
+            " 4, 'holdout_removed', n4,"
+            " 5, 'decontaminated', n5) as (stage_id, stage, n_docs)"
         )
     ).select(F.col("stage_id").cast("bigint"), "stage", "n_docs")
 
@@ -1121,6 +1187,7 @@ QUERIES = {
     "decontam_eval_overlap": decontam_eval_overlap,
     "decontam_leakage_by_eval": decontam_leakage_by_eval,
     "mix_domain_weights": mix_domain_weights,
+    "mix_resample_apply": mix_resample_apply,
     "dsir_importance_weights": dsir_importance_weights,
     "corpus_funnel_report": corpus_funnel_report,
 }
@@ -1660,37 +1727,75 @@ ORACLES["tokenize_bpe_iterative"] = f"""
     FROM per
 """
 
+# The resample oracle composes the mixture-weight oracle, recomputes
+# the exact integer acceptance rates, and replays the hash-rank keep
+# rule per document.
+ORACLES["mix_resample_apply"] = f"""
+    WITH mdw AS ({ORACLES["mix_domain_weights"]}),
+    w AS (
+        SELECT source, lang, share_scaled,
+               floor(temp_weight * 10000 + 0.5)::BIGINT AS w
+        FROM mdw
+    ),
+    ws AS (SELECT sum(w)::BIGINT AS w_sum FROM w),
+    acc AS (
+        SELECT source, lang,
+               least(1000000,
+                     (((w * 1000000) // w_sum) * 1000000)
+                     // greatest(share_scaled, 1))::BIGINT AS accept_scaled
+        FROM w, ws
+    ),
+    d AS (
+        SELECT source, lang, doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':resample'),
+                               1, 15))::BIGINT % 1000000 AS hv
+        FROM documents
+    )
+    SELECT d.source, d.lang, count(*)::BIGINT AS n_docs,
+           count(*) FILTER (WHERE hv < accept_scaled)::BIGINT AS n_kept,
+           max(accept_scaled)::BIGINT AS accept_scaled
+    FROM d JOIN acc USING (source, lang)
+    GROUP BY d.source, d.lang
+"""
+
 # The funnel oracle COMPOSES the three stage oracles as nested
 # subqueries (DuckDB allows WITH inside a CTE body), so the funnel is
 # verified against the exact same stage definitions the standalone
 # queries use — one source of truth per stage.
 ORACLES["corpus_funnel_report"] = f"""
     WITH g AS ({ORACLES["quality_gopher_flags"]}),
+    r AS ({ORACLES["quality_repetition_flags"]}),
     s AS ({ORACLES["dedup_exact_substring"]}),
     d AS ({ORACLES["decontam_eval_overlap"]}),
     j AS (
         SELECT coalesce(g.keep, false) AS keep,
+               coalesce(r.keep, false) AS rep_keep,
                coalesce(s.flagged, false) AS flagged,
                (doc.doc_id % {_EVAL_MOD} = 0) AS is_eval,
                coalesce(d.contaminated, false) AS contaminated
         FROM documents doc
         LEFT JOIN g USING (doc_id)
+        LEFT JOIN r USING (doc_id)
         LEFT JOIN s USING (doc_id)
         LEFT JOIN d USING (doc_id)
     ),
     one AS (
         SELECT count(*)::BIGINT AS n0,
                count(*) FILTER (WHERE keep)::BIGINT AS n1,
-               count(*) FILTER (WHERE keep AND NOT flagged)::BIGINT AS n2,
-               count(*) FILTER (WHERE keep AND NOT flagged
-                                AND NOT is_eval)::BIGINT AS n3,
-               count(*) FILTER (WHERE keep AND NOT flagged AND NOT is_eval
-                                AND NOT contaminated)::BIGINT AS n4
+               count(*) FILTER (WHERE keep AND rep_keep)::BIGINT AS n2,
+               count(*) FILTER (WHERE keep AND rep_keep
+                                AND NOT flagged)::BIGINT AS n3,
+               count(*) FILTER (WHERE keep AND rep_keep AND NOT flagged
+                                AND NOT is_eval)::BIGINT AS n4,
+               count(*) FILTER (WHERE keep AND rep_keep AND NOT flagged
+                                AND NOT is_eval
+                                AND NOT contaminated)::BIGINT AS n5
         FROM j
     )
     SELECT 0::BIGINT AS stage_id, 'total' AS stage, n0 AS n_docs FROM one
     UNION ALL SELECT 1, 'gopher_quality', n1 FROM one
-    UNION ALL SELECT 2, 'exact_substring_dedup', n2 FROM one
-    UNION ALL SELECT 3, 'holdout_removed', n3 FROM one
-    UNION ALL SELECT 4, 'decontaminated', n4 FROM one
+    UNION ALL SELECT 2, 'low_repetition', n2 FROM one
+    UNION ALL SELECT 3, 'exact_substring_dedup', n3 FROM one
+    UNION ALL SELECT 4, 'holdout_removed', n4 FROM one
+    UNION ALL SELECT 5, 'decontaminated', n5 FROM one
 """
