@@ -585,6 +585,124 @@ def pq_reconstruction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_TOP_R = 20  # ADC shortlist per query before the exact re-rank
+
+
+def _pq_sub_expr(col: str) -> str:
+    """M fixed-width subvector slices of a d-dim double array."""
+    return (
+        f"transform(sequence(0, {_PQ_M - 1}),"
+        f" m -> slice({col}, m * {_PQ_D} + 1, {_PQ_D}))"
+    )
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation (ADC) and exact
+    re-rank — the billion-scale ANN recipe of Jégou et al. 2011
+    ("Product Quantization for Nearest Neighbor Search", the FAISS
+    IVFPQ index): route each query to its IVF cell (seeded centroids,
+    nprobe=1, the ``ann_ivf_topk`` assignment), score every cell member
+    by the SUM over M=8 subspaces of the squared distance between the
+    query's subvector and the member's assigned PQ codeword — looked up
+    from a per-query M×K distance table, so the member's float vector
+    is never touched during the scan — keep the ``_PQ_TOP_R`` best by
+    approximate distance, then re-rank exactly by true cosine and emit
+    the family-standard (query_id, neighbor_id, cos, rank) top-k.
+
+    Determinism: subspace distances are integer-quantized scan-side
+    (floor(d2·1e6 + 0.5) bigint — the ``pq_reconstruction_stats``
+    pattern), so codeword assignment (min-by over (d2i, code_id)), the
+    ADC sums, and the shortlist cut are exact integer arithmetic in
+    both engines; only the final R·n_queries re-rank cosines are floats
+    (round 6, the family contract).
+
+    Scale: this is the ANN shape that still works when the vectors
+    themselves are the 100 TB problem.  The probe phase joins candidate
+    ids against the CODE table — M byte-sized code ids (8 B/vector)
+    instead of the 256 B float vector, a 32× cut in index size and
+    probe-join traffic; the codebook (M·K = 128 rows) and the per-query
+    ADC table (n_queries·M·K rows) broadcast; code assignment reuses
+    the corpus scan (explode → broadcast codebook → map-side-combining
+    argmin groupBy, no corpus shuffle); only the R winners per query
+    fetch full vectors for the exact re-rank (a broadcast join).  With
+    a large query batch the candidate-id broadcast becomes a shuffled
+    equi-join on vec_id against the (bucketable) code table — the plan
+    degrades to one co-located join, never to a vector-wide shuffle.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    assigned = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
+    mod = max(1, table_count(spark, "embeddings", sf_dir) // _PQ_K)
+    subs = emb.select("vec_id", F.posexplode(F.expr(_pq_sub_expr("v"))).alias("m", "sv"))
+    cw = subs.filter((F.col("vec_id") % mod) == 0).select(
+        F.col("m").alias("cm"),
+        F.col("vec_id").alias("code_id"),
+        F.col("sv").alias("cv"),
+    )
+    d2i = F.floor(
+        (
+            F.expr(_DOT.format(a="sv", b="sv"))
+            - 2 * F.expr(_DOT.format(a="sv", b="cv"))
+            + F.expr(_DOT.format(a="cv", b="cv"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    codes = (
+        subs.join(F.broadcast(cw), F.col("m") == F.col("cm"))
+        .withColumn("d2i", d2i)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code_id", F.struct("d2i", "code_id")).alias("code_id"))
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
+        F.col("cent_id").alias("qcent"),
+    )
+    qsubs = q.select(
+        "query_id", F.posexplode(F.expr(_pq_sub_expr("qv"))).alias("m", "sv")
+    )
+    adc = (
+        qsubs.join(F.broadcast(cw), F.col("m") == F.col("cm"))
+        .select("query_id", "m", F.col("code_id"), d2i.alias("qd2i"))
+    )
+    cand_ids = assigned.join(
+        F.broadcast(q.select("query_id", "qcent")),
+        (F.col("cent_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+    approx = (
+        codes.join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(adc), ["query_id", "m", "code_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2i").alias("adist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    shortlist = (
+        approx.withColumn("ark", F.row_number().over(wr))
+        .filter(F.col("ark") <= _PQ_TOP_R)
+        .select("query_id", "vec_id")
+    )
+    rer = (
+        assigned.select("vec_id", "v", "nv")
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qnv")), "query_id")
+        .withColumn(
+            "cos",
+            F.expr(
+                _PAIR_COS.format(dot=_DOT.format(a="v", b="qv"), na="nv", nb="qnv")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
 _DEDUP_TARGET_BUCKET = 64  # target avg bucket population for dedup blocking
 _MAX_PLANES = 16
 
@@ -716,13 +834,13 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each method frame reduces to per-method scalar counts via
     equi-joins on (query_id, neighbor_id) + global aggregates; the
-    expensive inputs (ground truth + 5 method pipelines) come through
+    expensive inputs (ground truth + 6 method pipelines) come through
     the session ``stage_cache`` (localCheckpoint'd on first use), so
     repeated constructions — and the funnel-style composition with the
     standalone queries in one report session — pay each pipeline once
     (cache misses run those jobs at construction time).  The oracle
-    composes the six method oracles as CTEs: one source of truth per
-    index definition.
+    composes the seven method/truth oracles as CTEs: one source of
+    truth per index definition.
     """
     from decisions_kinesis_spark.operators import stage_cache
 
@@ -750,6 +868,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_nprobe1", top_k(ann_ivf_topk)),
         ("ivf_nprobe2", top_k(ann_ivf_nprobe2)),
         ("ivf_refined", top_k(ann_ivf_refined)),
+        ("ivf_pq", top_k(ann_ivf_pq)),
     )
     n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
     out = None
@@ -789,6 +908,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe2": ann_ivf_nprobe2,
     "ann_ivf_refined": ann_ivf_refined,
+    "ann_ivf_pq": ann_ivf_pq,
     "semdedup_prune": semdedup_prune,
     "pq_reconstruction_stats": pq_reconstruction_stats,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1207,7 +1327,114 @@ ORACLES = {
     """,
 }
 
-# The recall-calibration oracle COMPOSES the six method oracles as CTEs
+# IVF-PQ ADC + exact re-rank: replays the engine arithmetic exactly —
+# the ann_ivf_topk assignment CTEs, the pq_reconstruction_stats
+# subspace/codebook CTEs, integer-quantized per-subspace distances for
+# code assignment AND the per-query ADC table, integer ADC sums for the
+# shortlist cut, float cosine only on the R re-ranked winners.
+ORACLES["ann_ivf_pq"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    -- exact isqrt(N) modulus (Newton-corrected; see ann_ivf_topk)
+    p AS (SELECT greatest(CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1
+                               WHEN s * s > n THEN s - 1
+                               ELSE s END, 1) AS md
+          FROM (SELECT count(*) AS n,
+                       floor(sqrt(count(*)))::BIGINT AS s
+                FROM embeddings)),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e
+        WHERE vec_id % (SELECT md FROM p) = 0
+    ),
+    scoredc AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+               round(list_dot_product(e.v, c.cv) /
+                     (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+        FROM e, cents c
+    ),
+    assigned AS (
+        SELECT vec_id, v, cent_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cent_id ASC) AS ark
+              FROM scoredc)
+        WHERE ark = 1
+    ),
+    pp AS (SELECT greatest(count(*) // {_PQ_K}, 1) AS md FROM embeddings),
+    subs AS (
+        SELECT vec_id, m.m AS m,
+               v[m.m * {_PQ_D} + 1 : m.m * {_PQ_D} + {_PQ_D}] AS sv
+        FROM e, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) m
+    ),
+    cw AS (
+        SELECT m AS cm, vec_id AS code_id, sv AS cv
+        FROM subs WHERE vec_id % (SELECT md FROM pp) = 0
+    ),
+    codescored AS (
+        SELECT s.vec_id, s.m, c.code_id,
+               floor((list_dot_product(s.sv, s.sv)
+                      - 2 * list_dot_product(s.sv, c.cv)
+                      + list_dot_product(c.cv, c.cv)) * 1e6 + 0.5)::BIGINT
+                   AS d2i
+        FROM subs s JOIN cw c ON s.m = c.cm
+    ),
+    codes AS (
+        SELECT vec_id, m, code_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                      ORDER BY d2i ASC, code_id ASC) AS rk
+              FROM codescored)
+        WHERE rk = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, cent_id AS qcent
+        FROM assigned WHERE vec_id < {_N_QUERIES}
+    ),
+    qsubs AS (
+        SELECT query_id, m.m AS m,
+               qv[m.m * {_PQ_D} + 1 : m.m * {_PQ_D} + {_PQ_D}] AS sv
+        FROM q, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) m
+    ),
+    adc AS (
+        SELECT s.query_id, c.cm AS m, c.code_id,
+               floor((list_dot_product(s.sv, s.sv)
+                      - 2 * list_dot_product(s.sv, c.cv)
+                      + list_dot_product(c.cv, c.cv)) * 1e6 + 0.5)::BIGINT
+                   AS qd2i
+        FROM qsubs s JOIN cw c ON s.m = c.cm
+    ),
+    cand AS (
+        SELECT q.query_id, a.vec_id
+        FROM assigned a JOIN q
+          ON a.cent_id = q.qcent AND a.vec_id <> q.query_id
+    ),
+    approx AS (
+        SELECT cd.query_id, cd.vec_id, sum(ad.qd2i)::BIGINT AS adist
+        FROM cand cd
+        JOIN codes co ON co.vec_id = cd.vec_id
+        JOIN adc ad ON ad.query_id = cd.query_id
+               AND ad.m = co.m AND ad.code_id = co.code_id
+        GROUP BY cd.query_id, cd.vec_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adist ASC, vec_id ASC) AS ark
+              FROM approx)
+        WHERE ark <= {_PQ_TOP_R}
+    ),
+    rer AS (
+        SELECT s.query_id, a.vec_id, {_DUCK_COS} AS cos
+        FROM shortlist s
+        JOIN e a ON a.vec_id = s.vec_id
+        JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, cos, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM rer)
+    WHERE rank <= {_TOP_K}
+"""
+
+# The recall-calibration oracle COMPOSES the method oracles as CTEs
 # (the corpus_funnel_report pattern): every index is verified against
 # the exact same SQL definition its standalone query uses.
 _RECALL_METHODS = (
@@ -1216,6 +1443,7 @@ _RECALL_METHODS = (
     ("ivf_nprobe1", "ann_ivf_topk", "topk"),
     ("ivf_nprobe2", "ann_ivf_nprobe2", "topk"),
     ("ivf_refined", "ann_ivf_refined", "topk"),
+    ("ivf_pq", "ann_ivf_pq", "topk"),
 )
 
 def _recall_oracle() -> str:

@@ -266,3 +266,17 @@ def test_ppm_feature_extract_is_arrow_map_only(spark):
     assert a.arrow_eval  # mapInPandas decode tier
     assert not a.python_eval  # never row-at-a-time
     assert a.shuffles == 0  # pure per-partition map
+
+
+def test_ivf_pq_probe_joins_codes_not_vectors(spark):
+    """IVF-PQ ADC (similarity.ann_ivf_pq): the probe phase must ride
+    broadcast joins (codebook, candidate ids, ADC table, shortlist,
+    query frame) — the corpus shuffles only for the map-side-combining
+    argmin groupBys (cell + code assignment) and the two tiny top-R /
+    top-k windows, never to move full vectors through a shuffled
+    pair join."""
+    a = audit_plan(similarity.ann_ivf_pq(spark, SF))
+    a.assert_no_python()
+    # centroids + codebook + cand ids + ADC table + shortlist + q ≥ 6
+    assert a.broadcast_joins >= 6
+    assert "CartesianProduct" not in a.plan
