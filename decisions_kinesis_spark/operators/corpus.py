@@ -18,6 +18,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from decisions_kinesis_spark.operators import stage_cache
+from decisions_kinesis_spark.operators.dedup import (
+    _BASE40_DUCK,
+    _DUCK_SHINGLE_CTE,
+    _N_SEEDS as _MH_SEEDS,
+    _band_table,
+    _doc_shingles,
+    _seeded as _mh_seeded,
+)
 from decisions_kinesis_spark.operators.textops import (
     _BIGHASH,
     _DUCK_BIGHASH,
@@ -891,6 +899,129 @@ def decontam_leakage_by_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_INJECT_BELOW = 10 * _EVAL_MOD  # paraphrase ≤10 eval docs (fixture)
+_FUZZY_PARA_OFFSET = 200_000  # paraphrase doc_id offset (200000 % 97 = 83 ≠ 0)
+_FUZZY_T = 0.5  # shingle-Jaccard threshold for the fuzzy verdict
+
+
+def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY test-set decontamination: the exact-gram pass
+    (``decontam_eval_overlap``) only catches verbatim leakage — an
+    8-token gram survives zero edits — while benchmark text commonly
+    re-enters training sets lightly paraphrased (reworded prompts,
+    dropped prefixes, whitespace-normalized scrapes; the Llama 2 and
+    GPT-4 reports both run a fuzzy pass for exactly this reason).  This
+    operator runs the MinHash-LSH near-duplicate topology BETWEEN
+    slices: candidate (train, eval) pairs from banded-signature
+    collisions, verified by exact 3-gram-shingle Jaccard, reported per
+    train document with the fuzzy verdict at J ≥ ``_FUZZY_T``.
+
+    Fixture note (the ``_with_injected_dups`` pattern, dedup.py:71): the
+    random-word corpus has no natural paraphrases, so the corpus is
+    augmented with a deterministic drop-first-token copy of each eval
+    doc with doc_id < ``_FUZZY_INJECT_BELOW``, offset by
+    ``_FUZZY_PARA_OFFSET`` (≡ 83 mod 97 — always lands in the TRAIN
+    slice).  Those copies share all but one shingle with their source
+    (J ≈ 1 but < 1), i.e. exactly the leakage the exact-gram pass CAN
+    also see but a whole-document hash cannot; the same machinery flags
+    J-0.5 paraphrases that break every 8-gram.
+
+    Output: only train docs with ≥1 LSH candidate (absent = clean) —
+    (doc_id, n_eval_candidates, best_eval_doc, best_jaccard,
+    contaminated_fuzzy).
+
+    Scale: signatures/bands are the shared MinHash pipeline (map-side
+    partial min; shuffle bounded at |docs|·seeds rows); the benchmark
+    side is tiny by definition, so its band table AND its shingle set
+    broadcast — the training corpus is pruned to band-colliding docs
+    scan-side and never shuffles for verification; only candidate
+    (train, eval) pairs pay the exact-Jaccard join.  An oversized eval
+    slice would degrade these to shuffled equi-joins on band/shingle
+    keys (the decontam count-gate discipline) — no all-pairs stage
+    exists anywhere.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    para = (
+        docs.filter(
+            (F.col("doc_id") % _EVAL_MOD == 0)
+            & (F.col("doc_id") < _FUZZY_INJECT_BELOW)
+        )
+        .withColumn("toks", F.expr(_TOKS))
+        .select(
+            (F.col("doc_id") + _FUZZY_PARA_OFFSET).alias("doc_id"),
+            F.expr(
+                "array_join(slice(toks, 2, greatest(size(toks) - 1, 0)), ' ')"
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(para)
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    sh = _doc_shingles(corpus).localCheckpoint(eager=True)
+    bands = _band_table(sh)
+    be = bands.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.col("band").alias("eband"),
+        F.col("band_sig").alias("esig"),
+    )
+    cand = (
+        bands.filter(~is_eval)
+        .join(
+            F.broadcast(be),
+            (F.col("band") == F.col("eband"))
+            & (F.col("band_sig") == F.col("esig")),
+        )
+        .select("doc_id", "eval_doc")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_eval = sh.filter(is_eval).select(
+        F.col("doc_id").alias("ev2"), F.col("shingle").alias("eshingle")
+    )
+    inter = (
+        cand.join(sh, "doc_id")
+        .join(
+            F.broadcast(sh_eval),
+            (F.col("eval_doc") == F.col("ev2"))
+            & (F.col("shingle") == F.col("eshingle")),
+        )
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    esizes = sizes.select(
+        F.col("doc_id").alias("eval_doc"), F.col("n_sh").alias("e_sh")
+    )
+    pairs = (
+        cand.join(inter, ["doc_id", "eval_doc"], "left")
+        .withColumn("ni", F.coalesce("n_inter", F.lit(0)))
+        .join(sizes, "doc_id")
+        .join(F.broadcast(esizes), "eval_doc")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("ni") / (F.col("n_sh") + F.col("e_sh") - F.col("ni")), 4
+            ),
+        )
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_eval_candidates"),
+            F.max("jaccard").alias("best_jaccard"),
+            F.max_by(
+                "eval_doc",
+                F.struct(F.col("jaccard"), (-F.col("eval_doc")).alias("ne")),
+            ).alias("best_eval_doc"),
+        )
+        .select(
+            "doc_id",
+            "n_eval_candidates",
+            "best_eval_doc",
+            "best_jaccard",
+            (F.col("best_jaccard") >= _FUZZY_T).alias("contaminated_fuzzy"),
+        )
+    )
+
+
 _DSIR_BUCKETS = 4096  # hashed feature space (DSIR's dimensionality trick)
 _DSIR_SCALE = 1_000_000  # integer-scaled likelihood ratio
 _DSIR_TARGET_LANG = "en"  # deterministic stand-in for the target corpus
@@ -1186,6 +1317,7 @@ QUERIES = {
     "inverted_index_topdf": inverted_index_topdf,
     "decontam_eval_overlap": decontam_eval_overlap,
     "decontam_leakage_by_eval": decontam_leakage_by_eval,
+    "decontam_minhash_fuzzy": decontam_minhash_fuzzy,
     "mix_domain_weights": mix_domain_weights,
     "mix_resample_apply": mix_resample_apply,
     "dsir_importance_weights": dsir_importance_weights,
@@ -1687,6 +1819,69 @@ def _duck_bpe_iter_ctes(rounds: int = _BPE_ITER_ROUNDS) -> str:
     parts.append(f"merges_out AS ({union})")
     return ",\n        ".join(parts)
 
+
+# Fuzzy decontamination: replays the MinHash/band/verify chain from
+# dedup.py's oracle fragments over the paraphrase-augmented corpus,
+# restricted to (train, eval) band collisions.
+ORACLES["decontam_minhash_fuzzy"] = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_FUZZY_PARA_OFFSET} AS doc_id,
+               array_to_string(list_slice(t, 2, len(t)), ' ') AS text
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+              WHERE doc_id % {_EVAL_MOD} = 0
+                AND doc_id < {_FUZZY_INJECT_BELOW})
+    ),
+    {_DUCK_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, shingle, {_BASE40_DUCK} AS h40 FROM sh),
+    seeds AS (SELECT unnest(generate_series(0, {_MH_SEEDS - 1})) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min({_mh_seeded("seed", "h40")}) AS minhash
+        FROM hashed, seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 2) AS band,
+               string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 2)
+    ),
+    cand AS (
+        SELECT DISTINCT t.doc_id, e.doc_id AS eval_doc
+        FROM bands t JOIN bands e
+          ON t.band = e.band AND t.band_sig = e.band_sig
+        WHERE t.doc_id % {_EVAL_MOD} <> 0 AND e.doc_id % {_EVAL_MOD} = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_id, c.eval_doc, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_id
+        JOIN sh sb ON sb.doc_id = c.eval_doc AND sa.shingle = sb.shingle
+        GROUP BY c.doc_id, c.eval_doc
+    ),
+    pairs AS (
+        SELECT c.doc_id, c.eval_doc,
+               round(coalesce(i.n_inter, 0) /
+                     (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 4)
+                   AS jaccard
+        FROM cand c
+        LEFT JOIN inter i
+          ON i.doc_id = c.doc_id AND i.eval_doc = c.eval_doc
+        JOIN sizes za ON za.doc_id = c.doc_id
+        JOIN sizes zb ON zb.doc_id = c.eval_doc
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY jaccard DESC, eval_doc ASC) AS rk
+        FROM pairs
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_eval_candidates,
+           min(CASE WHEN rk = 1 THEN eval_doc END)::BIGINT AS best_eval_doc,
+           max(jaccard) AS best_jaccard,
+           max(jaccard) >= {_FUZZY_T} AS contaminated_fuzzy
+    FROM ranked GROUP BY doc_id
+"""
 
 ORACLES["bpe_merges_iterative"] = f"""
     WITH {_duck_bpe_iter_ctes()}

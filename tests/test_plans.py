@@ -280,3 +280,17 @@ def test_ivf_pq_probe_joins_codes_not_vectors(spark):
     # centroids + codebook + cand ids + ADC table + shortlist + q ≥ 6
     assert a.broadcast_joins >= 6
     assert "CartesianProduct" not in a.plan
+
+
+def test_fuzzy_decontam_broadcasts_eval_side(spark):
+    """Fuzzy decontamination (corpus.decontam_minhash_fuzzy): the
+    benchmark side's band table, shingle set, and size frame broadcast;
+    the training corpus is pruned by band collision before the
+    exact-Jaccard verification — never an all-pairs or shuffled
+    train-vs-eval join."""
+    from decisions_kinesis_spark.operators import corpus
+
+    a = audit_plan(corpus.decontam_minhash_fuzzy(spark, SF))
+    a.assert_no_python()
+    assert a.broadcast_joins >= 3  # eval bands + eval shingles + eval sizes
+    assert "CartesianProduct" not in a.plan
