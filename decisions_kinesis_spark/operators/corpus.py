@@ -1022,6 +1022,124 @@ def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QCLS_BUCKETS = 4096  # hashed feature space of the linear classifier
+_QCLS_WRANGE = 1000  # weights span [-1000, 1000] (3-decimal fixed point)
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the classifier-APPLY shape every
+    current pipeline runs after the heuristic gates (FineWeb-Edu's
+    educational-value scorer, DCLM's fastText filter): score each
+    document with a linear model over hashed bag-of-words features and
+    keep documents above threshold.  The score is the tf-weighted mean
+    of per-bucket weights: ``(Σ_w tf(w)·W[bucket(w)])·1000 div
+    n_tokens`` — exact integer arithmetic end to end.
+
+    The weight vector is a DETERMINISTIC STAND-IN (md5-derived values
+    in [-1000, 1000] per bucket — no trained model
+    ships in this container); the operator's substance is the apply
+    plumbing, which is exactly what a trained fastText/regression head
+    needs: tokens hash into a fixed 4096-bucket space
+    scan-side, the weight table is a bounded broadcast joined against
+    the token stream, and the per-document reduction is one map-side-
+    combining aggregation.  Swapping real weights in is a data change
+    (load the table instead of deriving it), not a plan change.
+
+    Scale: the weight table is {_QCLS_BUCKETS} rows by construction —
+    broadcast is safe at any corpus size; the corpus never shuffles
+    except the per-doc sum (bounded keys, partial agg).  Overflow:
+    |tf·w| ≤ n_tokens·1000, so the pre-division product
+    stays < 2^53 for documents up to ~9e9 tokens.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    words = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    feats = words.select(
+        "doc_id",
+        (F.expr(_BIGHASH.format(e="w")) % _QCLS_BUCKETS).alias("bucket"),
+    )
+    weights = spark.range(_QCLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.expr(_BIGHASH.format(e="concat('qw:', cast(id as string))"))
+            % (2 * _QCLS_WRANGE + 1)
+            - _QCLS_WRANGE
+        ).alias("wgt"),
+    )
+    scored = feats.join(F.broadcast(weights), "bucket")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("wgt").alias("raw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(raw * 1000) div n_tokens").alias("score_scaled"),
+            (F.expr("(raw * 1000) div n_tokens") >= 0).alias("keep"),
+        )
+    )
+
+
+_BUDGET_TOKENS = 10_000_000  # planning budget (fixture-scale "run")
+
+
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget PLANNING table: given a total training budget and
+    the τ=2 temperature mixture over (source, lang) domains
+    (``mix_domain_weights``), how many tokens each domain contributes,
+    how many epochs of the domain that implies, and whether the domain
+    must repeat (epochs > 1) — the table a pre-training run is actually
+    scheduled from (mT5 Table 2, LLaMA's sampling-proportion table).
+
+    Determinism: the temperature weight is integer-scaled at 4dp
+    scan-side (``floor(sqrt(share)·1e4 + 0.5)`` — one IEEE division,
+    one sqrt, both bit-stable), so the normalization sum, the per-
+    domain token target (``budget·w div Σw``) and the epoch count
+    (``target·1000 div available``) are exact bigint arithmetic.
+
+    Scale: one map-side-combining corpus aggregation to the domain
+    frame; every subsequent step operates on |domains| rows with 1-row
+    broadcast totals — no second corpus pass, no driver collect.
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "lang", "text"
+    )
+    dom = (
+        docs.select("source", "lang", F.size(F.expr(_TOKS)).alias("n_toks"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    total = dom.groupBy().agg(F.sum("n_tokens").alias("total_tokens"))
+    weighted = dom.join(F.broadcast(total)).withColumn(
+        "weight_scaled",
+        F.expr(
+            "cast(floor(sqrt(cast(n_tokens as double) / total_tokens)"
+            " * 10000 + 0.5) as bigint)"
+        ),
+    )
+    wsum = weighted.groupBy().agg(F.sum("weight_scaled").alias("w_sum"))
+    return (
+        weighted.join(F.broadcast(wsum))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"({_BUDGET_TOKENS} * weight_scaled) div w_sum"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "weight_scaled",
+            "target_tokens",
+            F.expr("(target_tokens * 1000) div n_tokens").alias(
+                "epochs_milli"
+            ),
+            (F.col("target_tokens") > F.col("n_tokens")).alias("repeats"),
+        )
+    )
+
+
 _DSIR_BUCKETS = 4096  # hashed feature space (DSIR's dimensionality trick)
 _DSIR_SCALE = 1_000_000  # integer-scaled likelihood ratio
 _DSIR_TARGET_LANG = "en"  # deterministic stand-in for the target corpus
@@ -1318,6 +1436,8 @@ QUERIES = {
     "decontam_eval_overlap": decontam_eval_overlap,
     "decontam_leakage_by_eval": decontam_leakage_by_eval,
     "decontam_minhash_fuzzy": decontam_minhash_fuzzy,
+    "quality_classifier_score": quality_classifier_score,
+    "token_budget_plan": token_budget_plan,
     "mix_domain_weights": mix_domain_weights,
     "mix_resample_apply": mix_resample_apply,
     "dsir_importance_weights": dsir_importance_weights,
@@ -1819,6 +1939,57 @@ def _duck_bpe_iter_ctes(rounds: int = _BPE_ITER_ROUNDS) -> str:
     parts.append(f"merges_out AS ({union})")
     return ",\n        ".join(parts)
 
+
+# Classifier apply: identical md5-derived weight table via
+# generate_series; tf sums and the scaled division are exact integers.
+ORACLES["quality_classifier_score"] = f"""
+    WITH words AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, {_DUCK_BIGHASH.format(e="w")} % {_QCLS_BUCKETS} AS bucket
+        FROM words
+    ),
+    weights AS (
+        SELECT b AS bucket,
+               ({_DUCK_BIGHASH.format(e="'qw:' || b::VARCHAR")}
+                % {2 * _QCLS_WRANGE + 1}) - {_QCLS_WRANGE} AS wgt
+        FROM (SELECT unnest(generate_series(0, {_QCLS_BUCKETS - 1})) AS b)
+    ),
+    per AS (
+        SELECT f.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(w.wgt)::BIGINT AS raw
+        FROM feats f JOIN weights w ON f.bucket = w.bucket
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           (raw * 1000) // n_tokens AS score_scaled,
+           (raw * 1000) // n_tokens >= 0 AS keep
+    FROM per
+"""
+
+# Budget planner: integer-scaled τ=2 weights normalized by their exact
+# integer sum; all divisions floor on non-negative operands.
+ORACLES["token_budget_plan"] = f"""
+    WITH dom AS (
+        SELECT source, lang, count(*)::BIGINT AS n_docs,
+               sum(len({_DUCK_TOKS}))::BIGINT AS n_tokens
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM dom),
+    weighted AS (
+        SELECT d.*, floor(sqrt(d.n_tokens / t.total_tokens) * 10000
+                          + 0.5)::BIGINT AS weight_scaled
+        FROM dom d, tot t
+    ),
+    ws AS (SELECT sum(weight_scaled)::BIGINT AS w_sum FROM weighted)
+    SELECT source, lang, n_docs, n_tokens, weight_scaled,
+           ({_BUDGET_TOKENS} * weight_scaled) // w_sum AS target_tokens,
+           ((({_BUDGET_TOKENS} * weight_scaled) // w_sum) * 1000)
+               // n_tokens AS epochs_milli,
+           ({_BUDGET_TOKENS} * weight_scaled) // w_sum > n_tokens AS repeats
+    FROM weighted, ws
+"""
 
 # Fuzzy decontamination: replays the MinHash/band/verify chain from
 # dedup.py's oracle fragments over the paraphrase-augmented corpus,

@@ -294,3 +294,25 @@ def test_fuzzy_decontam_broadcasts_eval_side(spark):
     a.assert_no_python()
     assert a.broadcast_joins >= 3  # eval bands + eval shingles + eval sizes
     assert "CartesianProduct" not in a.plan
+
+
+def test_classifier_apply_broadcasts_weight_table(spark):
+    """quality_classifier_score: the 4096-row weight table broadcasts
+    against the token stream; the corpus shuffles only for the per-doc
+    sum (map-side combining)."""
+    from decisions_kinesis_spark.operators import corpus
+
+    a = audit_plan(corpus.quality_classifier_score(spark, SF))
+    a.assert_no_python()
+    a.assert_broadcasts(1)
+    a.assert_max_shuffles(1)
+
+
+def test_budget_plan_single_corpus_pass(spark):
+    """token_budget_plan: one corpus aggregation; totals ride 1-row
+    broadcasts — no second corpus scan."""
+    from decisions_kinesis_spark.operators import corpus
+
+    a = audit_plan(corpus.token_budget_plan(spark, SF))
+    a.assert_no_python()
+    assert a.broadcast_joins >= 2  # total_tokens + w_sum
