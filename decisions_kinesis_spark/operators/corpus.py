@@ -1333,6 +1333,69 @@ def mix_resample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter ABLATION agreement matrix: the 2×2×2 contingency table of
+    the three quality gates (Gopher heuristics, Gopher repetition
+    rules, the hashed linear classifier) over every document — the
+    table a curation team reads to decide which filters are redundant
+    and which disagree enough to keep (the FineWeb and RefinedWeb
+    ablations tabulate exactly this before choosing their filter
+    stack).  A cell like (keep_gopher=true, keep_repetition=true,
+    keep_classifier=false) counts documents only the classifier would
+    remove; ``frac_scaled`` is the cell's ppm share of the corpus.
+
+    Documents a gate never scores (zero tokens → no per-doc row)
+    coalesce to keep=false — the funnel's conservative convention for
+    keep-shaped verdicts.
+
+    Scale: the three stage pipelines come through the session
+    ``stage_cache`` (the gopher/repetition frames are shared with
+    ``corpus_funnel_report`` under the same keys); the joins are
+    doc_id equi-joins of per-doc verdict frames — co-partitioned by
+    the same key at any scale — and the output is 8 rows + a 1-row
+    total broadcast.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    gopher, rep, cls = (
+        stage_cache.get_or_build(
+            spark,
+            f"funnel:{stage}",
+            sf_dir,
+            lambda fn=fn: fn(spark, sf_dir)
+            .select("doc_id", "keep")
+            .localCheckpoint(eager=True),
+        )
+        for stage, fn in (
+            ("gopher", quality_gopher_flags),
+            ("repetition", quality_repetition_flags),
+            ("qcls", quality_classifier_score),
+        )
+    )
+    j = (
+        docs.join(gopher.withColumnRenamed("keep", "kg"), "doc_id", "left")
+        .join(rep.withColumnRenamed("keep", "kr"), "doc_id", "left")
+        .join(cls.withColumnRenamed("keep", "kc"), "doc_id", "left")
+        .select(
+            F.coalesce("kg", F.lit(False)).alias("keep_gopher"),
+            F.coalesce("kr", F.lit(False)).alias("keep_repetition"),
+            F.coalesce("kc", F.lit(False)).alias("keep_classifier"),
+        )
+    )
+    tot = docs.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        j.groupBy("keep_gopher", "keep_repetition", "keep_classifier")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(tot))
+        .select(
+            "keep_gopher",
+            "keep_repetition",
+            "keep_classifier",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div n_total").alias("frac_scaled"),
+        )
+    )
+
+
 def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline YIELD report: how many documents survive each stage of
     the corpus-prep funnel — the one-page number every data-curation
@@ -1438,6 +1501,7 @@ QUERIES = {
     "decontam_minhash_fuzzy": decontam_minhash_fuzzy,
     "quality_classifier_score": quality_classifier_score,
     "token_budget_plan": token_budget_plan,
+    "quality_filter_agreement": quality_filter_agreement,
     "mix_domain_weights": mix_domain_weights,
     "mix_resample_apply": mix_resample_apply,
     "dsir_importance_weights": dsir_importance_weights,
@@ -1989,6 +2053,29 @@ ORACLES["token_budget_plan"] = f"""
                // n_tokens AS epochs_milli,
            ({_BUDGET_TOKENS} * weight_scaled) // w_sum > n_tokens AS repeats
     FROM weighted, ws
+"""
+
+# Agreement matrix: composes the three gate oracles (one SQL
+# definition per filter — the funnel-report pattern).
+ORACLES["quality_filter_agreement"] = f"""
+    WITH g AS ({ORACLES["quality_gopher_flags"]}),
+    r AS ({ORACLES["quality_repetition_flags"]}),
+    c AS ({ORACLES["quality_classifier_score"]}),
+    base AS (SELECT doc_id FROM documents),
+    j AS (
+        SELECT coalesce(g.keep, false) AS keep_gopher,
+               coalesce(r.keep, false) AS keep_repetition,
+               coalesce(c.keep, false) AS keep_classifier
+        FROM base b
+        LEFT JOIN g ON g.doc_id = b.doc_id
+        LEFT JOIN r ON r.doc_id = b.doc_id
+        LEFT JOIN c ON c.doc_id = b.doc_id
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM base)
+    SELECT keep_gopher, keep_repetition, keep_classifier,
+           count(*)::BIGINT AS n_docs,
+           (count(*) * 1000000) // (SELECT n FROM tot) AS frac_scaled
+    FROM j GROUP BY 1, 2, 3
 """
 
 # Fuzzy decontamination: replays the MinHash/band/verify chain from
