@@ -609,12 +609,20 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate distance, then re-rank exactly by true cosine and emit
     the family-standard (query_id, neighbor_id, cos, rank) top-k.
 
+    Vectors are L2-NORMALIZED before PQ encoding (one scan-side divide
+    per element), so the ADC squared-L2 distance is ``2 − 2·cos`` up to
+    quantization error — monotone with the family's cosine metric; on
+    raw vectors the shortlist would rank by magnitude-skewed L2 and
+    systematically drop true cosine top-k members (measured on the
+    fixtures before the fix).
+
     Determinism: subspace distances are integer-quantized scan-side
     (floor(d2·1e6 + 0.5) bigint — the ``pq_reconstruction_stats``
     pattern), so codeword assignment (min-by over (d2i, code_id)), the
     ADC sums, and the shortlist cut are exact integer arithmetic in
-    both engines; only the final R·n_queries re-rank cosines are floats
-    (round 6, the family contract).
+    both engines; the normalization itself is one IEEE sqrt + divide
+    replayed identically by the oracle; only the final R·n_queries
+    re-rank cosines are floats (round 6, the family contract).
 
     Scale: this is the ANN shape that still works when the vectors
     themselves are the 100 TB problem.  The probe phase joins candidate
@@ -634,7 +642,12 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
     mod = max(1, table_count(spark, "embeddings", sf_dir) // _PQ_K)
-    subs = emb.select("vec_id", F.posexplode(F.expr(_pq_sub_expr("v"))).alias("m", "sv"))
+    norm = emb.withColumn("nv0", F.expr(_NORM.format(v="v"))).withColumn(
+        "vn", F.expr("transform(v, x -> x / nv0)")
+    )
+    subs = norm.select(
+        "vec_id", F.posexplode(F.expr(_pq_sub_expr("vn"))).alias("m", "sv")
+    )
     cw = subs.filter((F.col("vec_id") % mod) == 0).select(
         F.col("m").alias("cm"),
         F.col("vec_id").alias("code_id"),
@@ -661,8 +674,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv").alias("qnv"),
         F.col("cent_id").alias("qcent"),
     )
-    qsubs = q.select(
-        "query_id", F.posexplode(F.expr(_pq_sub_expr("qv"))).alias("m", "sv")
+    qsubs = q.withColumn("qvn", F.expr("transform(qv, x -> x / qnv)")).select(
+        "query_id", F.posexplode(F.expr(_pq_sub_expr("qvn"))).alias("m", "sv")
     )
     adc = (
         qsubs.join(F.broadcast(cw), F.col("m") == F.col("cm"))
@@ -1360,10 +1373,16 @@ ORACLES["ann_ivf_pq"] = f"""
         WHERE ark = 1
     ),
     pp AS (SELECT greatest(count(*) // {_PQ_K}, 1) AS md FROM embeddings),
+    en AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   AS vn
+        FROM e
+    ),
     subs AS (
         SELECT vec_id, m.m AS m,
-               v[m.m * {_PQ_D} + 1 : m.m * {_PQ_D} + {_PQ_D}] AS sv
-        FROM e, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) m
+               vn[m.m * {_PQ_D} + 1 : m.m * {_PQ_D} + {_PQ_D}] AS sv
+        FROM en, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) m
     ),
     cw AS (
         SELECT m AS cm, vec_id AS code_id, sv AS cv
@@ -1388,10 +1407,16 @@ ORACLES["ann_ivf_pq"] = f"""
         SELECT vec_id AS query_id, v AS qv, cent_id AS qcent
         FROM assigned WHERE vec_id < {_N_QUERIES}
     ),
+    qn AS (
+        SELECT query_id, qcent,
+               list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv)))
+                   AS qvn
+        FROM q
+    ),
     qsubs AS (
         SELECT query_id, m.m AS m,
-               qv[m.m * {_PQ_D} + 1 : m.m * {_PQ_D} + {_PQ_D}] AS sv
-        FROM q, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) m
+               qvn[m.m * {_PQ_D} + 1 : m.m * {_PQ_D} + {_PQ_D}] AS sv
+        FROM qn, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) m
     ),
     adc AS (
         SELECT s.query_id, c.cm AS m, c.code_id,

@@ -673,3 +673,127 @@ def test_simhash_banding_complete_for_contract_distance(spark):
         f"banding recall mismatch: missed={set(expected) - set(got2)} "
         f"extra={set(got2) - set(expected)}"
     )
+
+
+def test_ivf_pq_rerank_recovers_exact_topk_in_small_cells(spark, sf_dir):
+    """IVF-PQ contract: whenever a query's cell has ≤ R members, the
+    ADC shortlist contains the whole cell, so the exact re-rank must
+    reproduce ann_ivf_topk's (exact-cosine cell scan) answer verbatim.
+    For oversized cells the shortlist is approximate by design — those
+    queries may differ (PQ quantization error), but overall pair
+    overlap stays high."""
+    from pyspark.sql import functions as F
+
+    from decisions_kinesis_spark.operators.similarity import (
+        _PQ_TOP_R,
+        _as_double,
+        _assign_cents,
+        _seed_centroids,
+        ann_ivf_pq,
+        ann_ivf_topk,
+    )
+
+    pq = {tuple(r) for r in ann_ivf_pq(spark, sf_dir).collect()}
+    ivf = {tuple(r) for r in ann_ivf_topk(spark, sf_dir).collect()}
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    assigned = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
+    cells = assigned.groupBy("cent_id").count()
+    small = {
+        r["vec_id"]
+        for r in assigned.filter(F.col("vec_id") < 10)
+        .join(cells, "cent_id")
+        .filter(F.col("count") <= _PQ_TOP_R)
+        .collect()
+    }
+    assert small, "fixture regression: no query cell within the shortlist"
+    pq_small = {t for t in pq if t[0] in small}
+    ivf_small = {t for t in ivf if t[0] in small}
+    assert pq_small == ivf_small
+    assert len(pq & ivf) >= int(0.8 * len(ivf))
+
+
+def test_fuzzy_decontam_flags_injected_paraphrases(spark, sf_dir):
+    """Every injected drop-first-token paraphrase must be flagged
+    against exactly its source eval document with near-1 Jaccard."""
+    from decisions_kinesis_spark.operators.corpus import (
+        _FUZZY_PARA_OFFSET,
+        decontam_minhash_fuzzy,
+    )
+
+    rows = decontam_minhash_fuzzy(spark, sf_dir).collect()
+    para = [r for r in rows if r["doc_id"] >= _FUZZY_PARA_OFFSET]
+    assert para, "fixture regression: no paraphrase rows surfaced"
+    for r in para:
+        assert r["contaminated_fuzzy"] is True
+        assert r["best_eval_doc"] == r["doc_id"] - _FUZZY_PARA_OFFSET
+        assert r["best_jaccard"] >= 0.9
+
+
+def test_classifier_score_matches_python_reimplementation(spark, sf_dir):
+    """Engine-blind differential: recompute a few documents' scores in
+    pure Python from the same md5-derived weight table and integer
+    arithmetic."""
+    import hashlib
+
+    from decisions_kinesis_spark.operators.corpus import (
+        _QCLS_BUCKETS,
+        _QCLS_WRANGE,
+        quality_classifier_score,
+    )
+
+    def big(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 5)
+        .collect()
+    }
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_score(spark, sf_dir)
+        .filter(F.col("doc_id") < 5)
+        .collect()
+    }
+    for doc_id, text in docs.items():
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            assert doc_id not in out
+            continue
+        raw = sum(
+            big(f"qw:{big(t) % _QCLS_BUCKETS}") % (2 * _QCLS_WRANGE + 1)
+            - _QCLS_WRANGE
+            for t in toks
+        )
+        got = out[doc_id]
+        assert got["n_tokens"] == len(toks)
+        assert got["score_scaled"] == (
+            (raw * 1000) // len(toks)
+            if raw >= 0
+            else -((-raw * 1000) // len(toks))
+        )
+
+
+def test_budget_plan_is_internally_consistent(spark, sf_dir):
+    """Targets sum to ≤ budget (floor division loses at most |domains|
+    tokens), epochs recompute from the row's own fields, and the
+    repeats flag is exactly target > available."""
+    from decisions_kinesis_spark.operators.corpus import (
+        _BUDGET_TOKENS,
+        token_budget_plan,
+    )
+
+    rows = token_budget_plan(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["target_tokens"] for r in rows) <= _BUDGET_TOKENS
+    assert (
+        sum(r["target_tokens"] for r in rows)
+        >= _BUDGET_TOKENS - len(rows)  # floor loss < 1 per domain... scaled
+        - _BUDGET_TOKENS // 1000  # plus integer-weight rounding slack
+    )
+    for r in rows:
+        assert r["epochs_milli"] == r["target_tokens"] * 1000 // r["n_tokens"]
+        assert r["repeats"] == (r["target_tokens"] > r["n_tokens"])
