@@ -487,6 +487,88 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_SCALE = 1_000_000
+
+
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009) — how production search combines heterogeneous rankers whose
+    scores are not comparable (Elasticsearch/OpenSearch expose exactly
+    this for lexical + dense hybrids): fuse the BM25 top-10 with a
+    tf-idf dot-product top-10 over the same query set; per (query,
+    doc), ``rrf = Σ_r SCALE div (60 + rank_r)`` over the rankers that
+    returned the doc — rank-only, so the fusion is EXACT integer
+    arithmetic regardless of the rankers' score scales.  Emits both
+    input ranks (null where a ranker missed the doc) plus the fused
+    rank.
+
+    ``retrieval_bm25_topk`` is called directly for ranker A (one
+    definition per ranker, the recall-calibration discipline); ranker
+    B is the integer-scaled tf-idf sum restricted to the query terms.
+
+    Scale: both rankers are explode → broadcast-query-join →
+    map-side-combining aggs → per-query top-k windows over bounded
+    candidate sets; the fusion joins two ≤(queries×k)-row frames —
+    negligible at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    qterms = spark.createDataFrame(
+        list(_BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    nd = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    df_t = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    agg_b = (
+        tf.join(df_t, "term")
+        .join(F.broadcast(nd))
+        .withColumn(
+            "tscore", F.expr(f"tf * ((n_docs * {_IDF_SCALE}) div df)")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tscore").alias("s"))
+    )
+    w_b = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    top_b = (
+        agg_b.withColumn("rank_b", F.row_number().over(w_b).cast("bigint"))
+        .filter(F.col("rank_b") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "rank_b")
+    )
+    top_a = retrieval_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rk").alias("rank_a")
+    )
+    fused = top_a.join(top_b, ["query_id", "doc_id"], "full").withColumn(
+        "rrf_scaled",
+        F.coalesce(
+            F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank_a)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank_b)"), F.lit(0)
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_scaled"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id", "doc_id", "rank_a", "rank_b", "rrf_scaled", "rank"
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_dup_span_fraction": text_dup_span_fraction,
@@ -501,6 +583,7 @@ QUERIES = {
     "text_chunk_documents": text_chunk_documents,
     "text_pack_context_bins": text_pack_context_bins,
     "text_redact_patterns": text_redact_patterns,
+    "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
 }
 
 _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
@@ -735,3 +818,52 @@ ORACLES = {
         FROM m
     """,
 }
+
+# Hybrid RRF fusion: composes the BM25 oracle (one definition per
+# ranker) with the integer tf-idf ranking and exact integer RRF sums.
+ORACLES["retrieval_hybrid_rrf"] = f"""
+    WITH a0 AS ({ORACLES["retrieval_bm25_topk"]}),
+    a AS (SELECT query_id, doc_id, rk AS rank_a FROM a0),
+    toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+    q AS (SELECT * FROM (VALUES {_DUCK_BM25_VALUES}) AS v(query_id, term)),
+    tf AS (
+        SELECT q.query_id, q.term, t.doc_id, count(*)::BIGINT AS tf
+        FROM toks t JOIN q ON t.term = q.term
+        GROUP BY q.query_id, q.term, t.doc_id
+    ),
+    nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM toks),
+    dft AS (
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+        WHERE term IN (SELECT term FROM q) GROUP BY term
+    ),
+    aggb AS (
+        SELECT tf.query_id, tf.doc_id,
+               sum(tf.tf * ((nd.n_docs * {_IDF_SCALE}) // dft.df))::BIGINT
+                   AS s
+        FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN nd
+        GROUP BY tf.query_id, tf.doc_id
+    ),
+    b AS (
+        SELECT query_id, doc_id, rank_b FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, doc_id ASC) AS rank_b
+            FROM aggb)
+        WHERE rank_b <= {_BM25_TOPK}
+    ),
+    fused AS (
+        SELECT coalesce(a.query_id, b.query_id)::BIGINT AS query_id,
+               coalesce(a.doc_id, b.doc_id) AS doc_id,
+               a.rank_a, b.rank_b,
+               coalesce({_RRF_SCALE} // ({_RRF_K} + a.rank_a), 0)
+               + coalesce({_RRF_SCALE} // ({_RRF_K} + b.rank_b), 0)
+                   AS rrf_scaled
+        FROM a FULL JOIN b
+          ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+    )
+    SELECT query_id, doc_id, rank_a, rank_b, rrf_scaled, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_scaled DESC, doc_id ASC) AS rank
+          FROM fused)
+    WHERE rank <= {_BM25_TOPK}
+"""

@@ -316,3 +316,15 @@ def test_budget_plan_single_corpus_pass(spark):
     a = audit_plan(corpus.token_budget_plan(spark, SF))
     a.assert_no_python()
     assert a.broadcast_joins >= 2  # total_tokens + w_sum
+
+
+def test_hybrid_rrf_fuses_bounded_frames(spark):
+    """retrieval_hybrid_rrf: both rankers join the query-term frame by
+    broadcast and reduce map-side; the fusion joins two ≤ queries×k
+    row frames — no cartesian, no Python."""
+    from decisions_kinesis_spark.operators import textops
+
+    a = audit_plan(textops.retrieval_hybrid_rrf(spark, SF))
+    a.assert_no_python()
+    assert a.broadcast_joins >= 3  # query terms ×2 rankers + 1-row stats
+    assert "CartesianProduct" not in a.plan
