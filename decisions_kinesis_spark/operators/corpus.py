@@ -1405,9 +1405,10 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       0 total                — corpus size
       1 gopher_quality       — passes the Gopher word gate (``keep``)
       2 low_repetition       — passes the Gopher repetition rules
-      3 exact_substring_dedup— not flagged by keep-first substring dedup
-      4 holdout_removed      — not in the held-out eval slice
-      5 decontaminated       — no eval n-gram collision
+      3 classifier_quality   — passes the model-based quality gate
+      4 exact_substring_dedup— not flagged by keep-first substring dedup
+      5 holdout_removed      — not in the held-out eval slice
+      6 decontaminated       — no eval n-gram collision
 
     Absent-from-frame handling is ASYMMETRIC by stage shape, and the
     coalesce defaults encode exactly that: for the FLAG-shaped stages
@@ -1417,11 +1418,12 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     document produced zero words, which FAILS the word-count band —
     coalesce(keep, false) marks it dropped, the same verdict
     ``quality_gopher_flags`` would emit if it produced a row (it emits
-    one for every document with ≥1 token).
+    one for every document with ≥1 token); the classifier stage is
+    keep-shaped with the same zero-token convention.
 
-    Scale: reuses the three stage operators (each already
-    shuffle-linear), three left equi-joins on doc_id, then ONE
-    global fold to a 5-row frame via conditional counts + stack — no
+    Scale: reuses the stage operators (each already
+    shuffle-linear), left equi-joins on doc_id, then ONE
+    global fold to a 7-row frame via conditional counts + stack — no
     new shuffle shapes.  Stage outputs come through the session
     ``stage_cache`` (localCheckpoint'd on first use), so a session that
     builds the funnel repeatedly reuses the materialized stages instead
@@ -1429,7 +1431,7 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction time (see stage_cache module doc).
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    gopher, rep, sub, dec = (
+    gopher, rep, cls, sub, dec = (
         stage_cache.get_or_build(
             spark,
             f"funnel:{stage}",
@@ -1441,6 +1443,7 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         for stage, fn, cols in (
             ("gopher", quality_gopher_flags, ("doc_id", "keep")),
             ("repetition", quality_repetition_flags, ("doc_id", "keep")),
+            ("qcls", quality_classifier_score, ("doc_id", "keep")),
             ("substr", dedup_exact_substring, ("doc_id", "flagged")),
             ("decontam", decontam_eval_overlap, ("doc_id", "contaminated")),
         )
@@ -1448,11 +1451,13 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         docs.join(gopher, "doc_id", "left")
         .join(rep.withColumnRenamed("keep", "rep_keep"), "doc_id", "left")
+        .join(cls.withColumnRenamed("keep", "cls_keep"), "doc_id", "left")
         .join(sub, "doc_id", "left")
         .join(dec, "doc_id", "left")
         .select(
             F.coalesce("keep", F.lit(False)).alias("keep"),
             F.coalesce("rep_keep", F.lit(False)).alias("rep_keep"),
+            F.coalesce("cls_keep", F.lit(False)).alias("cls_keep"),
             F.coalesce("flagged", F.lit(False)).alias("flagged"),
             (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
@@ -1460,9 +1465,10 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = F.col("keep")
     s2 = s1 & F.col("rep_keep")
-    s3 = s2 & ~F.col("flagged")
-    s4 = s3 & ~F.col("is_eval")
-    s5 = s4 & ~F.col("contaminated")
+    s3 = s2 & F.col("cls_keep")
+    s4 = s3 & ~F.col("flagged")
+    s5 = s4 & ~F.col("is_eval")
+    s6 = s5 & ~F.col("contaminated")
     one = j.agg(
         F.count("*").alias("n0"),
         F.count(F.when(s1, 1)).alias("n1"),
@@ -1470,16 +1476,18 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(s3, 1)).alias("n3"),
         F.count(F.when(s4, 1)).alias("n4"),
         F.count(F.when(s5, 1)).alias("n5"),
+        F.count(F.when(s6, 1)).alias("n6"),
     )
     return one.select(
         F.expr(
-            "stack(6,"
+            "stack(7,"
             " 0, 'total', n0,"
             " 1, 'gopher_quality', n1,"
             " 2, 'low_repetition', n2,"
-            " 3, 'exact_substring_dedup', n3,"
-            " 4, 'holdout_removed', n4,"
-            " 5, 'decontaminated', n5) as (stage_id, stage, n_docs)"
+            " 3, 'classifier_quality', n3,"
+            " 4, 'exact_substring_dedup', n4,"
+            " 5, 'holdout_removed', n5,"
+            " 6, 'decontaminated', n6) as (stage_id, stage, n_docs)"
         )
     ).select(F.col("stage_id").cast("bigint"), "stage", "n_docs")
 
@@ -2218,17 +2226,20 @@ ORACLES["mix_resample_apply"] = f"""
 ORACLES["corpus_funnel_report"] = f"""
     WITH g AS ({ORACLES["quality_gopher_flags"]}),
     r AS ({ORACLES["quality_repetition_flags"]}),
+    c AS ({ORACLES["quality_classifier_score"]}),
     s AS ({ORACLES["dedup_exact_substring"]}),
     d AS ({ORACLES["decontam_eval_overlap"]}),
     j AS (
         SELECT coalesce(g.keep, false) AS keep,
                coalesce(r.keep, false) AS rep_keep,
+               coalesce(c.keep, false) AS cls_keep,
                coalesce(s.flagged, false) AS flagged,
                (doc.doc_id % {_EVAL_MOD} = 0) AS is_eval,
                coalesce(d.contaminated, false) AS contaminated
         FROM documents doc
         LEFT JOIN g USING (doc_id)
         LEFT JOIN r USING (doc_id)
+        LEFT JOIN c USING (doc_id)
         LEFT JOIN s USING (doc_id)
         LEFT JOIN d USING (doc_id)
     ),
@@ -2237,18 +2248,23 @@ ORACLES["corpus_funnel_report"] = f"""
                count(*) FILTER (WHERE keep)::BIGINT AS n1,
                count(*) FILTER (WHERE keep AND rep_keep)::BIGINT AS n2,
                count(*) FILTER (WHERE keep AND rep_keep
-                                AND NOT flagged)::BIGINT AS n3,
-               count(*) FILTER (WHERE keep AND rep_keep AND NOT flagged
-                                AND NOT is_eval)::BIGINT AS n4,
-               count(*) FILTER (WHERE keep AND rep_keep AND NOT flagged
+                                AND cls_keep)::BIGINT AS n3,
+               count(*) FILTER (WHERE keep AND rep_keep AND cls_keep
+                                AND NOT flagged)::BIGINT AS n4,
+               count(*) FILTER (WHERE keep AND rep_keep AND cls_keep
+                                AND NOT flagged
+                                AND NOT is_eval)::BIGINT AS n5,
+               count(*) FILTER (WHERE keep AND rep_keep AND cls_keep
+                                AND NOT flagged
                                 AND NOT is_eval
-                                AND NOT contaminated)::BIGINT AS n5
+                                AND NOT contaminated)::BIGINT AS n6
         FROM j
     )
     SELECT 0::BIGINT AS stage_id, 'total' AS stage, n0 AS n_docs FROM one
     UNION ALL SELECT 1, 'gopher_quality', n1 FROM one
     UNION ALL SELECT 2, 'low_repetition', n2 FROM one
-    UNION ALL SELECT 3, 'exact_substring_dedup', n3 FROM one
-    UNION ALL SELECT 4, 'holdout_removed', n4 FROM one
-    UNION ALL SELECT 5, 'decontaminated', n5 FROM one
+    UNION ALL SELECT 3, 'classifier_quality', n3 FROM one
+    UNION ALL SELECT 4, 'exact_substring_dedup', n4 FROM one
+    UNION ALL SELECT 5, 'holdout_removed', n5 FROM one
+    UNION ALL SELECT 6, 'decontaminated', n6 FROM one
 """
