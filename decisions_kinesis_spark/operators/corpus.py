@@ -60,7 +60,15 @@ def quality_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-word count frame is the same shape MinHash/TF-IDF already
     shuffle, so at 100 TB this rides the identical partitioning.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return gopher_flags(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Frame-level Gopher gate over (doc_id, text) — shared by the
+    batch query and streaming micro-batch application (one gate
+    definition, the ``doc_token_grams`` discipline)."""
     words = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
     wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
     per = wc.groupBy("doc_id").agg(
@@ -113,7 +121,14 @@ def quality_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine map-side and the per-doc pivot is conditional aggregation —
     two bounded-key shuffles total, the gopher-gate shape.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return repetition_flags(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+
+
+def repetition_flags(docs: DataFrame) -> DataFrame:
+    """Frame-level Gopher repetition gate over (doc_id, text) — shared
+    by the batch query and streaming micro-batch application."""
     toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
         F.size("toks") >= 1
     )
@@ -1051,7 +1066,15 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     |tf·w| ≤ n_tokens·1000, so the pre-division product
     stays < 2^53 for documents up to ~9e9 tokens.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return classifier_score(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+
+
+def classifier_score(docs: DataFrame) -> DataFrame:
+    """Frame-level classifier apply over (doc_id, text) — shared by the
+    batch query and streaming micro-batch application."""
+    spark = docs.sparkSession
     words = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
     feats = words.select(
         "doc_id",
