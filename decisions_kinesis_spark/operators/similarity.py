@@ -552,12 +552,7 @@ def pq_reconstruction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = emb.select(
         "vec_id",
         "label",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}),"
-                f" m -> slice(v, m * {_PQ_D} + 1, {_PQ_D}))"
-            )
-        ).alias("m", "sv"),
+        F.posexplode(F.expr(_pq_sub_expr("v"))).alias("m", "sv"),
     )
     cw = subs.filter((F.col("vec_id") % mod) == 0).select(
         F.col("m").alias("cm"),

@@ -442,8 +442,16 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_toks"))
+    return _bm25_topk(*_lex_inputs(tok))
+
+
+def _lex_inputs(tok: DataFrame):
+    """Shared lexical-retrieval inputs from a (doc_id, term) frame:
+    per-(query, term, doc) tf against the broadcast query-term frame,
+    per-term df, and per-doc length — computed ONCE and consumed by
+    both rankers of the hybrid fusion (which passes a materialized
+    ``tok`` so the explode isn't replayed per consumer)."""
+    spark = tok.sparkSession
     qterms = spark.createDataFrame(
         list(_BM25_QUERY_TERMS), "query_id long, term string"
     )
@@ -457,6 +465,14 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    return tf, df_t, dl
+
+
+def _bm25_topk(tf: DataFrame, df_t: DataFrame, dl: DataFrame) -> DataFrame:
+    """BM25 ranking from the shared lexical inputs (one scoring
+    definition, used standalone and inside the RRF fusion)."""
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_toks"))
     scored = (
         tf.join(dl, "doc_id")
         .join(df_t, "term")
@@ -503,33 +519,29 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     input ranks (null where a ranker missed the doc) plus the fused
     rank.
 
-    ``retrieval_bm25_topk`` is called directly for ranker A (one
-    definition per ranker, the recall-calibration discipline); ranker
-    B is the integer-scaled tf-idf sum restricted to the query terms.
+    Ranker A is the shared ``_bm25_topk`` scoring definition (the same
+    one ``retrieval_bm25_topk`` runs standalone); ranker B is the
+    integer-scaled tf-idf sum restricted to the query terms.  Both
+    rankers consume ONE set of shared lexical inputs (``_lex_inputs``)
+    over a materialized token frame, so the corpus is scanned and
+    exploded once per fusion, not once per ranker.
 
-    Scale: both rankers are explode → broadcast-query-join →
-    map-side-combining aggs → per-query top-k windows over bounded
-    candidate sets; the fusion joins two ≤(queries×k)-row frames —
-    negligible at any corpus size.
+    Scale: both rankers are broadcast-query-join → map-side-combining
+    aggs → per-query top-k windows over bounded candidate sets; the
+    fusion joins two ≤(queries×k)-row frames — negligible at any
+    corpus size.
     """
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
-    qterms = spark.createDataFrame(
-        list(_BM25_QUERY_TERMS), "query_id long, term string"
-    )
-    tf = (
-        tok.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "term", "doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
-    nd = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
-    df_t = (
-        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
-    )
+    # materialized once: tf / df / dl each consume the explode, and
+    # both rankers consume those — the dedup shingle-frame discipline
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("term")
+    ).localCheckpoint(eager=True)
+    tf, df_t, dl = _lex_inputs(tok)
+    # n_docs for the tf-idf idf = docs with ≥1 token = dl's row count
+    nd = dl.agg(F.count("*").alias("n_docs"))
     agg_b = (
         tf.join(df_t, "term")
         .join(F.broadcast(nd))
@@ -545,7 +557,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_b") <= _BM25_TOPK)
         .select("query_id", "doc_id", "rank_b")
     )
-    top_a = retrieval_bm25_topk(spark, sf_dir).select(
+    top_a = _bm25_topk(tf, df_t, dl).select(
         "query_id", "doc_id", F.col("rk").alias("rank_a")
     )
     fused = top_a.join(top_b, ["query_id", "doc_id"], "full").withColumn(
