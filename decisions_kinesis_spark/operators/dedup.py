@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from decisions_kinesis_spark.operators.textops import _STOP_SQL
 from decisions_kinesis_spark.sources.tables import load_table
 
 #: Spark-side 60-bit md5 hash of a string expression (see module doc).
@@ -695,6 +696,57 @@ def dedup_cluster_stats(
     )
 
 
+def dedup_quality_keeper(
+    spark: SparkSession, sf_dir: str, driver_max_edges: int = 1_000_000
+) -> DataFrame:
+    """Quality-aware representative selection — the RefinedWeb/Dolma
+    "keep the best copy" policy: instead of the arbitrary min-id
+    keeper (``dedup_cluster_stats``), keep each near-dup cluster's
+    member with the HIGHEST composite quality score
+    (``textops.with_quality_signals``, the same signal the quality
+    gate uses; ties → smallest doc_id).  Exact copies tie on quality
+    and fall back to min-id; clusters with real textual differences
+    keep the best-formatted member.
+
+    Output per CLUSTERED document: (doc_id, cluster, quality, keep).
+    Singletons (no near-dup pair) are implicitly kept and not listed —
+    this frame is the dedup decision for clustered docs, like
+    ``dedup_cluster_stats``.
+
+    Scale: CC labels ride the session stage cache (shared with
+    ``dedup_cluster_stats`` under the same key); quality is a
+    scan-side expression; keeper selection is ONE map-side-combining
+    ``max_by`` aggregation on cluster keys + an equi-join back — the
+    ``dedup_exact`` shape, no window piling a hot cluster into a
+    single partition.
+    """
+    from decisions_kinesis_spark.operators import stage_cache
+    from decisions_kinesis_spark.operators.textops import with_quality_signals
+
+    comps = stage_cache.get_or_build(
+        spark,
+        "cluster_stats:components",
+        f"{sf_dir}|{driver_max_edges}",
+        lambda: dedup_components(spark, sf_dir, driver_max_edges)
+        .localCheckpoint(eager=True),
+    )
+    corpus = _with_injected_dups(load_table(spark, "documents", sf_dir))
+    quality = with_quality_signals(corpus).select("doc_id", "quality")
+    scored = comps.join(quality, "doc_id")
+    keepers = scored.groupBy("cluster").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd")),
+        ).alias("keeper")
+    )
+    return scored.join(keepers, "cluster").select(
+        "doc_id",
+        "cluster",
+        "quality",
+        (F.col("doc_id") == F.col("keeper")).alias("keep"),
+    )
+
+
 # cheap scan-shaped queries first, pair pipelines after, the iterative
 # components query (which contains the LSH pipeline) last
 QUERIES = {
@@ -706,6 +758,7 @@ QUERIES = {
     "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
     "dedup_components": dedup_components,
     "dedup_cluster_stats": dedup_cluster_stats,
+    "dedup_quality_keeper": dedup_quality_keeper,
     "dedup_incremental_lsh": dedup_incremental_lsh,
 }
 
@@ -964,3 +1017,51 @@ ORACLES = {
         FROM pairs GROUP BY lang
     """,
 }
+
+# Quality-aware keeper: composes the CC oracle with the quality-score
+# formula (text_quality_score's definition) over the injected-dup
+# corpus; keeper = per-cluster argmax(quality, -doc_id).
+ORACLES["dedup_quality_keeper"] = f"""
+    WITH RECURSIVE {_DUCK_LSH_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairsel
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairsel
+    ),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comps AS (SELECT node AS doc_id, min(label) AS cluster
+              FROM reach GROUP BY node),
+    q AS (
+        SELECT doc_id,
+               floor((0.4 * stop_ratio + 0.3 * least(n_tok / 100.0, 1.0)
+                      + 0.3 * (1.0 - punct_ratio)) * 10000 + 0.5) / 10000.0
+                   AS quality
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ({_STOP_SQL})))::DOUBLE
+                       / len(toks)::DOUBLE AS stop_ratio,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE AS punct_ratio,
+                   len(toks)::DOUBLE AS n_tok
+            FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM corpus)
+        )
+    ),
+    scored AS (
+        SELECT c.doc_id, c.cluster, q.quality
+        FROM comps c JOIN q USING (doc_id)
+    ),
+    keepers AS (
+        SELECT cluster, doc_id AS keeper FROM (
+            SELECT cluster, doc_id,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY quality DESC, doc_id ASC) AS rk
+            FROM scored)
+        WHERE rk = 1
+    )
+    SELECT s.doc_id, s.cluster, s.quality, s.doc_id = k.keeper AS keep
+    FROM scored s JOIN keepers k USING (cluster)
+"""

@@ -328,3 +328,17 @@ def test_hybrid_rrf_fuses_bounded_frames(spark):
     a.assert_no_python()
     assert a.broadcast_joins >= 3  # query terms ×2 rankers + 1-row stats
     assert "CartesianProduct" not in a.plan
+
+
+def test_quality_keeper_is_agg_join_not_window(spark):
+    """dedup_quality_keeper: keeper selection must be the
+    map-side-combining max_by agg + equi-join-back shape (the
+    dedup_exact discipline), never a window over cluster ids that
+    piles a hot cluster into one partition."""
+    from decisions_kinesis_spark.operators import dedup
+
+    a = audit_plan(dedup.dedup_quality_keeper(spark, SF))
+    a.assert_no_python()
+    plan = a.plan
+    assert "max_by" in plan
+    assert "CartesianProduct" not in plan
