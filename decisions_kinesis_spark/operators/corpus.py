@@ -1125,6 +1125,22 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame; every subsequent step operates on |domains| rows with 1-row
     broadcast totals — no second corpus pass, no driver collect.
     """
+    return _budget_targets(spark, sf_dir).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "weight_scaled",
+        "target_tokens",
+        F.expr("(target_tokens * 1000) div n_tokens").alias("epochs_milli"),
+        (F.col("target_tokens") > F.col("n_tokens")).alias("repeats"),
+    )
+
+
+def _budget_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token targets under ``_BUDGET_TOKENS`` — the shared
+    core of the plan query and the epoch-expansion apply (one target
+    definition, the gate/grams discipline)."""
     docs = load_table(spark, "documents", sf_dir).select(
         "source", "lang", "text"
     )
@@ -1142,24 +1158,54 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     wsum = weighted.groupBy().agg(F.sum("weight_scaled").alias("w_sum"))
-    return (
-        weighted.join(F.broadcast(wsum))
-        .withColumn(
-            "target_tokens",
-            F.expr(f"({_BUDGET_TOKENS} * weight_scaled) div w_sum"),
+    return weighted.join(F.broadcast(wsum)).withColumn(
+        "target_tokens",
+        F.expr(f"({_BUDGET_TOKENS} * weight_scaled) div w_sum"),
+    )
+
+
+def budget_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the token-budget plan: per document, how many copies the
+    materialized training list contains — ``target div available``
+    full epochs of its domain, plus one more copy with probability
+    equal to the fractional remainder, decided by a deterministic
+    per-document hash (the ``mix_resample_apply`` discipline: no RNG,
+    salt independent of the shuffle/shard hash, reproducible across
+    runs and engines).  This is the step between "the plan says 1.7
+    epochs of domain X" and an actual training list: every doc appears
+    once per full epoch and the remainder epoch samples ~70% of docs,
+    so Σ copies·doc_tokens tracks the domain's token target.
+
+    Scale: the per-domain rate table is a tiny broadcast; the copy
+    count is a scan-side hash compare — ZERO shuffles beyond the
+    domain-stats aggregation the plan already runs; the expansion is
+    emitted as a multiplicity COLUMN, not exploded rows, so the frame
+    stays corpus-sized no matter how many epochs the budget implies.
+    """
+    targets = _budget_targets(spark, sf_dir).select(
+        "source",
+        "lang",
+        F.expr("target_tokens div n_tokens").alias("full_epochs"),
+        F.expr(
+            "((target_tokens % n_tokens) * 1000000) div n_tokens"
+        ).alias("rem_ppm"),
+    )
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang"
+    )
+    acc = (
+        F.expr(
+            _BIGHASH.format(e="concat(cast(doc_id as string), ':epoch')")
         )
-        .select(
-            "source",
-            "lang",
-            "n_docs",
-            "n_tokens",
-            "weight_scaled",
-            "target_tokens",
-            F.expr("(target_tokens * 1000) div n_tokens").alias(
-                "epochs_milli"
-            ),
-            (F.col("target_tokens") > F.col("n_tokens")).alias("repeats"),
-        )
+        % 1_000_000
+    )
+    return docs.join(F.broadcast(targets), ["source", "lang"]).select(
+        "doc_id",
+        "source",
+        "lang",
+        (F.col("full_epochs") + (acc < F.col("rem_ppm")).cast("bigint")).alias(
+            "n_copies"
+        ),
     )
 
 
@@ -1532,6 +1578,7 @@ QUERIES = {
     "decontam_minhash_fuzzy": decontam_minhash_fuzzy,
     "quality_classifier_score": quality_classifier_score,
     "token_budget_plan": token_budget_plan,
+    "budget_epoch_expansion": budget_epoch_expansion,
     "quality_filter_agreement": quality_filter_agreement,
     "mix_domain_weights": mix_domain_weights,
     "mix_resample_apply": mix_resample_apply,
@@ -2084,6 +2131,37 @@ ORACLES["token_budget_plan"] = f"""
                // n_tokens AS epochs_milli,
            ({_BUDGET_TOKENS} * weight_scaled) // w_sum > n_tokens AS repeats
     FROM weighted, ws
+"""
+
+# Epoch expansion: replays the budget-target CTE chain and the
+# deterministic per-doc remainder-epoch hash acceptance.
+ORACLES["budget_epoch_expansion"] = f"""
+    WITH dom AS (
+        SELECT source, lang, count(*)::BIGINT AS n_docs,
+               sum(len({_DUCK_TOKS}))::BIGINT AS n_tokens
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM dom),
+    weighted AS (
+        SELECT d.*, floor(sqrt(d.n_tokens / t.total_tokens) * 10000
+                          + 0.5)::BIGINT AS weight_scaled
+        FROM dom d, tot t
+    ),
+    ws AS (SELECT sum(weight_scaled)::BIGINT AS w_sum FROM weighted),
+    tgt AS (
+        SELECT source, lang,
+               (({_BUDGET_TOKENS} * weight_scaled) // w_sum) // n_tokens
+                   AS full_epochs,
+               (((({_BUDGET_TOKENS} * weight_scaled) // w_sum) % n_tokens)
+                * 1000000) // n_tokens AS rem_ppm
+        FROM weighted, ws
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           (t.full_epochs
+            + ((('0x' || substr(md5(d.doc_id::VARCHAR || ':epoch'), 1, 15))
+                ::BIGINT % 1000000) < t.rem_ppm)::BIGINT)::BIGINT AS n_copies
+    FROM documents d
+    JOIN tgt t ON d.source = t.source AND d.lang = t.lang
 """
 
 # Agreement matrix: composes the three gate oracles (one SQL

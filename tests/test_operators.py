@@ -797,3 +797,40 @@ def test_budget_plan_is_internally_consistent(spark, sf_dir):
     for r in rows:
         assert r["epochs_milli"] == r["target_tokens"] * 1000 // r["n_tokens"]
         assert r["repeats"] == (r["target_tokens"] > r["n_tokens"])
+
+
+def test_epoch_expansion_tracks_token_budget(spark, sf_dir):
+    """Materialized copies×tokens must track the total budget (hash
+    remainder-sampling error only), and every doc's copy count is its
+    domain's full-epoch count or one more."""
+    from decisions_kinesis_spark.operators.corpus import (
+        _BUDGET_TOKENS,
+        budget_epoch_expansion,
+        token_budget_plan,
+    )
+
+    exp = {r["doc_id"]: r for r in budget_epoch_expansion(spark, sf_dir).collect()}
+    plan = {
+        (r["source"], r["lang"]): r
+        for r in token_budget_plan(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.expr("size(filter(split(lower(text), '\\\\s+'), x -> x != ''))")
+            .alias("nt"),
+        )
+        .collect()
+    }
+    total = 0
+    for doc_id, r in exp.items():
+        d = docs[doc_id]
+        p = plan[(d["source"], d["lang"])]
+        full = p["target_tokens"] // p["n_tokens"]
+        assert r["n_copies"] in (full, full + 1), (doc_id, r["n_copies"], full)
+        total += r["n_copies"] * d["nt"]
+    assert abs(total - _BUDGET_TOKENS) <= 0.02 * _BUDGET_TOKENS
