@@ -346,6 +346,48 @@ def lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
+    bucket every document by the TERCILES of the interpolated LM
+    predictability score — CCNet keeps "head" (most LM-like) for
+    training, samples "middle", and drops or down-weights "tail".
+    High score = predictable = low perplexity = head; boundaries are
+    exact interpolated percentiles (the ``text_length_quantiles``
+    continuous-quantile contract), 4dp-rounded in both engines.  This
+    completes the CCNet stack: ``lm_bigram_score`` → backoff
+    interpolation → perplexity bucketing.
+
+    Determinism: scores are integers; tercile interpolation lands on
+    thirds (…, .3333, .6667 at 4dp) which never sit on a rounding
+    half, so the rounded boundaries and the >= comparisons agree
+    across engines exactly.
+
+    Scale: the score pipeline is ``lm_interpolated_score``'s
+    (type-collapsed, bounded-vocabulary joins); the boundary frame is
+    ONE exact-percentile aggregation of per-doc scores (corpus-
+    cardinality input, single-row output — the known exact-quantile
+    reducer, same trade ``text_length_quantiles`` documents) joined
+    back as a 1-row broadcast; bucketing is a scan-side comparison.
+    """
+    sc = lm_interpolated_score(spark, sf_dir)
+    bounds = sc.agg(
+        F.round(
+            F.expr("percentile(lm_interp_scaled, cast(1 as double)/3)"), 4
+        ).alias("b1"),
+        F.round(
+            F.expr("percentile(lm_interp_scaled, cast(2 as double)/3)"), 4
+        ).alias("b2"),
+    )
+    return sc.join(F.broadcast(bounds)).select(
+        "doc_id",
+        "lm_interp_scaled",
+        F.when(F.col("lm_interp_scaled") >= F.col("b2"), F.lit("head"))
+        .when(F.col("lm_interp_scaled") >= F.col("b1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 _SUBSTR_N = 8  # exact-substring gram width (token granularity)
 
 
@@ -1566,6 +1608,7 @@ QUERIES = {
     "quality_repetition_flags": quality_repetition_flags,
     "lm_bigram_score": lm_bigram_score,
     "lm_interpolated_score": lm_interpolated_score,
+    "lm_perplexity_buckets": lm_perplexity_buckets,
     "dedup_exact_substring": dedup_exact_substring,
     "train_shuffle_shards": train_shuffle_shards,
     "bpe_pair_counts": bpe_pair_counts,
@@ -2131,6 +2174,21 @@ ORACLES["token_budget_plan"] = f"""
                // n_tokens AS epochs_milli,
            ({_BUDGET_TOKENS} * weight_scaled) // w_sum > n_tokens AS repeats
     FROM weighted, ws
+"""
+
+# CCNet bucketing: composes the interpolated-LM oracle with
+# continuous-quantile tercile boundaries (quantile_cont = Spark's
+# interpolated percentile contract).
+ORACLES["lm_perplexity_buckets"] = f"""
+    WITH s AS ({ORACLES["lm_interpolated_score"]}),
+    b AS (SELECT round(quantile_cont(lm_interp_scaled, 1.0/3), 4) AS b1,
+                 round(quantile_cont(lm_interp_scaled, 2.0/3), 4) AS b2
+          FROM s)
+    SELECT doc_id, lm_interp_scaled,
+           CASE WHEN lm_interp_scaled >= b2 THEN 'head'
+                WHEN lm_interp_scaled >= b1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM s, b
 """
 
 # Epoch expansion: replays the budget-target CTE chain and the
