@@ -169,6 +169,48 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention table: users grouped by the ISO week of
+    their FIRST activity (the cohort), and for each later week, how
+    many of that cohort were active again — the standard product-
+    analytics retention triangle, here over the events stream.
+    ``retention_ppm`` is the exact integer-scaled retained share.
+
+    Cross-engine: week truncation is ISO-Monday in both engines and
+    cast to DATE (the date_trunc return-type gotcha in NOTES.md); the
+    week offset is a day difference divided by 7 — exact, since both
+    dates are week starts.
+
+    Scale: activity distincts on (user, week); the cohort min and the
+    retention join both key on user_id — the SAME shuffle key, so at
+    100 TB every step after the distinct is co-partitioned; the
+    cohort-size frame is |weeks| rows, broadcast back.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    )
+    act = ev.distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count("*").alias("cohort_users"))
+    ret = (
+        act.join(cohort, "user_id")
+        .withColumn(
+            "week_offset", F.expr("cast(datediff(wk, cw) div 7 as bigint)")
+        )
+        .groupBy("cw", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cw").select(
+        F.col("cw").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_users",
+        F.expr("(n_active * 1000000) div cohort_users").alias(
+            "retention_ppm"
+        ),
+    )
+
+
 QUERIES = {
     "window_tumbling_hourly": window_tumbling_hourly,
     "window_sliding_counts": window_sliding_counts,
@@ -177,6 +219,7 @@ QUERIES = {
     "join_time_range_purchase_errors_left": join_time_range_purchase_errors_left,
     "join_time_range_purchase_errors_full": join_time_range_purchase_errors_full,
     "events_funnel_conversion": events_funnel_conversion,
+    "events_cohort_retention": events_cohort_retention,
 }
 
 _HOUR_US = 3_600_000_000
@@ -293,3 +336,25 @@ ORACLES = {
         GROUP BY user_id, sess_id
     """,
 }
+
+# Cohort retention: ISO-week truncation cast to DATE on both sides;
+# offsets and shares are exact integer arithmetic.
+ORACLES["events_cohort_retention"] = """
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cw FROM act GROUP BY user_id),
+    sizes AS (SELECT cw, count(*)::BIGINT AS cohort_users
+              FROM cohort GROUP BY cw),
+    ret AS (
+        SELECT c.cw, (date_diff('day', c.cw, a.wk) // 7)::BIGINT
+                   AS week_offset,
+               count(*)::BIGINT AS n_active
+        FROM act a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY c.cw, date_diff('day', c.cw, a.wk) // 7
+    )
+    SELECT r.cw AS cohort_week, r.week_offset, r.n_active, s.cohort_users,
+           (r.n_active * 1000000) // s.cohort_users AS retention_ppm
+    FROM ret r JOIN sizes s ON r.cw = s.cw
+"""
