@@ -141,14 +141,20 @@ def _gate_order(registered: list[str]) -> list[str]:
     idx = {q: i for i, q in enumerate(registered)}
     sentinels = [q for q in _SENTINELS if q in idx]
     new = [q for q in registered if q not in state and q not in sentinels]
-    changed = [
-        q
-        for q in registered
-        if q in state
-        and q not in sentinels
-        and fps.get(q) is not None
-        and state[q].get("fp") != fps[q]
-    ]
+    changed = sorted(
+        (
+            q
+            for q in registered
+            if q in state
+            and q not in sentinels
+            and fps.get(q) is not None
+            and state[q].get("fp") != fps[q]
+        ),
+        # stalest driver row first: when the changed set overflows the
+        # driver's 50-slot cap, the queries with the OLDEST hard-signal
+        # row gate first and the freshest-verified ones rotate out
+        key=lambda q: (state.get(q, {}).get("round", 0), idx[q]),
+    )
     taken = set(sentinels) | set(new) | set(changed)
     rest = sorted(
         (q for q in registered if q not in taken),

@@ -1294,6 +1294,75 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64  # sketch size (k minimum hash values kept)
+_KMV_BITS = 56  # hash space 2^56: (k-1)·2^56 stays inside BIGINT
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    2002; the theta-sketch family's simplest member): the estimate is
+    a pure function of the k smallest hash values — DV ≈ (k−1)·H / vₖ
+    where vₖ is the k-th smallest hash in a space of size H.  Unlike
+    HLL — whose register layout is engine-private, which is why
+    ``agg_approx_suite`` is pytest-bound instead of oracled — KMV over
+    the deterministic md5-derived hash is EXACTLY replayable in any
+    engine, so this is a sketch whose VALUE has a DuckDB oracle.
+    Groups with fewer than k distinct hashes report their exact count
+    (the standard KMV small-set rule).  Per l_returnflag: exact
+    distinct parts, the KMV estimate, and the signed error in ppm —
+    the calibration row that justifies sketch-based distinct counting
+    at 100 TB, where exact countDistinct is the expensive path.
+
+    Arithmetic bounds: hashes use the first 14 md5 hex chars (56
+    bits), so (k−1)·2^56 ≈ 4.5e18 < 2^63 — the estimate is one exact
+    bigint division; 56-bit hashing is birthday-safe to ~2^28
+    distincts per group (document wider digests beyond that).
+
+    Scale: the (flag, hash) distinct is the same shuffle
+    countDistinct needs; the k-smallest-per-group rank is a
+    WindowGroupLimit plan — Spark pushes the rank ≤ k cut into a
+    PER-PARTITION partial top-k before the shuffle, so only k rows
+    per partition move (the window_topk discipline), never a
+    whole-group sort on one reducer.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_partkey"
+    )
+    h = li.select(
+        "l_returnflag",
+        F.expr(
+            "cast(conv(substring(md5(cast(l_partkey as string)), 1, 14),"
+            " 16, 10) as bigint)"
+        ).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy(F.asc("hv"))
+    kmin = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("l_returnflag")
+        .agg(F.max("hv").alias("vk"), F.count("*").alias("k_actual"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact")
+    )
+    est = F.expr(
+        f"if(k_actual < {_KMV_K}, k_actual,"
+        f" (({_KMV_K} - 1) * cast({1 << _KMV_BITS} as bigint)) div vk)"
+    )
+    return (
+        kmin.join(exact, "l_returnflag")
+        .withColumn("kmv_estimate", est)
+        .select(
+            "l_returnflag",
+            "n_exact",
+            "kmv_estimate",
+            F.expr(
+                "((kmv_estimate - n_exact) * 1000000) div n_exact"
+            ).alias("err_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1307,6 +1376,7 @@ QUERIES = {
     "agg_cube_orders": agg_cube_orders,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_count_distinct": agg_count_distinct,
+    "agg_kmv_distinct": agg_kmv_distinct,
     "agg_pivot_event_counts": agg_pivot_event_counts,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_running_sum_events": window_running_sum_events,
@@ -1992,3 +2062,35 @@ ORACLES = {
         GROUP BY event_type
     """,
 }
+
+# KMV sketch: the estimate is a pure function of the k smallest
+# deterministic hashes, so the sketch VALUE itself is oracled.
+ORACLES["agg_kmv_distinct"] = f"""
+    WITH h AS (
+        SELECT DISTINCT l_returnflag,
+               ('0x' || substr(md5(l_partkey::VARCHAR), 1, 14))::BIGINT AS hv
+        FROM lineitem
+    ),
+    kmin AS (
+        SELECT l_returnflag, max(hv)::BIGINT AS vk,
+               count(*)::BIGINT AS k_actual
+        FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                          ORDER BY hv ASC) AS rk FROM h)
+        WHERE rk <= {_KMV_K}
+        GROUP BY l_returnflag
+    ),
+    exact AS (
+        SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_exact
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    est AS (
+        SELECT k.l_returnflag, e.n_exact,
+               CASE WHEN k.k_actual < {_KMV_K} THEN k.k_actual
+                    ELSE (({_KMV_K} - 1) * {1 << _KMV_BITS}::BIGINT) // k.vk
+               END AS kmv_estimate
+        FROM kmin k JOIN exact e ON k.l_returnflag = e.l_returnflag
+    )
+    SELECT l_returnflag, n_exact, kmv_estimate,
+           ((kmv_estimate - n_exact) * 1000000) // n_exact AS err_ppm
+    FROM est
+"""

@@ -211,6 +211,69 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filling with last-observation-carried-
+    forward (the TimescaleDB ``time_bucket_gapfill`` + ``locf``
+    feature class): hourly buckets per event_type, a DENSE time grid
+    spanning each type's observed range (missing hours materialized
+    with zero counts), and the bucket average carried forward across
+    gaps — what a monitoring/feature pipeline reads when it needs a
+    value for EVERY tick, not just ticks with data.
+
+    Determinism: bucket averages use the money-sum discipline (exact
+    DECIMAL(18,4) sum, one double division, round 4); the LOCF is
+    last-non-null over a bucket-ordered frame — deterministic because
+    bucket keys are unique per type.
+
+    Scale: the grid is |types| × |hours in span| rows — generated from
+    a |types|-row span frame, NEVER by exploding the corpus; the only
+    per-event work is the bucket aggregation (map-side combining).
+    The LOCF window partitions by event_type over grid-sized (not
+    corpus-sized) frames; per-type span windows at 100 TB are bounded
+    by calendar hours, not event counts.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bkt"), "value"
+    )
+    agg = ev.groupBy("event_type", "bkt").agg(
+        F.count("*").alias("n_events"),
+        # floor-based 4dp round (NOT F.round): the exact decimal sum
+        # divided by a small count lands on .xxxx5 halves, where Spark
+        # rounds HALF_UP and DuckDB HALF_EVEN — floor(x*1e4 + 0.5) is
+        # the same IEEE op sequence in both engines
+        (
+            F.expr(
+                "floor(cast(sum(cast(value as decimal(18,4))) as double)"
+                " / count(*) * 10000 + 0.5)"
+            )
+            / 10000.0
+        ).alias("avg_value"),
+    )
+    span = agg.groupBy("event_type").agg(
+        F.min("bkt").alias("b0"), F.max("bkt").alias("b1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(b0, b1, interval 1 hour)")).alias("bkt"),
+    )
+    j = grid.join(agg, ["event_type", "bkt"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        F.col("bkt").alias("bucket_ts"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("n_events").isNull().alias("gap_filled"),
+    )
+
+
 QUERIES = {
     "window_tumbling_hourly": window_tumbling_hourly,
     "window_sliding_counts": window_sliding_counts,
@@ -220,6 +283,7 @@ QUERIES = {
     "join_time_range_purchase_errors_full": join_time_range_purchase_errors_full,
     "events_funnel_conversion": events_funnel_conversion,
     "events_cohort_retention": events_cohort_retention,
+    "events_gapfill_locf": events_gapfill_locf,
 }
 
 _HOUR_US = 3_600_000_000
@@ -357,4 +421,40 @@ ORACLES["events_cohort_retention"] = """
     SELECT r.cw AS cohort_week, r.week_offset, r.n_active, s.cohort_users,
            (r.n_active * 1000000) // s.cohort_users AS retention_ppm
     FROM ret r JOIN sizes s ON r.cw = s.cw
+"""
+
+# Gap-fill + LOCF: dense per-type hour grid via generate_series over
+# the span frame; averages replay the exact-decimal-sum discipline;
+# LOCF is last_value IGNORE NULLS over the bucket-ordered frame.
+ORACLES["events_gapfill_locf"] = """
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS bkt,
+               count(*)::BIGINT AS n_events,
+               floor((sum(value::DECIMAL(18,4)))::DOUBLE / count(*)
+                     * 10000 + 0.5) / 10000.0 AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(bkt) AS b0, max(bkt) AS b1
+             FROM agg GROUP BY event_type),
+    grid AS (
+        SELECT s.event_type, g.bkt
+        FROM span s, LATERAL (
+            SELECT unnest(generate_series(s.b0, s.b1, INTERVAL 1 HOUR))
+                AS bkt
+        ) g
+    ),
+    j AS (
+        SELECT g.event_type, g.bkt, a.n_events, a.avg_value
+        FROM grid g LEFT JOIN agg a
+          ON a.event_type = g.event_type AND a.bkt = g.bkt
+    )
+    SELECT event_type, bkt AS bucket_ts,
+           coalesce(n_events, 0)::BIGINT AS n_events,
+           avg_value,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_locf,
+           n_events IS NULL AS gap_filled
+    FROM j
 """

@@ -342,3 +342,25 @@ def test_quality_keeper_is_agg_join_not_window(spark):
     plan = a.plan
     assert "max_by" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_uses_window_group_limit(spark):
+    """agg_kmv_distinct: the k-smallest-per-group rank must compile to
+    a WindowGroupLimit plan (per-partition partial top-k before the
+    shuffle), not a whole-group sort."""
+    from decisions_kinesis_spark.operators import relational
+
+    a = audit_plan(relational.agg_kmv_distinct(spark, SF))
+    a.assert_no_python()
+    assert "WindowGroupLimit" in a.plan
+
+
+def test_gapfill_grid_from_span_frame_not_corpus(spark):
+    """events_gapfill_locf: the dense grid is generated from the
+    |types|-row span frame; the corpus contributes one aggregation
+    and is never exploded."""
+    from decisions_kinesis_spark.operators import windows_ext
+
+    a = audit_plan(windows_ext.events_gapfill_locf(spark, SF))
+    a.assert_no_python()
+    assert "CartesianProduct" not in a.plan
