@@ -274,6 +274,57 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup CASCADE (the hypertable continuous-
+    aggregate pattern): hourly buckets aggregated from raw events,
+    daily aggregated FROM THE HOURLY FRAME, monthly from the daily —
+    each coarser level reuses the finer aggregate instead of
+    re-scanning raw data, which is the only affordable shape when the
+    raw table is 100 TB and the rollup refreshes continuously.  One
+    stacked frame tagged by level.
+
+    Determinism: value sums stay EXACT DECIMAL through every cascade
+    level (re-aggregating rounded doubles would drift); the single
+    double conversion + floor-round happens once at output.
+
+    Scale: the raw scan feeds only the hourly aggregation (map-side
+    combining); daily/monthly aggregate |hour-buckets| and
+    |day-buckets| rows — negligible; the stack is a union of
+    already-aggregated frames.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b"), "value"
+    )
+    hourly = ev.groupBy("event_type", "b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sdec"),
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", F.col("b")).alias("b")
+    ).agg(F.sum("n").alias("n"), F.sum("sdec").alias("sdec"))
+    monthly = daily.groupBy(
+        "event_type", F.date_trunc("month", F.col("b")).alias("b")
+    ).agg(F.sum("n").alias("n"), F.sum("sdec").alias("sdec"))
+
+    def _lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            F.col("b").alias("bucket_ts"),
+            "event_type",
+            "n",
+            (
+                F.floor(F.col("sdec").cast("double") * 10000 + F.lit(0.5))
+                / 10000.0
+            ).alias("sum_value"),
+        )
+
+    return (
+        _lvl(hourly, "hour")
+        .unionByName(_lvl(daily, "day"))
+        .unionByName(_lvl(monthly, "month"))
+    )
+
+
 QUERIES = {
     "window_tumbling_hourly": window_tumbling_hourly,
     "window_sliding_counts": window_sliding_counts,
@@ -284,6 +335,7 @@ QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_cohort_retention": events_cohort_retention,
     "events_gapfill_locf": events_gapfill_locf,
+    "events_rollup_cascade": events_rollup_cascade,
 }
 
 _HOUR_US = 3_600_000_000
@@ -457,4 +509,36 @@ ORACLES["events_gapfill_locf"] = """
                AS value_locf,
            n_events IS NULL AS gap_filled
     FROM j
+"""
+
+# Rollup cascade: coarser levels re-aggregate the finer CTE (never the
+# raw table); decimal sums stay exact until the single output round.
+ORACLES["events_rollup_cascade"] = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS b,
+               count(*)::BIGINT AS n,
+               sum(value::DECIMAL(18,4)) AS sdec
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT event_type, date_trunc('day', b)::TIMESTAMP AS b,
+               sum(n)::BIGINT AS n, sum(sdec) AS sdec
+        FROM hourly GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT event_type, date_trunc('month', b)::TIMESTAMP AS b,
+               sum(n)::BIGINT AS n, sum(sdec) AS sdec
+        FROM daily GROUP BY 1, 2
+    )
+    SELECT 'hour' AS level, b AS bucket_ts, event_type, n,
+           floor(sdec::DOUBLE * 10000 + 0.5) / 10000.0 AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', b, event_type, n,
+           floor(sdec::DOUBLE * 10000 + 0.5) / 10000.0
+    FROM daily
+    UNION ALL
+    SELECT 'month', b, event_type, n,
+           floor(sdec::DOUBLE * 10000 + 0.5) / 10000.0
+    FROM monthly
 """
