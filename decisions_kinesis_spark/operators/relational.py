@@ -1363,6 +1363,103 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_PAIRS = (("A", "N"), ("A", "R"), ("N", "R"))
+
+
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations on KMV sketches — MERGEABILITY, the property
+    that makes sketches the scale path: two groups' sketches union by
+    keeping the k smallest of their combined hash sets (no re-scan of
+    either side), and the intersection estimate falls out of the
+    merged sketch via the Jaccard rule |A∩B| ≈ (members of the merged
+    k-set present in BOTH sides) · DV(A∪B) / k (Beyer et al. 2007).
+    At 100 TB this is how per-partition / per-day sketches roll up to
+    corpus-wide distinct counts without touching raw data twice.
+
+    Per returnflag pair: exact union/intersection distinct-part
+    counts next to the sketch estimates — deterministic md5 hashing
+    makes every estimate exactly replayable in DuckDB (the
+    ``agg_kmv_distinct`` contract).
+
+    Scale: one (flag, hash) distinct reused by all pairs; per-pair
+    k-smallest is a WindowGroupLimit partial top-k; the both-sides
+    membership check joins the ≤ pairs·k member rows (tiny) back to
+    the hash frame on (hv, flag) equi-keys; exact counts are one
+    map-side-combining pass over the pair-expanded fact rows.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_partkey"
+    )
+    pairs = spark.createDataFrame(list(_KMV_PAIRS), "fa string, fb string")
+    h = li.select(
+        "l_returnflag",
+        F.expr(
+            "cast(conv(substring(md5(cast(l_partkey as string)), 1, 14),"
+            " 16, 10) as bigint)"
+        ).alias("hv"),
+    ).distinct()
+    cand = (
+        h.join(
+            F.broadcast(pairs),
+            (F.col("l_returnflag") == F.col("fa"))
+            | (F.col("l_returnflag") == F.col("fb")),
+        )
+        .select("fa", "fb", "hv")
+        .distinct()
+    )
+    w = Window.partitionBy("fa", "fb").orderBy(F.asc("hv"))
+    members = cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    kmin = members.groupBy("fa", "fb").agg(
+        F.max("hv").alias("vk"), F.count("*").alias("k_actual")
+    )
+    both = (
+        members.join(
+            h.select(F.col("l_returnflag").alias("f1"), F.col("hv").alias("h1")),
+            (F.col("f1") == F.col("fa")) & (F.col("h1") == F.col("hv")),
+        )
+        .join(
+            h.select(F.col("l_returnflag").alias("f2"), F.col("hv").alias("h2")),
+            (F.col("f2") == F.col("fb")) & (F.col("h2") == F.col("hv")),
+        )
+        .groupBy("fa", "fb")
+        .agg(F.count("*").alias("n_both"))
+    )
+    exact = (
+        li.join(
+            F.broadcast(pairs),
+            (F.col("l_returnflag") == F.col("fa"))
+            | (F.col("l_returnflag") == F.col("fb")),
+        )
+        .groupBy("fa", "fb", "l_partkey")
+        .agg(F.count_distinct("l_returnflag").alias("nf"))
+        .groupBy("fa", "fb")
+        .agg(
+            F.count("*").alias("union_exact"),
+            F.count(F.when(F.col("nf") == 2, 1)).alias("inter_exact"),
+        )
+    )
+    u_est = F.expr(
+        f"if(k_actual < {_KMV_K}, k_actual,"
+        f" (({_KMV_K} - 1) * cast({1 << _KMV_BITS} as bigint)) div vk)"
+    )
+    return (
+        kmin.join(both, ["fa", "fb"], "left")
+        .join(exact, ["fa", "fb"])
+        .withColumn("n_both", F.coalesce("n_both", F.lit(0)))
+        .withColumn("union_est", u_est)
+        .select(
+            F.col("fa").alias("flag_a"),
+            F.col("fb").alias("flag_b"),
+            "union_exact",
+            "union_est",
+            "inter_exact",
+            F.expr("(n_both * union_est) div k_actual").alias("inter_est"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1377,6 +1474,7 @@ QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "agg_count_distinct": agg_count_distinct,
     "agg_kmv_distinct": agg_kmv_distinct,
+    "agg_kmv_set_ops": agg_kmv_set_ops,
     "agg_pivot_event_counts": agg_pivot_event_counts,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_running_sum_events": window_running_sum_events,
@@ -2092,5 +2190,63 @@ ORACLES["agg_kmv_distinct"] = f"""
     )
     SELECT l_returnflag, n_exact, kmv_estimate,
            ((kmv_estimate - n_exact) * 1000000) // n_exact AS err_ppm
+    FROM est
+"""
+
+# KMV set ops: merged-sketch union + Jaccard-rule intersection, all
+# pure functions of deterministic hashes — exactly replayable.
+ORACLES["agg_kmv_set_ops"] = f"""
+    WITH pairs AS (SELECT * FROM (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _KMV_PAIRS)}) AS v(fa, fb)),
+    h AS (
+        SELECT DISTINCT l_returnflag,
+               ('0x' || substr(md5(l_partkey::VARCHAR), 1, 14))::BIGINT AS hv
+        FROM lineitem
+    ),
+    cand AS (
+        SELECT DISTINCT p.fa, p.fb, h.hv
+        FROM h JOIN pairs p
+          ON h.l_returnflag = p.fa OR h.l_returnflag = p.fb
+    ),
+    members AS (
+        SELECT fa, fb, hv FROM (
+            SELECT *, row_number() OVER (PARTITION BY fa, fb
+                          ORDER BY hv ASC) AS rk
+            FROM cand)
+        WHERE rk <= {_KMV_K}
+    ),
+    kmin AS (
+        SELECT fa, fb, max(hv)::BIGINT AS vk, count(*)::BIGINT AS k_actual
+        FROM members GROUP BY fa, fb
+    ),
+    bothsides AS (
+        SELECT m.fa, m.fb, count(*)::BIGINT AS n_both
+        FROM members m
+        JOIN h h1 ON h1.l_returnflag = m.fa AND h1.hv = m.hv
+        JOIN h h2 ON h2.l_returnflag = m.fb AND h2.hv = m.hv
+        GROUP BY m.fa, m.fb
+    ),
+    exact AS (
+        SELECT fa, fb, count(*)::BIGINT AS union_exact,
+               count(*) FILTER (WHERE nf = 2)::BIGINT AS inter_exact
+        FROM (
+            SELECT p.fa, p.fb, l.l_partkey,
+                   count(DISTINCT l.l_returnflag) AS nf
+            FROM lineitem l JOIN pairs p
+              ON l.l_returnflag = p.fa OR l.l_returnflag = p.fb
+            GROUP BY p.fa, p.fb, l.l_partkey)
+        GROUP BY fa, fb
+    ),
+    est AS (
+        SELECT k.fa, k.fb, e.union_exact, e.inter_exact,
+               coalesce(b.n_both, 0) AS n_both, k.k_actual,
+               CASE WHEN k.k_actual < {_KMV_K} THEN k.k_actual
+                    ELSE (({_KMV_K} - 1) * {1 << _KMV_BITS}::BIGINT) // k.vk
+               END AS union_est
+        FROM kmin k
+        LEFT JOIN bothsides b ON b.fa = k.fa AND b.fb = k.fb
+        JOIN exact e ON e.fa = k.fa AND e.fb = k.fb
+    )
+    SELECT fa AS flag_a, fb AS flag_b, union_exact, union_est,
+           inter_exact, (n_both * union_est) // k_actual AS inter_est
     FROM est
 """

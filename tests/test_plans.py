@@ -364,3 +364,15 @@ def test_gapfill_grid_from_span_frame_not_corpus(spark):
     a = audit_plan(windows_ext.events_gapfill_locf(spark, SF))
     a.assert_no_python()
     assert "CartesianProduct" not in a.plan
+
+
+def test_kmv_set_ops_reuses_hash_frame(spark):
+    """agg_kmv_set_ops: per-pair k-smallest is WindowGroupLimit; no
+    cartesian; the pair table broadcasts."""
+    from decisions_kinesis_spark.operators import relational
+
+    a = audit_plan(relational.agg_kmv_set_ops(spark, SF))
+    a.assert_no_python()
+    assert "WindowGroupLimit" in a.plan
+    assert "CartesianProduct" not in a.plan
+    assert a.broadcast_joins >= 1
