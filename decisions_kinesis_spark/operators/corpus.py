@@ -1224,13 +1224,22 @@ def budget_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as a multiplicity COLUMN, not exploded rows, so the frame
     stays corpus-sized no matter how many epochs the budget implies.
     """
+    # remainder rate in ppm via the overflow-safe two-step ×1000 ratio
+    # (the DSIR discipline): rem < n_tokens, so the largest
+    # intermediate is n_tokens·1000 — exact to ~9.2e15 tokens per
+    # domain instead of the single-step form's ~9.2e12 (a bound a
+    # 100 TB domain can actually cross; Spark would wrap silently
+    # where DuckDB raises)
+    rem = "(target_tokens % n_tokens)"
+    rem_ppm = (
+        f"((({rem} * 1000) div n_tokens) * 1000"
+        f" + ((({rem} * 1000) % n_tokens) * 1000) div n_tokens)"
+    )
     targets = _budget_targets(spark, sf_dir).select(
         "source",
         "lang",
         F.expr("target_tokens div n_tokens").alias("full_epochs"),
-        F.expr(
-            "((target_tokens % n_tokens) * 1000000) div n_tokens"
-        ).alias("rem_ppm"),
+        F.expr(rem_ppm).alias("rem_ppm"),
     )
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", "lang"
@@ -2191,28 +2200,18 @@ ORACLES["lm_perplexity_buckets"] = f"""
     FROM s, b
 """
 
-# Epoch expansion: replays the budget-target CTE chain and the
-# deterministic per-doc remainder-epoch hash acceptance.
+# Epoch expansion: COMPOSES the plan oracle (one target definition)
+# and replays the deterministic remainder-epoch hash acceptance with
+# the overflow-safe two-step ×1000 ratio.
 ORACLES["budget_epoch_expansion"] = f"""
-    WITH dom AS (
-        SELECT source, lang, count(*)::BIGINT AS n_docs,
-               sum(len({_DUCK_TOKS}))::BIGINT AS n_tokens
-        FROM documents GROUP BY source, lang
-    ),
-    tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM dom),
-    weighted AS (
-        SELECT d.*, floor(sqrt(d.n_tokens / t.total_tokens) * 10000
-                          + 0.5)::BIGINT AS weight_scaled
-        FROM dom d, tot t
-    ),
-    ws AS (SELECT sum(weight_scaled)::BIGINT AS w_sum FROM weighted),
+    WITH p AS ({ORACLES["token_budget_plan"]}),
     tgt AS (
         SELECT source, lang,
-               (({_BUDGET_TOKENS} * weight_scaled) // w_sum) // n_tokens
-                   AS full_epochs,
-               (((({_BUDGET_TOKENS} * weight_scaled) // w_sum) % n_tokens)
-                * 1000000) // n_tokens AS rem_ppm
-        FROM weighted, ws
+               target_tokens // n_tokens AS full_epochs,
+               ((((target_tokens % n_tokens) * 1000) // n_tokens) * 1000
+                + (((target_tokens % n_tokens) * 1000) % n_tokens)
+                  * 1000 // n_tokens) AS rem_ppm
+        FROM p
     )
     SELECT d.doc_id, d.source, d.lang,
            (t.full_epochs

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from decisions_kinesis_spark.operators.textops import _STOP_SQL
+from decisions_kinesis_spark.operators.textops import _DUCK_QUALITY, _STOP_SQL
 from decisions_kinesis_spark.sources.tables import load_table
 
 #: Spark-side 60-bit md5 hash of a string expression (see module doc).
@@ -1037,9 +1037,7 @@ ORACLES["dedup_quality_keeper"] = f"""
               FROM reach GROUP BY node),
     q AS (
         SELECT doc_id,
-               floor((0.4 * stop_ratio + 0.3 * least(n_tok / 100.0, 1.0)
-                      + 0.3 * (1.0 - punct_ratio)) * 10000 + 0.5) / 10000.0
-                   AS quality
+               {_DUCK_QUALITY} AS quality
         FROM (
             SELECT doc_id,
                    len(list_filter(toks, x -> x IN ({_STOP_SQL})))::DOUBLE

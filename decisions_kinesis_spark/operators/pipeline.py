@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from decisions_kinesis_spark.operators.textops import _STOP_SQL, with_quality_signals
+from decisions_kinesis_spark.operators.textops import (
+    _DUCK_QUALITY,
+    _STOP_SQL,
+    with_quality_signals,
+)
 from decisions_kinesis_spark.sources.tables import load_table
 
 
@@ -87,15 +91,10 @@ ORACLES = {
             FROM kept
         ),
         scored AS (
-            SELECT doc_id, lang, n_tok,
-                   stop_n / n_tok AS stop_ratio,
-                   stop_n / n_tok AS en_ratio,
-                   punct_ratio,
-                   floor((0.4 * (stop_n / n_tok)
-                          + 0.3 * least(n_tok / 100.0, 1.0)
-                          + 0.3 * (1.0 - punct_ratio)) * 10000 + 0.5)
-                       / 10000.0 AS quality
-            FROM sig
+            SELECT doc_id, lang, n_tok, stop_ratio,
+                   stop_ratio AS en_ratio, punct_ratio,
+                   {_DUCK_QUALITY} AS quality
+            FROM (SELECT *, stop_n / n_tok AS stop_ratio FROM sig)
         )
         SELECT doc_id, lang, n_tok::BIGINT AS n_tok, quality
         FROM scored

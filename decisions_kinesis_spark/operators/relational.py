@@ -1296,6 +1296,21 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_K = 64  # sketch size (k minimum hash values kept)
 _KMV_BITS = 56  # hash space 2^56: (k-1)·2^56 stays inside BIGINT
+#: shared hash + estimator definitions — ONE source of truth for both
+#: KMV queries and both oracles (change the digest width here only)
+_KMV_HASH_SPARK = (
+    "cast(conv(substring(md5(cast(l_partkey as string)), 1, 14),"
+    " 16, 10) as bigint)"
+)
+_KMV_HASH_DUCK = "('0x' || substr(md5(l_partkey::VARCHAR), 1, 14))::BIGINT"
+_KMV_EST_SPARK = (
+    f"if(k_actual < {_KMV_K}, k_actual,"
+    f" (({_KMV_K} - 1) * cast({1 << _KMV_BITS} as bigint)) div vk)"
+)
+_KMV_EST_DUCK = (
+    f"CASE WHEN k_actual < {_KMV_K} THEN k_actual"
+    f" ELSE (({_KMV_K} - 1) * {1 << _KMV_BITS}::BIGINT) // vk END"
+)
 
 
 def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,10 +1345,7 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = li.select(
         "l_returnflag",
-        F.expr(
-            "cast(conv(substring(md5(cast(l_partkey as string)), 1, 14),"
-            " 16, 10) as bigint)"
-        ).alias("hv"),
+        F.expr(_KMV_HASH_SPARK).alias("hv"),
     ).distinct()
     w = Window.partitionBy("l_returnflag").orderBy(F.asc("hv"))
     kmin = (
@@ -1345,10 +1357,7 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_exact")
     )
-    est = F.expr(
-        f"if(k_actual < {_KMV_K}, k_actual,"
-        f" (({_KMV_K} - 1) * cast({1 << _KMV_BITS} as bigint)) div vk)"
-    )
+    est = F.expr(_KMV_EST_SPARK)
     return (
         kmin.join(exact, "l_returnflag")
         .withColumn("kmv_estimate", est)
@@ -1393,10 +1402,7 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.createDataFrame(list(_KMV_PAIRS), "fa string, fb string")
     h = li.select(
         "l_returnflag",
-        F.expr(
-            "cast(conv(substring(md5(cast(l_partkey as string)), 1, 14),"
-            " 16, 10) as bigint)"
-        ).alias("hv"),
+        F.expr(_KMV_HASH_SPARK).alias("hv"),
     ).distinct()
     cand = (
         h.join(
@@ -1440,10 +1446,7 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("nf") == 2, 1)).alias("inter_exact"),
         )
     )
-    u_est = F.expr(
-        f"if(k_actual < {_KMV_K}, k_actual,"
-        f" (({_KMV_K} - 1) * cast({1 << _KMV_BITS} as bigint)) div vk)"
-    )
+    u_est = F.expr(_KMV_EST_SPARK)
     return (
         kmin.join(both, ["fa", "fb"], "left")
         .join(exact, ["fa", "fb"])
@@ -2166,7 +2169,7 @@ ORACLES = {
 ORACLES["agg_kmv_distinct"] = f"""
     WITH h AS (
         SELECT DISTINCT l_returnflag,
-               ('0x' || substr(md5(l_partkey::VARCHAR), 1, 14))::BIGINT AS hv
+               {_KMV_HASH_DUCK} AS hv
         FROM lineitem
     ),
     kmin AS (
@@ -2183,9 +2186,7 @@ ORACLES["agg_kmv_distinct"] = f"""
     ),
     est AS (
         SELECT k.l_returnflag, e.n_exact,
-               CASE WHEN k.k_actual < {_KMV_K} THEN k.k_actual
-                    ELSE (({_KMV_K} - 1) * {1 << _KMV_BITS}::BIGINT) // k.vk
-               END AS kmv_estimate
+               {_KMV_EST_DUCK} AS kmv_estimate
         FROM kmin k JOIN exact e ON k.l_returnflag = e.l_returnflag
     )
     SELECT l_returnflag, n_exact, kmv_estimate,
@@ -2199,7 +2200,7 @@ ORACLES["agg_kmv_set_ops"] = f"""
     WITH pairs AS (SELECT * FROM (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _KMV_PAIRS)}) AS v(fa, fb)),
     h AS (
         SELECT DISTINCT l_returnflag,
-               ('0x' || substr(md5(l_partkey::VARCHAR), 1, 14))::BIGINT AS hv
+               {_KMV_HASH_DUCK} AS hv
         FROM lineitem
     ),
     cand AS (
@@ -2239,9 +2240,7 @@ ORACLES["agg_kmv_set_ops"] = f"""
     est AS (
         SELECT k.fa, k.fb, e.union_exact, e.inter_exact,
                coalesce(b.n_both, 0) AS n_both, k.k_actual,
-               CASE WHEN k.k_actual < {_KMV_K} THEN k.k_actual
-                    ELSE (({_KMV_K} - 1) * {1 << _KMV_BITS}::BIGINT) // k.vk
-               END AS union_est
+               {_KMV_EST_DUCK} AS union_est
         FROM kmin k
         LEFT JOIN bothsides b ON b.fa = k.fa AND b.fb = k.fb
         JOIN exact e ON e.fa = k.fa AND e.fb = k.fb

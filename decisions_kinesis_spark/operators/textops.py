@@ -603,6 +603,15 @@ _DUCK_BIGHASH = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
 
 _DUCK_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERY_TERMS)
 
+#: Composite quality formula over (stop_ratio, n_tok, punct_ratio)
+#: columns — ONE SQL definition shared by every oracle that replays
+#: `with_quality_signals` (text_quality_score, the cleaning pipeline,
+#: the quality-aware dedup keeper).
+_DUCK_QUALITY = (
+    "floor((0.4 * stop_ratio + 0.3 * least(n_tok / 100.0, 1.0)"
+    " + 0.3 * (1.0 - punct_ratio)) * 10000 + 0.5) / 10000.0"
+)
+
 ORACLES = {
     "text_dup_span_fraction": f"""
         WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
@@ -809,9 +818,7 @@ ORACLES = {
                round(stop_ratio, 4) AS stop_ratio,
                round(punct_ratio, 4) AS punct_ratio,
                round(digit_ratio, 4) AS digit_ratio,
-               floor((0.4 * stop_ratio + 0.3 * least(n_tok / 100.0, 1.0)
-                      + 0.3 * (1.0 - punct_ratio)) * 10000 + 0.5) / 10000.0
-                   AS quality
+               {_DUCK_QUALITY} AS quality
         FROM m
     """,
     "doc_fingerprint": """
