@@ -1463,6 +1463,60 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: resolve DIRTY records
+    (supplier names with a deterministic one-character deletion — the
+    ``_with_injected_dups`` fixture discipline) back to their clean
+    source by blocked edit-distance matching: candidates pair only
+    within the natural blocking key (nation), ``levenshtein ≤ 2``
+    filters, and the best match is the min-(distance, key) candidate.
+    This is the fuzzy-JOIN shape (dedup's MinHash family is fuzzy
+    GROUPING); Spark's and DuckDB's ``levenshtein`` compute the same
+    unit-cost DP distance, so every value is oracle-exact.
+
+    Scale: the dirty probe set broadcasts (it is the small side by
+    construction — failed loads, manual entries); candidate pairs
+    exist only inside nation blocks, so the quadratic term is bounded
+    per block (the dedup length-band discipline); the edit distance
+    runs codegen JVM-side on candidates only, and best-match selection
+    is a map-side-combining ``min_by`` — no window over hot blocks.
+    """
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    dirty = sup.filter(F.col("s_suppkey") % 10 == 0).select(
+        F.col("s_suppkey").alias("d_key"),
+        F.expr(
+            "concat(substring(s_name, 1, 5),"
+            " substring(s_name, 7, length(s_name)))"
+        ).alias("d_name"),
+        F.col("s_nationkey").alias("d_nat"),
+    )
+    cand = (
+        sup.join(F.broadcast(dirty), F.col("s_nationkey") == F.col("d_nat"))
+        .withColumn("dist", F.levenshtein("d_name", "s_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    return (
+        cand.groupBy("d_key", "d_name")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.min("dist").alias("best_distance"),
+            F.min_by(
+                "s_suppkey", F.struct(F.col("dist"), F.col("s_suppkey"))
+            ).alias("matched_key"),
+        )
+        .select(
+            "d_key",
+            "d_name",
+            "matched_key",
+            "best_distance",
+            "n_candidates",
+            (F.col("matched_key") == F.col("d_key")).alias("correct"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1478,6 +1532,7 @@ QUERIES = {
     "agg_count_distinct": agg_count_distinct,
     "agg_kmv_distinct": agg_kmv_distinct,
     "agg_kmv_set_ops": agg_kmv_set_ops,
+    "fuzzy_match_suppliers": fuzzy_match_suppliers,
     "agg_pivot_event_counts": agg_pivot_event_counts,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_running_sum_events": window_running_sum_events,
@@ -2248,4 +2303,36 @@ ORACLES["agg_kmv_set_ops"] = f"""
     SELECT fa AS flag_a, fb AS flag_b, union_exact, union_est,
            inter_exact, (n_both * union_est) // k_actual AS inter_est
     FROM est
+"""
+
+# Fuzzy match: same levenshtein DP distance in both engines; argmin
+# replayed as a (dist, key)-ordered row_number.
+ORACLES["fuzzy_match_suppliers"] = """
+    WITH sup AS (
+        SELECT s_suppkey, s_name, s_nationkey FROM supplier
+    ),
+    dirty AS (
+        SELECT s_suppkey AS d_key,
+               substr(s_name, 1, 5)
+                   || substr(s_name, 7, length(s_name)) AS d_name,
+               s_nationkey AS d_nat
+        FROM supplier WHERE s_suppkey % 10 = 0
+    ),
+    cand AS (
+        SELECT d.d_key, d.d_name, s.s_suppkey,
+               levenshtein(d.d_name, s.s_name) AS dist
+        FROM dirty d JOIN sup s ON s.s_nationkey = d.d_nat
+        WHERE levenshtein(d.d_name, s.s_name) <= 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY d_key
+                      ORDER BY dist ASC, s_suppkey ASC) AS rk
+        FROM cand
+    )
+    SELECT d_key, d_name,
+           min(CASE WHEN rk = 1 THEN s_suppkey END)::BIGINT AS matched_key,
+           min(dist)::BIGINT AS best_distance,
+           count(*)::BIGINT AS n_candidates,
+           min(CASE WHEN rk = 1 THEN s_suppkey END) = d_key AS correct
+    FROM ranked GROUP BY d_key, d_name
 """
