@@ -376,3 +376,16 @@ def test_kmv_set_ops_reuses_hash_frame(spark):
     assert "WindowGroupLimit" in a.plan
     assert "CartesianProduct" not in a.plan
     assert a.broadcast_joins >= 1
+
+
+def test_fuzzy_match_broadcasts_dirty_probe_side(spark):
+    """fuzzy_match_suppliers: the dirty probe set broadcasts; pairs
+    exist only inside nation blocks (no cartesian); best match is a
+    map-side-combining min_by, not a window."""
+    from decisions_kinesis_spark.operators import relational
+
+    a = audit_plan(relational.fuzzy_match_suppliers(spark, SF))
+    a.assert_no_python()
+    a.assert_broadcasts(1)
+    assert "CartesianProduct" not in a.plan
+    assert "min_by" in a.plan
