@@ -834,3 +834,58 @@ def test_epoch_expansion_tracks_token_budget(spark, sf_dir):
         assert r["n_copies"] in (full, full + 1), (doc_id, r["n_copies"], full)
         total += r["n_copies"] * d["nt"]
     assert abs(total - _BUDGET_TOKENS) <= 0.02 * _BUDGET_TOKENS
+
+
+def test_wav_decoder_is_a_real_parser():
+    """decode_wav must parse a WAV written by Python's stdlib wave
+    module (independent writer), reject malformed containers, and
+    agree with the stdlib on the payload."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from decisions_kinesis_spark.operators.multimodal import decode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 12345]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    out = decode_wav(buf.getvalue())
+    assert out["n_samples"] == len(samples)
+    assert out["sample_rate"] == 44100
+    assert out["sum_s"] == sum(samples)
+    assert out["sq_sum"] == sum(s * s for s in samples)
+    assert out["peak"] == 32768
+
+    good = buf.getvalue()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + good[4:])  # wrong magic
+    with pytest.raises(ValueError):
+        decode_wav(good[:-2])  # truncated (RIFF size mismatch)
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3  # IEEE float format id
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad_fmt))
+
+
+def test_generated_wav_blobs_are_format_valid(spark, sf_dir):
+    """Every synthesized blob must round-trip through Python's stdlib
+    wave reader with the advertised parameters."""
+    import io
+    import wave
+
+    from decisions_kinesis_spark.operators.multimodal import documents_as_wav
+
+    rows = documents_as_wav(spark, sf_dir).limit(10).collect()
+    assert rows
+    for r in rows:
+        with wave.open(io.BytesIO(bytes(r["blob"])), "rb") as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getframerate() == 8000
+            assert w.getnframes() == 16 + r["media_id"] % 64

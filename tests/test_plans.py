@@ -389,3 +389,12 @@ def test_fuzzy_match_broadcasts_dirty_probe_side(spark):
     a.assert_broadcasts(1)
     assert "CartesianProduct" not in a.plan
     assert "min_by" in a.plan
+
+
+def test_wav_feature_extract_is_arrow_map_only(spark):
+    from decisions_kinesis_spark.operators import multimodal
+
+    a = audit_plan(multimodal.multimodal_audio_features(spark, SF))
+    assert a.arrow_eval  # mapInPandas decode tier
+    assert not a.python_eval  # never row-at-a-time
+    assert a.shuffles == 0  # pure per-partition map
