@@ -111,6 +111,57 @@ def decode_ppm(blob: bytes) -> dict:
     }
 
 
+def resize_box2(blob: bytes) -> dict:
+    """REAL image resize: decode the P6 blob (the ``decode_ppm``
+    header walk), reshape to H×W×3, and 2× box-downsample — each
+    output pixel is the floor-average of its 2×2 source block (odd
+    trailing rows/columns drop, the standard crop).  Returns the
+    resized dimensions and per-channel byte sums of the RESIZED image
+    — exact integers, replayable from the generator arithmetic."""
+    import numpy as np
+
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and blob[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        vals.append(int(blob[start:pos]))
+    width, height, maxval = vals
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1
+    px = blob[pos : pos + width * height * 3]
+    if len(px) != width * height * 3:
+        raise ValueError("truncated pixel data")
+    arr = (
+        np.frombuffer(px, dtype=np.uint8)
+        .astype(np.int64)
+        .reshape(height, width, 3)
+    )
+    rh, rw = height // 2, width // 2
+    crop = arr[: rh * 2, : rw * 2, :]
+    blocks = (
+        crop[0::2, 0::2] + crop[0::2, 1::2] + crop[1::2, 0::2] + crop[1::2, 1::2]
+    ) // 4
+    return {
+        "r_width": rw,
+        "r_height": rh,
+        "rsum_r": int(blocks[:, :, 0].sum()),
+        "rsum_g": int(blocks[:, :, 1].sum()),
+        "rsum_b": int(blocks[:, :, 2].sum()),
+    }
+
+
 def fake_decode_features(blob: bytes) -> list[float]:
     """Deterministic stand-in for a media feature extractor: fixed-size
     feature vector derived from byte statistics (testable, stable)."""
@@ -444,11 +495,35 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, value-checked against SQL: 2× box-downsample
+    of the synthesized P6 images inside Arrow-batched mapInPandas
+    (``resize_box2`` — decode, reshape, floor-average 2×2 blocks) with
+    per-channel sums of the RESIZED pixels.  The oracle replays the
+    downsample arithmetic from the generator's hex layout.  With
+    decode, feature-extract, frame-sample and audio decode this
+    closes the full media-verb set.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame([resize_box2(b) for b in pdf["blob"]])
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return documents_as_ppm(spark, sf_dir).mapInPandas(
+        _batches,
+        "media_id long, r_width long, r_height long,"
+        " rsum_r long, rsum_g long, rsum_b long",
+    )
+
+
 QUERIES = {
     "multimodal_blob_metadata": multimodal_blob_metadata,
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_resize_stats": multimodal_resize_stats,
 }
 
 ORACLES = {
@@ -552,4 +627,48 @@ ORACLES["multimodal_audio_features"] = f"""
            (list_sum(list_transform(sig, x -> x * x))::BIGINT // n)::BIGINT
                AS energy
     FROM s
+"""
+
+
+def _resize_ch_sum(ch: int) -> str:
+    """Per-channel resized-pixel sum: floor-average of each 2×2 source
+    block, replayed from the generator's hex layout."""
+
+    def px(roff: int, coff: int) -> str:
+        return (
+            f"('0x' || substr(pixhex, (((2 * (k // rw) + {roff}) * w"
+            f" + 2 * (k % rw) + {coff}) * 6 + {ch * 2} + 1)::INT,"
+            " 2))::BIGINT"
+        )
+
+    return (
+        "list_sum(list_transform(range(0, (rw * rh)::INT), k -> ("
+        + " + ".join([px(0, 0), px(0, 1), px(1, 0), px(1, 1)])
+        + ") // 4))::BIGINT"
+    )
+
+
+ORACLES["multimodal_resize_stats"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               (2 + doc_id % 8)::BIGINT AS w,
+               (2 + (doc_id // 8) % 8)::BIGINT AS h,
+               CASE WHEN length(text) = 0 THEN '30'
+                    ELSE hex(encode(text)) END AS src
+        FROM documents
+    ),
+    px AS (
+        SELECT media_id, w, h,
+               (w // 2)::BIGINT AS rw, (h // 2)::BIGINT AS rh,
+               substr(repeat(src,
+                          ((w * h * 6 + length(src) - 1)
+                           // length(src))::INT),
+                      1, (w * h * 6)::INT) AS pixhex
+        FROM m
+    )
+    SELECT media_id, rw AS r_width, rh AS r_height,
+           {_resize_ch_sum(0)} AS rsum_r,
+           {_resize_ch_sum(1)} AS rsum_g,
+           {_resize_ch_sum(2)} AS rsum_b
+    FROM px
 """

@@ -398,3 +398,11 @@ def test_wav_feature_extract_is_arrow_map_only(spark):
     assert a.arrow_eval  # mapInPandas decode tier
     assert not a.python_eval  # never row-at-a-time
     assert a.shuffles == 0  # pure per-partition map
+
+
+def test_resize_is_arrow_map_only(spark):
+    from decisions_kinesis_spark.operators import multimodal
+
+    a = audit_plan(multimodal.multimodal_resize_stats(spark, SF))
+    assert a.arrow_eval and not a.python_eval
+    assert a.shuffles == 0
