@@ -83,3 +83,75 @@ def test_span_union_fold_matches_python_reference(spark, positions):
         "tot"
     ]
     assert got == _py_span_union(positions, _SUBSTR_N), positions
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+    ),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_decoder_matches_stdlib_writer(samples, rate):
+    """decode_wav vs Python's independent stdlib wave writer: any
+    PCM16 mono clip must round-trip with exact integer statistics."""
+    import io
+    import struct
+    import wave
+
+    from decisions_kinesis_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    out = decode_wav(buf.getvalue())
+    assert out["n_samples"] == len(samples)
+    assert out["sample_rate"] == rate
+    assert out["sum_s"] == sum(samples)
+    assert out["sq_sum"] == sum(s * s for s in samples)
+    assert out["peak"] == max((abs(s) for s in samples), default=0)
+
+
+@given(
+    w=st.integers(min_value=2, max_value=12),
+    h=st.integers(min_value=2, max_value=12),
+    data=st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_resize_matches_pure_python_reference(w, h, data):
+    """resize_box2 vs a pure-Python 2×2 block-average loop over a
+    hand-built P6 blob (arbitrary pixel bytes, including header-like
+    values inside the pixel plane)."""
+    from decisions_kinesis_spark.operators.multimodal import resize_box2
+
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    blob = f"P6\n{w} {h}\n255\n".encode() + pix
+
+    def p(r, c, ch):
+        return pix[(r * w + c) * 3 + ch]
+
+    rw, rh = w // 2, h // 2
+    expect = [0, 0, 0]
+    for i in range(rh):
+        for j in range(rw):
+            for ch in range(3):
+                expect[ch] += (
+                    p(2 * i, 2 * j, ch)
+                    + p(2 * i, 2 * j + 1, ch)
+                    + p(2 * i + 1, 2 * j, ch)
+                    + p(2 * i + 1, 2 * j + 1, ch)
+                ) // 4
+    out = resize_box2(blob)
+    assert (out["r_width"], out["r_height"]) == (rw, rh)
+    assert [out["rsum_r"], out["rsum_g"], out["rsum_b"]] == expect
