@@ -57,19 +57,11 @@ def decode_image(blob: bytes) -> "object":
     raise NotImplementedError("compressed-image codecs not available here")
 
 
-def decode_ppm(blob: bytes) -> dict:
-    """REAL image decode for binary PPM (P6): parse the header (magic,
-    whitespace/comment-separated width, height, maxval), slice the
-    pixel plane, and reduce it to integer channel statistics.  This is
-    a genuine byte-level format parser — it validates the magic, walks
-    arbitrary header whitespace and ``#`` comments, and raises on
-    truncation — not a fake keyed to the generator's layout.
-
-    Returns width, height, n_pix, per-channel byte sums, and the
-    BT.709-weighted integer luma sum (2126·R + 7152·G + 722·B per
-    pixel, i.e. luma scaled by 1e4) — all exact integers, so the SQL
-    oracle can reproduce them bit-for-bit from the hex dump.
-    """
+def _parse_p6(blob: bytes) -> tuple[int, int, bytes]:
+    """Shared P6 header walk + pixel-plane slice for decode_ppm and
+    resize_box2 (one parser, two reducers): validates the magic, walks
+    arbitrary header whitespace and ``#`` comments, enforces 8-bit
+    maxval, and raises on truncation."""
     if not blob.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     pos, vals = 2, []
@@ -90,10 +82,27 @@ def decode_ppm(blob: bytes) -> dict:
     if maxval != 255:
         raise ValueError("only 8-bit PPM supported")
     pos += 1  # exactly one whitespace byte separates maxval from pixels
-    n_pix = width * height
-    px = blob[pos : pos + n_pix * 3]
-    if len(px) != n_pix * 3:
+    px = blob[pos : pos + width * height * 3]
+    if len(px) != width * height * 3:
         raise ValueError("truncated pixel data")
+    return width, height, px
+
+
+def decode_ppm(blob: bytes) -> dict:
+    """REAL image decode for binary PPM (P6): parse the header (magic,
+    whitespace/comment-separated width, height, maxval), slice the
+    pixel plane, and reduce it to integer channel statistics.  This is
+    a genuine byte-level format parser — it validates the magic, walks
+    arbitrary header whitespace and ``#`` comments, and raises on
+    truncation — not a fake keyed to the generator's layout.
+
+    Returns width, height, n_pix, per-channel byte sums, and the
+    BT.709-weighted integer luma sum (2126·R + 7152·G + 722·B per
+    pixel, i.e. luma scaled by 1e4) — all exact integers, so the SQL
+    oracle can reproduce them bit-for-bit from the hex dump.
+    """
+    width, height, px = _parse_p6(blob)
+    n_pix = width * height
     import numpy as np
 
     arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
@@ -120,29 +129,7 @@ def resize_box2(blob: bytes) -> dict:
     — exact integers, replayable from the generator arithmetic."""
     import numpy as np
 
-    if not blob.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) payload")
-    pos, vals = 2, []
-    while len(vals) < 3:
-        while pos < len(blob) and blob[pos : pos + 1].isspace():
-            pos += 1
-        if blob[pos : pos + 1] == b"#":
-            while pos < len(blob) and blob[pos] != 0x0A:
-                pos += 1
-            continue
-        start = pos
-        while pos < len(blob) and blob[pos : pos + 1].isdigit():
-            pos += 1
-        if start == pos:
-            raise ValueError("malformed PPM header")
-        vals.append(int(blob[start:pos]))
-    width, height, maxval = vals
-    if maxval != 255:
-        raise ValueError("only 8-bit PPM supported")
-    pos += 1
-    px = blob[pos : pos + width * height * 3]
-    if len(px) != width * height * 3:
-        raise ValueError("truncated pixel data")
+    width, height, px = _parse_p6(blob)
     arr = (
         np.frombuffer(px, dtype=np.uint8)
         .astype(np.int64)
@@ -300,7 +287,7 @@ def documents_as_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_wav(blob: bytes) -> dict:
     """REAL audio decode for RIFF/WAVE PCM: validate the RIFF magic
     and size field, walk the chunk list to find ``fmt `` and ``data``,
-    validate PCM/16-bit, unpack the s16le samples, and reduce to
+    validate mono PCM/16-bit, unpack the s16le samples, and reduce to
     integer statistics (Σs, Σs², peak |s|).  A genuine byte-level
     container parser — raises on truncation, wrong magic, or a
     non-PCM format — exactly what a production audio pipeline wraps
@@ -319,6 +306,8 @@ def decode_wav(blob: bytes) -> dict:
         if len(body) < csize:
             raise ValueError(f"truncated chunk {cid!r}")
         if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -328,8 +317,12 @@ def decode_wav(blob: bytes) -> dict:
     audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"not PCM16 (fmt={audio_fmt}, bits={bits})")
+    if channels != 1:
+        raise ValueError(f"only mono supported (channels={channels})")
+    if len(data) % 2 != 0:
+        raise ValueError("data chunk not sample-aligned")
     samples = struct.unpack(f"<{len(data) // 2}h", data)
-    n = len(samples) // channels
+    n = len(samples)
     return {
         "n_samples": n,
         "sample_rate": rate,

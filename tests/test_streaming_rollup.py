@@ -82,7 +82,7 @@ def test_streaming_continuous_rollup_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     assert epochs["n"] == 3
 
     def _round4(d: Decimal) -> float:
@@ -106,11 +106,27 @@ def test_streaming_continuous_rollup_matches_batch(spark, tmp_path):
         f"hourly mismatch: missing={set(batch_hour) - set(got_hour)} "
         f"extra={set(got_hour) - set(batch_hour)}"
     )
-    # daily derived from the ACCUMULATED hourly state, never raw events
-    daily: dict = {}
-    for (etype, hour), (n, sdec) in state.items():
-        key = (etype, hour.replace(hour=0, minute=0, second=0, microsecond=0))
-        n0, s0 = daily.get(key, (0, Decimal(0)))
-        daily[key] = (n0 + n, s0 + sdec)
-    got_day = {k: (n, _round4(s)) for k, (n, s) in daily.items()}
-    assert got_day == batch_day
+    # daily derived from the ACCUMULATED hourly state, never raw events.
+    # TZ-robustness: collected datetimes render in the session timezone,
+    # so midnight-truncating them only matches the query's
+    # date_trunc('day') keys when that timezone is UTC — instead, fold
+    # the BATCH hourly frame with the IDENTICAL python truncation and
+    # compare key-exact against that, then compare the query's own day
+    # level by VALUE MULTISET (timezone-independent).
+    def _fold_daily(hourly: dict) -> dict:
+        out: dict = {}
+        for (etype, hour), (n, sdec) in hourly.items():
+            key = (etype, hour.replace(hour=0, minute=0, second=0, microsecond=0))
+            n0, s0 = out.get(key, (0, Decimal(0)))
+            out[key] = (n0 + n, s0 + sdec)
+        return out
+
+    batch_hour_dec = {
+        k: (n, Decimal(str(s))) for k, (n, s) in batch_hour.items()
+    }
+    got_day = {k: (n, _round4(s)) for k, (n, s) in _fold_daily(state).items()}
+    ref_day = {
+        k: (n, _round4(s)) for k, (n, s) in _fold_daily(batch_hour_dec).items()
+    }
+    assert got_day == ref_day
+    assert sorted(got_day.values()) == sorted(batch_day.values())
