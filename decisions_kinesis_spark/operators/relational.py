@@ -1517,6 +1517,60 @@ def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE applied as a batch operator — the lakehouse
+    maintenance shape (Delta/Iceberg ``MERGE INTO``) in vanilla
+    DataFrame algebra, since plain parquet has no MERGE: a
+    deterministic change batch (DELETE for key%75=0, else UPDATE for
+    key%50=0, INSERT at key+1e7 for key%100=0) left-joins the base on
+    the key; the snapshot keeps base rows without a change, drops
+    op='D', takes the changed values for op='U', and appends the
+    inserts.  Output: the merged snapshot restricted to the audit
+    neighborhood (key%25=0 — covering updated, deleted-absent, and
+    unchanged-control keys — plus all inserts), proving all four merge
+    outcomes in one frame.
+
+    Scale: the change batch is tiny by definition — broadcast against
+    the base (at CDC volumes this is the standard copy-on-write merge
+    join); the base never shuffles; values pass through or take one
+    exact IEEE add, so both engines agree bitwise.
+    """
+    base = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    changes = base.filter((k % 50 == 0) | (k % 75 == 0)).select(
+        k.alias("c_key"),
+        F.when(k % 75 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit("X").alias("new_status"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("new_total"),
+    )
+    inserts = base.filter(k % 100 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice").alias("o_totalprice"),
+    )
+    merged = (
+        base.join(
+            F.broadcast(changes), k == F.col("c_key"), "left"
+        )
+        .filter((F.col("op").isNull()) | (F.col("op") == "U"))
+        .select(
+            "o_orderkey",
+            F.when(F.col("op") == "U", F.col("new_status"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(F.col("op") == "U", F.col("new_total"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(inserts)
+    )
+    return merged.filter(
+        (F.col("o_orderkey") % 25 == 0) | (F.col("o_orderkey") >= 10_000_000)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1533,6 +1587,7 @@ QUERIES = {
     "agg_kmv_distinct": agg_kmv_distinct,
     "agg_kmv_set_ops": agg_kmv_set_ops,
     "fuzzy_match_suppliers": fuzzy_match_suppliers,
+    "cdc_upsert_orders": cdc_upsert_orders,
     "agg_pivot_event_counts": agg_pivot_event_counts,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_running_sum_events": window_running_sum_events,
@@ -2335,4 +2390,33 @@ ORACLES["fuzzy_match_suppliers"] = """
            count(*)::BIGINT AS n_candidates,
            min(CASE WHEN rk = 1 THEN s_suppkey END) = d_key AS correct
     FROM ranked GROUP BY d_key, d_name
+"""
+
+# CDC merge: identical precedence (delete > update), one exact IEEE
+# add on updated totals, inserts appended at offset keys.
+ORACLES["cdc_upsert_orders"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    changes AS (
+        SELECT o_orderkey AS c_key,
+               CASE WHEN o_orderkey % 75 = 0 THEN 'D' ELSE 'U' END AS op,
+               'X' AS new_status,
+               o_totalprice + 1.0 AS new_total
+        FROM base WHERE o_orderkey % 50 = 0 OR o_orderkey % 75 = 0
+    ),
+    merged AS (
+        SELECT b.o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.new_status
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN c.op = 'U' THEN c.new_total
+                    ELSE b.o_totalprice END AS o_totalprice
+        FROM base b LEFT JOIN changes c ON b.o_orderkey = c.c_key
+        WHERE c.op IS NULL OR c.op = 'U'
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        FROM base WHERE o_orderkey % 100 = 0
+    )
+    SELECT * FROM merged
+    WHERE o_orderkey % 25 = 0 OR o_orderkey >= 10000000
 """

@@ -889,3 +889,36 @@ def test_generated_wav_blobs_are_format_valid(spark, sf_dir):
             assert w.getsampwidth() == 2
             assert w.getframerate() == 8000
             assert w.getnframes() == 16 + r["media_id"] % 64
+
+
+def test_cdc_merge_covers_all_four_outcomes(spark, sf_dir):
+    """The merged snapshot must show updates applied, deletes absent,
+    inserts present, and unchanged controls intact."""
+    from decisions_kinesis_spark.operators.relational import cdc_upsert_orders
+
+    base = {
+        r["o_orderkey"]: r
+        for r in load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    }
+    out = {r["o_orderkey"]: r for r in cdc_upsert_orders(spark, sf_dir).collect()}
+    checked = {"U": 0, "D": 0, "I": 0, "keep": 0}
+    for k in base:
+        if k % 25 != 0:
+            continue
+        if k % 75 == 0:
+            assert k not in out  # deleted
+            checked["D"] += 1
+        elif k % 50 == 0:
+            assert out[k]["o_orderstatus"] == "X"  # updated
+            assert out[k]["o_totalprice"] == base[k]["o_totalprice"] + 1.0
+            checked["U"] += 1
+        else:
+            assert out[k]["o_orderstatus"] == base[k]["o_orderstatus"]
+            checked["keep"] += 1
+        if k % 100 == 0:
+            ins = out[k + 10_000_000]  # inserted
+            assert ins["o_orderstatus"] == "N"
+            checked["I"] += 1
+    assert all(v > 0 for v in checked.values()), checked
