@@ -325,6 +325,65 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection per event_type: median absolute
+    deviation (the estimator monitoring pipelines use where mean/std
+    break under heavy tails — a single corrupt reading moves the mean,
+    not the median).  Per type: median value, MAD, and how many events
+    sit outside ``|x − med| > 3·MAD`` (exact ppm share).
+
+    Determinism: both engines compute the identical continuous-
+    quantile interpolation (the ``text_length_quantiles`` contract) on
+    identical doubles, so the unrounded med/MAD used in the comparison
+    agree bitwise; outputs are floor-rounded at 4dp (the gapfill
+    lesson: F.round HALF_UP vs DuckDB HALF_EVEN diverges on halves).
+
+    Scale: two exact-percentile reductions per type (the documented
+    exact-quantile reducer trade, |types| groups) with the tiny median
+    frame broadcast back between them; the flag count is one
+    map-side-combining conditional aggregation.
+    """
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, cast(1 as double)/2)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, cast(1 as double)/2)").alias("mad"),
+        F.count("*").alias("n"),
+    )
+    flagged = (
+        dev.join(
+            F.broadcast(mad.select("event_type", F.col("mad").alias("m2"))),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("adev") > 3 * F.col("m2"), 1)).alias(
+                "n_outliers"
+            )
+        )
+    )
+    return (
+        mad.join(flagged, "event_type")
+        .select(
+            "event_type",
+            (F.floor(F.col("med") * 10000 + F.lit(0.5)) / 10000.0).alias(
+                "med"
+            ),
+            (F.floor(F.col("mad") * 10000 + F.lit(0.5)) / 10000.0).alias(
+                "mad"
+            ),
+            "n",
+            "n_outliers",
+            F.expr("(n_outliers * 1000000) div n").alias("outlier_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "window_tumbling_hourly": window_tumbling_hourly,
     "window_sliding_counts": window_sliding_counts,
@@ -336,6 +395,7 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "events_gapfill_locf": events_gapfill_locf,
     "events_rollup_cascade": events_rollup_cascade,
+    "events_mad_outliers": events_mad_outliers,
 }
 
 _HOUR_US = 3_600_000_000
@@ -541,4 +601,37 @@ ORACLES["events_rollup_cascade"] = """
     SELECT 'month', b, event_type, n,
            floor(sdec::DOUBLE * 10000 + 0.5) / 10000.0
     FROM monthly
+"""
+
+# MAD outliers: identical continuous-quantile interpolation both
+# engines; comparisons on the unrounded values, output floor-rounded.
+ORACLES["events_mad_outliers"] = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 1.0/2) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, any_value(med) AS med,
+               quantile_cont(adev, 1.0/2) AS mad,
+               count(*)::BIGINT AS n
+        FROM dev GROUP BY event_type
+    ),
+    flagged AS (
+        SELECT d.event_type,
+               count(*) FILTER (WHERE d.adev > 3 * m.mad)::BIGINT
+                   AS n_outliers
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+    )
+    SELECT m.event_type,
+           floor(m.med * 10000 + 0.5) / 10000.0 AS med,
+           floor(m.mad * 10000 + 0.5) / 10000.0 AS mad,
+           m.n, f.n_outliers,
+           (f.n_outliers * 1000000) // m.n AS outlier_ppm
+    FROM mad m JOIN flagged f ON m.event_type = f.event_type
 """
