@@ -36,9 +36,9 @@ from decisions_kinesis_spark.operators.textops import (
 from decisions_kinesis_spark.sources.tables import load_table
 
 #: floor-based 4dp round — identical IEEE op sequence in both engines
-#: (Spark round() is HALF_UP, DuckDB HALF_EVEN; this sidesteps both).
-def _fl4(col):  # noqa: E302 - module-scope helper, doc above
-    return F.floor(col * 10000 + F.lit(0.5)) / 10000.0
+#: (Spark round() is HALF_UP, DuckDB HALF_EVEN); shared definition in
+#: functions/rounding.py.
+from decisions_kinesis_spark.functions.rounding import fl4 as _fl4  # noqa: E402
 
 
 _GOPHER_MIN_WORDS = 10

@@ -1522,13 +1522,14 @@ def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance shape (Delta/Iceberg ``MERGE INTO``) in vanilla
     DataFrame algebra, since plain parquet has no MERGE: a
     deterministic change batch (DELETE for key%75=0, else UPDATE for
-    key%50=0, INSERT at key+1e7 for key%100=0) left-joins the base on
-    the key; the snapshot keeps base rows without a change, drops
-    op='D', takes the changed values for op='U', and appends the
-    inserts.  Output: the merged snapshot restricted to the audit
-    neighborhood (key%25=0 — covering updated, deleted-absent, and
-    unchanged-control keys — plus all inserts), proving all four merge
-    outcomes in one frame.
+    key%50=0, INSERT at key + offset for key%100=0, where offset =
+    max(base key) + 1 — DERIVED, so inserted keys never collide with
+    base keys at any scale factor) left-joins the base on the key; the
+    snapshot keeps base rows without a change, drops op='D', takes the
+    changed values for op='U', and appends the inserts.  Output: the
+    merged snapshot restricted to the audit neighborhood (key%25=0 —
+    covering updated, deleted-absent, and unchanged-control keys —
+    plus all inserts), proving all four merge outcomes in one frame.
 
     Scale: the change batch is tiny by definition — broadcast against
     the base (at CDC volumes this is the standard copy-on-write merge
@@ -1545,10 +1546,18 @@ def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("X").alias("new_status"),
         (F.col("o_totalprice") + F.lit(1.0)).alias("new_total"),
     )
-    inserts = base.filter(k % 100 == 0).select(
-        (k + 10_000_000).alias("o_orderkey"),
-        F.lit("N").alias("o_orderstatus"),
-        F.col("o_totalprice").alias("o_totalprice"),
+    # collision-free insert offset at ANY scale factor: max base key
+    # (a 1-row broadcast; a fixed constant would collide with base
+    # keys once the table outgrows it)
+    off = base.groupBy().agg((F.max(k) + 1).alias("off"))
+    inserts = (
+        base.filter(k % 100 == 0)
+        .join(F.broadcast(off))
+        .select(
+            (k + F.col("off")).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("o_totalprice").alias("o_totalprice"),
+        )
     )
     merged = (
         base.join(
@@ -1566,9 +1575,9 @@ def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(inserts)
     )
-    return merged.filter(
-        (F.col("o_orderkey") % 25 == 0) | (F.col("o_orderkey") >= 10_000_000)
-    )
+    return merged.join(F.broadcast(off)).filter(
+        (F.col("o_orderkey") % 25 == 0) | (F.col("o_orderkey") >= F.col("off"))
+    ).drop("off")
 
 
 QUERIES = {
@@ -2414,9 +2423,11 @@ ORACLES["cdc_upsert_orders"] = """
         FROM base b LEFT JOIN changes c ON b.o_orderkey = c.c_key
         WHERE c.op IS NULL OR c.op = 'U'
         UNION ALL
-        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base), 'N',
+               o_totalprice
         FROM base WHERE o_orderkey % 100 = 0
     )
     SELECT * FROM merged
-    WHERE o_orderkey % 25 = 0 OR o_orderkey >= 10000000
+    WHERE o_orderkey % 25 = 0
+       OR o_orderkey > (SELECT max(o_orderkey) FROM base)
 """

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from decisions_kinesis_spark.functions.rounding import fl4
 from decisions_kinesis_spark.sources.tables import load_table
 
 
@@ -240,15 +241,11 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type", "bkt").agg(
         F.count("*").alias("n_events"),
         # floor-based 4dp round (NOT F.round): the exact decimal sum
-        # divided by a small count lands on .xxxx5 halves, where Spark
-        # rounds HALF_UP and DuckDB HALF_EVEN — floor(x*1e4 + 0.5) is
-        # the same IEEE op sequence in both engines
-        (
-            F.expr(
-                "floor(cast(sum(cast(value as decimal(18,4))) as double)"
-                " / count(*) * 10000 + 0.5)"
-            )
-            / 10000.0
+        # divided by a small count lands on .xxxx5 halves — see
+        # functions/rounding.py
+        fl4(
+            F.expr("cast(sum(cast(value as decimal(18,4))) as double)")
+            / F.count("*")
         ).alias("avg_value"),
     )
     span = agg.groupBy("event_type").agg(
@@ -312,10 +309,7 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("bucket_ts"),
             "event_type",
             "n",
-            (
-                F.floor(F.col("sdec").cast("double") * 10000 + F.lit(0.5))
-                / 10000.0
-            ).alias("sum_value"),
+            fl4(F.col("sdec").cast("double")).alias("sum_value"),
         )
 
     return (
@@ -355,28 +349,34 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(adev, cast(1 as double)/2)").alias("mad"),
         F.count("*").alias("n"),
     )
-    flagged = (
+    # fold the flag count and the summary into ONE aggregation over the
+    # broadcast-joined dev frame — carrying med/mad/n through first()
+    # avoids re-executing the percentile pipeline for a second join
+    return (
         dev.join(
-            F.broadcast(mad.select("event_type", F.col("mad").alias("m2"))),
+            F.broadcast(
+                mad.select(
+                    "event_type",
+                    F.col("med").alias("m_med"),
+                    F.col("mad").alias("m_mad"),
+                    "n",
+                )
+            ),
             "event_type",
         )
         .groupBy("event_type")
         .agg(
-            F.count(F.when(F.col("adev") > 3 * F.col("m2"), 1)).alias(
+            F.first("m_med").alias("med0"),
+            F.first("m_mad").alias("mad0"),
+            F.first("n").alias("n"),
+            F.count(F.when(F.col("adev") > 3 * F.col("m_mad"), 1)).alias(
                 "n_outliers"
-            )
+            ),
         )
-    )
-    return (
-        mad.join(flagged, "event_type")
         .select(
             "event_type",
-            (F.floor(F.col("med") * 10000 + F.lit(0.5)) / 10000.0).alias(
-                "med"
-            ),
-            (F.floor(F.col("mad") * 10000 + F.lit(0.5)) / 10000.0).alias(
-                "mad"
-            ),
+            fl4(F.col("med0")).alias("med"),
+            fl4(F.col("mad0")).alias("mad"),
             "n",
             "n_outliers",
             F.expr("(n_outliers * 1000000) div n").alias("outlier_ppm"),

@@ -903,6 +903,7 @@ def test_cdc_merge_covers_all_four_outcomes(spark, sf_dir):
         .collect()
     }
     out = {r["o_orderkey"]: r for r in cdc_upsert_orders(spark, sf_dir).collect()}
+    off = max(base) + 1
     checked = {"U": 0, "D": 0, "I": 0, "keep": 0}
     for k in base:
         if k % 25 != 0:
@@ -918,7 +919,7 @@ def test_cdc_merge_covers_all_four_outcomes(spark, sf_dir):
             assert out[k]["o_orderstatus"] == base[k]["o_orderstatus"]
             checked["keep"] += 1
         if k % 100 == 0:
-            ins = out[k + 10_000_000]  # inserted
+            ins = out[k + off]  # inserted
             assert ins["o_orderstatus"] == "N"
             checked["I"] += 1
     assert all(v > 0 for v in checked.values()), checked

@@ -406,3 +406,27 @@ def test_resize_is_arrow_map_only(spark):
     a = audit_plan(multimodal.multimodal_resize_stats(spark, SF))
     assert a.arrow_eval and not a.python_eval
     assert a.shuffles == 0
+
+
+def test_cdc_merge_broadcasts_change_batch(spark):
+    """cdc_upsert_orders: the change batch and the 1-row offset
+    broadcast against the base (the copy-on-write merge join); the
+    base never shuffles."""
+    from decisions_kinesis_spark.operators import relational
+
+    a = audit_plan(relational.cdc_upsert_orders(spark, SF))
+    a.assert_no_python()
+    assert a.broadcast_joins >= 2  # changes + offset
+    assert "CartesianProduct" not in a.plan
+
+
+def test_mad_outliers_single_flag_pass(spark):
+    """events_mad_outliers: median and MAD frames broadcast back; the
+    flag count folds into ONE aggregation over the joined dev frame
+    (no second percentile pipeline)."""
+    from decisions_kinesis_spark.operators import windows_ext
+
+    a = audit_plan(windows_ext.events_mad_outliers(spark, SF))
+    a.assert_no_python()
+    assert a.broadcast_joins >= 2  # med frame + mad frame
+    assert "CartesianProduct" not in a.plan

@@ -47,11 +47,16 @@ def test_streaming_cdc_apply_matches_batch_merge(spark, tmp_path):
         F.lit("X").alias("new_status"),
         (F.col("o_totalprice") + F.lit(1.0)).alias("new_total"),
     )
-    inserts = base_df.filter(k % 100 == 0).select(
-        F.lit("I").alias("op"),
-        (k + 10_000_000).alias("key"),
-        F.lit("N").alias("new_status"),
-        F.col("o_totalprice").alias("new_total"),
+    off = base_df.agg((F.max(k) + 1).alias("off"))
+    inserts = (
+        base_df.filter(k % 100 == 0)
+        .join(F.broadcast(off))
+        .select(
+            F.lit("I").alias("op"),
+            (k + F.col("off")).alias("key"),
+            F.lit("N").alias("new_status"),
+            F.col("o_totalprice").alias("new_total"),
+        )
     )
     feed = updates.unionByName(inserts)
     src = str(tmp_path / "cdc_stream")
@@ -92,10 +97,13 @@ def test_streaming_cdc_apply_matches_batch_merge(spark, tmp_path):
         r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
         for r in cdc_upsert_orders(spark, SF).collect()
     }
+    max_key = max(
+        r["o_orderkey"] for r in base_df.select("o_orderkey").collect()
+    )
     got = {
         key: v
         for key, v in snapshot.items()
-        if key % 25 == 0 or key >= 10_000_000
+        if key % 25 == 0 or key > max_key
     }
     assert expected, "batch reference unexpectedly empty"
     assert got == expected, (
