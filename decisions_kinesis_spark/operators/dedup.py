@@ -215,6 +215,102 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_T = 0.9  # containment threshold for the partial-dup verdict
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle CONTAINMENT
+    (|A∩B| / min(|A|,|B|)) — the metric that catches PARTIAL
+    duplication symmetric Jaccard misses: a document fully contained
+    in a longer one (truncated scrape, quoted article, boilerplate
+    wrapper) has containment ≈ 1 while Jaccard ≈ |A|/|B| can sit far
+    below every dedup threshold.  Candidates come from the same
+    banded-MinHash collisions as ``dedup_minhash_lsh_pairs``; each
+    pair reports both metrics plus the ``partial_dup`` verdict
+    (containment ≥ 0.9 while Jaccard < 0.8 — the class only this
+    operator flags).
+
+    Fixture (the ``_with_injected_dups`` discipline): the corpus is
+    augmented with the FIRST HALF of each doc_id < 20 document
+    (offset +300000) — true containment ≈ 1, Jaccard ≈ 0.5, i.e.
+    invisible to the J ≥ 0.8 dedup.  LSH recall for J ≈ 0.5 pairs is
+    partial by construction (the banding knob, same contract as the
+    symmetric query); the oracle replays the identical bands, so
+    every emitted value is exact.
+
+    Scale: identical topology to the symmetric pair query — band
+    equi-join candidates, shingle-join verification on candidates
+    only, sizes joined back; no new shuffle shapes.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    halves = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(filter(split(lower(text), '\\\\s+'),"
+            " x -> x != ''), 1, greatest(size(filter(split(lower(text),"
+            " '\\\\s+'), x -> x != '')) div 2, 1)), ' ')"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(halves)
+    sh = _doc_shingles(corpus).localCheckpoint(eager=True)
+    bands = _band_table(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter") / F.least(F.col("za.n_sh"), F.col("zb.n_sh")),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "jaccard",
+            "containment",
+            (
+                (F.col("containment") >= _CONTAIN_T)
+                & (F.col("jaccard") < 0.8)
+            ).alias("partial_dup"),
+        )
+    )
+
+
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup detection: a new batch of documents checked
     against the EXISTING corpus via LSH band keys — the production shape
@@ -759,6 +855,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_quality_keeper": dedup_quality_keeper,
+    "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_incremental_lsh": dedup_incremental_lsh,
 }
 
@@ -1062,4 +1159,56 @@ ORACLES["dedup_quality_keeper"] = f"""
     )
     SELECT s.doc_id, s.cluster, s.quality, s.doc_id = k.keeper AS keep
     FROM scored s JOIN keepers k USING (cluster)
+"""
+
+# Containment pairs: replays the banded-MinHash chain over the
+# half-doc-augmented corpus with both symmetric and asymmetric metrics.
+ORACLES["dedup_containment_pairs"] = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id,
+               array_to_string(list_slice(t, 1,
+                   greatest(len(t) // 2, 1)), ' ') AS text
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+              WHERE doc_id < 20)
+    ),
+    {_DUCK_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, shingle, {_BASE40_DUCK} AS h40 FROM sh),
+    seeds AS (SELECT unnest(generate_series(0, {_N_SEEDS - 1})) AS seed),
+    sig AS (
+        SELECT doc_id, seed, min({_seeded("seed", "h40")}) AS minhash
+        FROM hashed, seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, (seed // 2) AS band,
+               string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+        FROM sig GROUP BY doc_id, (seed // 2)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    m AS (
+        SELECT i.doc_a, i.doc_b, i.n_inter,
+               round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4)
+                   AS jaccard,
+               round(i.n_inter / least(za.n_sh, zb.n_sh), 4) AS containment
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+    )
+    SELECT doc_a, doc_b, n_inter, jaccard, containment,
+           (containment >= {_CONTAIN_T} AND jaccard < 0.8) AS partial_dup
+    FROM m WHERE containment >= 0.5
 """

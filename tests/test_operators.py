@@ -923,3 +923,18 @@ def test_cdc_merge_covers_all_four_outcomes(spark, sf_dir):
             assert ins["o_orderstatus"] == "N"
             checked["I"] += 1
     assert all(v > 0 for v in checked.values()), checked
+
+
+def test_containment_flags_truncated_docs_jaccard_misses(spark, sf_dir):
+    """Every surviving (original, half-doc) candidate pair must show
+    containment 1.0 with Jaccard below the dedup threshold — the
+    partial-duplicate class only the asymmetric metric flags."""
+    from decisions_kinesis_spark.operators.dedup import dedup_containment_pairs
+
+    rows = dedup_containment_pairs(spark, sf_dir).collect()
+    halves = [r for r in rows if r["doc_b"] >= 300000 and r["doc_a"] < 20]
+    assert halves, "LSH banding found no injected half-doc pairs"
+    for r in halves:
+        assert r["containment"] == 1.0
+        assert r["jaccard"] < 0.8
+        assert r["partial_dup"] is True
