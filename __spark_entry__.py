@@ -27,6 +27,8 @@ _OPERATOR_MODULES = (
     "similarity",
     "dedup",
     "corpus",
+    "graphs",
+    "layout",
 )
 
 # STANDING GATE POLICY (round 5+, VERDICT r4 next-round #1).  The

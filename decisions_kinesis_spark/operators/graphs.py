@@ -1,0 +1,181 @@
+"""Graph analytics over relationship graphs derived from the fixtures.
+
+The reference has no graph surface (SURVEY.md §2: the only iterative
+structure is the poll loop).  This module adds the iterative-algorithm
+family member the LLM-data stack actually uses for source/domain
+weighting: PageRank over an item co-occurrence graph — the "importance
+from link structure" shape (CommonCrawl host ranking, citation-graph
+quality priors), here over the *parts co-ordered together* graph
+derived from ``lineitem``.
+
+Determinism contract: ranks are EXACT BIGINT at a fixed 1e12 scale;
+every per-iteration op is integer floor division / multiplication /
+summation, so Spark and the DuckDB oracle (which unrolls the same
+iterations as materialized CTEs — the ``bpe_merges_iterative``
+pattern) agree to the last digit with no float tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from decisions_kinesis_spark.sources.tables import load_table
+
+#: Fixed-point scale for rank mass.  Total mass ≤ _PR_SCALE and every
+#: damped sum is ≤ 85·_PR_SCALE ≈ 8.5e13 — far inside bigint, and the
+#: 12 integer digits keep ~6 significant digits after 5 halvings.
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 5
+_PR_TOPK = 20
+
+
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 5 synchronous iterations) over the WEIGHTED
+    part co-purchase graph: nodes are parts; each order containing two
+    distinct parts contributes one unit of edge weight between them —
+    frequently co-ordered pairs carry proportionally more rank mass
+    (the multigraph semantics a co-occurrence prior actually wants).
+    Returns the top-20 parts by final rank (tie-break part_key asc)
+    with their weighted degree — the "centrality prior" table a
+    mixture/weighting pipeline joins back.
+
+    Graph construction: ``lineitem → distinct (order, part)`` then a
+    self-equi-join on the order key, kept as one edge INSTANCE per
+    co-ordering.  The join is quadratic only in *distinct parts per
+    order*, which TPC-H bounds at 7 (and real carts bound similarly),
+    so instance count stays O(|lineitem|) at any scale.
+
+    Integer semantics (exact in both engines): r₀ = SCALE div N;
+    teleport = (15·SCALE) div (100·N); each edge instance carries
+    r div deg(src) where deg = weighted (instance) degree;
+    r' = teleport + (85·Σ incoming) div 100.  The graph is symmetric,
+    so every node has deg ≥ 1 (no dangling mass) and every node
+    receives messages (the incoming-sum frame covers all nodes — no
+    outer-join backfill needed).
+
+    Scale: the rank frame is |parts|-sized and BROADCAST into the edge
+    join each iteration, so the edge frame — the only big thing —
+    never re-shuffles for rank lookup; the message reduce is one
+    map-side-combining sum keyed by part.  Weighted degree is attached
+    to the edge frame by ONE window pass before the loop, the frame is
+    localCheckpointed once and reused by all iterations; each
+    iteration checkpoints its |parts|-row rank frame so the plan stays
+    constant-size (the ``bpe_merges_iterative`` lesson).  N and the
+    two derived constants are driver-side scalars (the documented
+    bounded-collect class — same as the IVF modulus).
+    """
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "o")
+        .where(F.col("a.p") != F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    )
+    return (
+        pagerank(pairs)
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("r").alias("rank_scaled"),
+            F.col("deg").alias("weighted_deg"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), F.col("part_key"))
+        .limit(_PR_TOPK)
+    )
+
+
+def pagerank(pairs: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """Frame-level PageRank core over an edge-INSTANCE frame
+    (src, dst) — weighted multigraph semantics, every node must appear
+    as a src (symmetric graphs satisfy this by construction).  Returns
+    (node, r, deg) with r at the exact integer _PR_SCALE recurrence
+    documented on the query; shared by the query and the hand-computed
+    fixture tests."""
+    edges = (
+        pairs.withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    degs = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.first("deg").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    nn = degs.count()
+    tp = (15 * _PR_SCALE) // (100 * nn)
+    ranks = degs.select("node", F.lit(_PR_SCALE // nn).alias("r"))
+    for _ in range(iters):
+        ranks = (
+            edges.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r div deg")).alias("s"))
+            .select("node", F.expr(f"{tp} + (85 * s) div 100").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(degs, "node")
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration DuckDB oracle (AS MATERIALIZED — the
+    ``bpe_merges_iterative`` lesson: inlined CTEs replay the chain
+    exponentially)."""
+    parts = [
+        """
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+            SELECT a.p AS src, b.p AS dst
+            FROM li a JOIN li b USING (o) WHERE a.p <> b.p
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS node, count(*)::BIGINT AS deg
+            FROM edges GROUP BY src
+        ),
+        consts AS MATERIALIZED (
+            SELECT count(*)::BIGINT AS nn,
+                   {S} // count(*)::BIGINT AS r0,
+                   (15 * {S}) // (100 * count(*)::BIGINT) AS tp
+            FROM deg
+        ),
+        r0 AS MATERIALIZED (
+            SELECT node, c.r0 AS r FROM deg, consts c
+        )""".format(S=_PR_SCALE)
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            """,
+        r{i} AS MATERIALIZED (
+            SELECT e.dst AS node,
+                   c.tp + (85 * sum(r.r // d.deg)) // 100 AS r
+            FROM edges e
+            JOIN r{j} r ON r.node = e.src
+            JOIN deg d ON d.node = e.src, consts c
+            GROUP BY e.dst, c.tp
+        )""".format(i=i, j=i - 1)
+        )
+    parts.append(
+        """
+        SELECT r.node AS part_key, r.r AS rank_scaled,
+               d.deg AS weighted_deg
+        FROM r{k} r JOIN deg d ON d.node = r.node
+        ORDER BY r.r DESC, r.node
+        LIMIT {topk}
+        """.format(k=_PR_ITERS, topk=_PR_TOPK)
+    )
+    return "".join(parts)
+
+
+QUERIES = {
+    "graph_pagerank_copurchase": graph_pagerank_copurchase,
+}
+
+ORACLES = {
+    "graph_pagerank_copurchase": _pagerank_oracle(),
+}

@@ -938,3 +938,93 @@ def test_containment_flags_truncated_docs_jaccard_misses(spark, sf_dir):
         assert r["containment"] == 1.0
         assert r["jaccard"] < 0.8
         assert r["partial_dup"] is True
+
+
+def test_pagerank_matches_integer_recurrence_on_star_graph(spark):
+    """Exact differential: the Spark PageRank core vs a pure-Python
+    mirror of the same integer recurrence on a hand-built weighted
+    star graph (hub 0 double-linked to leaves 1-3, plus a doubled
+    0↔1 edge so weighted degrees differ from simple degrees)."""
+    from decisions_kinesis_spark.operators.graphs import (
+        _PR_ITERS,
+        _PR_SCALE,
+        pagerank,
+    )
+
+    und = [(0, 1), (0, 1), (0, 2), (0, 3)]
+    inst = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(inst, "src bigint, dst bigint")
+    got = {
+        r["node"]: (r["r"], r["deg"]) for r in pagerank(df).collect()
+    }
+
+    deg: dict[int, int] = {}
+    for s, _d in inst:
+        deg[s] = deg.get(s, 0) + 1
+    nn = len(deg)
+    tp = (15 * _PR_SCALE) // (100 * nn)
+    r = {v: _PR_SCALE // nn for v in deg}
+    for _ in range(_PR_ITERS):
+        inc = {v: 0 for v in deg}
+        for s, d in inst:
+            inc[d] += r[s] // deg[s]
+        r = {v: tp + (85 * inc[v]) // 100 for v in deg}
+    assert got == {v: (r[v], deg[v]) for v in deg}
+    # hub outranks every leaf; doubled leaf 1 outranks leaves 2/3
+    assert got[0][0] > got[1][0] > got[2][0] == got[3][0]
+
+
+def test_pagerank_uniform_on_symmetric_triangle(spark):
+    """K3 is vertex-transitive: all ranks must be exactly equal, and
+    total mass stays within integer-floor slack of _PR_SCALE."""
+    from decisions_kinesis_spark.operators.graphs import _PR_SCALE, pagerank
+
+    inst = [(a, b) for a in range(3) for b in range(3) if a != b]
+    df = spark.createDataFrame(inst, "src bigint, dst bigint")
+    rows = pagerank(df).collect()
+    ranks = {r["r"] for r in rows}
+    assert len(ranks) == 1
+    total = sum(r["r"] for r in rows)
+    assert _PR_SCALE - 100 <= total <= _PR_SCALE
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir):
+    """The measured zone maps must show the multi-dimensional trade:
+    linear layout leaves l_partkey unclustered (every file spans ~the
+    full part range) while z-order keeps BOTH dimensions' average
+    span well under half the global range; file sizes are equal-height
+    (max-min ≤ 1 row)."""
+    from decisions_kinesis_spark.operators.layout import (
+        _N_FILES,
+        layout_zorder_vs_linear,
+    )
+
+    rows = layout_zorder_vs_linear(spark, sf_dir).collect()
+    by_layout: dict[str, list] = {"zorder": [], "linear": []}
+    for r in rows:
+        by_layout[r["layout"]].append(r)
+    assert all(len(v) == _N_FILES for v in by_layout.values())
+
+    go = (
+        min(r["min_o"] for r in rows),
+        max(r["max_o"] for r in rows),
+    )
+    gp = (
+        min(r["min_p"] for r in rows),
+        max(r["max_p"] for r in rows),
+    )
+    o_range, p_range = go[1] - go[0], gp[1] - gp[0]
+
+    def avg_span(layout: str, lo: str, hi: str) -> float:
+        fs = by_layout[layout]
+        return sum(r[hi] - r[lo] for r in fs) / len(fs)
+
+    # linear: perfect on the sort key, useless on the other dimension
+    assert avg_span("linear", "min_o", "max_o") < 0.05 * o_range
+    assert avg_span("linear", "min_p", "max_p") > 0.8 * p_range
+    # z-order: both dimensions clustered
+    assert avg_span("zorder", "min_o", "max_o") < 0.5 * o_range
+    assert avg_span("zorder", "min_p", "max_p") < 0.5 * p_range
+
+    sizes = [r["n_rows"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
