@@ -29,6 +29,7 @@ _OPERATOR_MODULES = (
     "corpus",
     "graphs",
     "layout",
+    "analytics_ext",
 )
 
 # STANDING GATE POLICY (round 5+, VERDICT r4 next-round #1).  The

@@ -1028,3 +1028,42 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir):
 
     sizes = [r["n_rows"] for r in rows]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_winsorized_stats_invariants(spark, sf_dir):
+    """Clip bounds bracket the winsorized mean, each tail clamps at
+    most ~1% of observations (continuous-quantile guarantee), and
+    clip counts are consistent with n."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_winsorized_stats,
+    )
+
+    for r in events_winsorized_stats(spark, sf_dir).collect():
+        assert r["p01"] <= r["win_mean"] <= r["p99"]
+        assert 0 <= r["n_clip_low"] <= r["n"] * 0.011 + 1
+        assert 0 <= r["n_clip_high"] <= r["n"] * 0.011 + 1
+
+
+def test_pareto_abc_cumulative_consistency(spark, sf_dir):
+    """Cumulative share is monotone along the (rev desc, part asc)
+    order, reaches ~100% at the tail, and the A/B/C boundaries follow
+    the 80/95 cuts."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        orders_pareto_abc,
+    )
+
+    rows = sorted(
+        orders_pareto_abc(spark, sf_dir).collect(),
+        key=lambda r: (-r["rev_scaled"], r["part_key"]),
+    )
+    last = 0
+    for r in rows:
+        assert r["cum_ppm"] >= last
+        last = r["cum_ppm"]
+    assert rows[-1]["cum_ppm"] in (999999, 1000000)
+    for r in rows:
+        if r["abc_class"] == "A":
+            assert r["cum_ppm"] <= 800000
+        elif r["abc_class"] == "C":
+            assert r["cum_ppm"] > 950000 - 1
+    assert {r["abc_class"] for r in rows} == {"A", "B", "C"}
