@@ -174,9 +174,113 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) over each event
+    type's HOURLY mean series — the time-series smoothing shape every
+    monitoring stack runs over its rollups.  Output per type: bucket
+    count, the last raw hourly mean, and the final smoothed level.
+
+    Determinism: hourly means are exact-decimal sums divided once
+    (both engines produce the identical double); the EWMA is a
+    SEQUENTIAL left fold ``acc ← (acc + x)/2`` over the bucket-ordered
+    series — Spark's ``aggregate`` and DuckDB's ``list_reduce``
+    execute the same IEEE op sequence in the same order, so the
+    result matches bitwise with no tolerance (the
+    ``tokenize_bpe_greedy`` fold-oracle pattern, on doubles).
+
+    Scale: the fold runs over the per-TYPE rollup series (|buckets|
+    elements, thousands at most — rollups are bounded by the calendar,
+    not the data), not raw events; the heavy lifting is the hourly
+    aggregation, which map-side combines.  α = 1/2 keeps every
+    intermediate a clean dyadic operation.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b"), "value"
+    )
+    hourly = ev.groupBy("event_type", "b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sdec"),
+    )
+    series = (
+        hourly.withColumn("mean", F.expr("cast(sdec as double) / n"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(b, mean))),"
+                " s -> s.mean)"
+            ).alias("xs"),
+        )
+    )
+    return series.select(
+        "event_type",
+        "n_buckets",
+        fl4(F.expr("element_at(xs, -1)")).alias("last_mean"),
+        fl4(
+            F.expr(
+                "aggregate(xs, cast(null as double),"
+                " (acc, x) -> if(acc is null, x, (acc + x) / 2.0))"
+            )
+        ).alias("ewma_level"),
+    )
+
+
+def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK relationship in the
+    schema: child rows whose foreign key has no parent — the
+    constraint check a lakehouse runs before promoting a snapshot
+    (plain parquet enforces nothing).  One row per relationship:
+    child row count and orphan count.
+
+    Scale: each check is a LEFT ANTI join counted to one row.  Parent
+    key sets for dimension-sized parents (region, nation, supplier,
+    part, customer) broadcast; the one fact-to-fact check
+    (lineitem→orders) is a shuffled anti join on the natural join key
+    — the same co-partitioning the q-series joins already pay.  The
+    seven 1-row results union into a constant-size report.
+    """
+
+    def check(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str, bcast: bool) -> DataFrame:
+        p = parent.select(F.col(pk).alias(ck)).distinct()
+        if bcast:
+            p = F.broadcast(p)
+        orphans = child.select(ck).join(p, ck, "left_anti")
+        return child.agg(
+            F.lit(name).alias("relationship"),
+            F.count("*").alias("n_child"),
+        ).crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+
+    t = {n: load_table(spark, n, sf_dir) for n in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem",
+    )}
+    checks = [
+        check("orders.custkey->customer", t["orders"], "o_custkey",
+              t["customer"], "c_custkey", True),
+        check("lineitem.orderkey->orders", t["lineitem"], "l_orderkey",
+              t["orders"], "o_orderkey", False),
+        check("lineitem.partkey->part", t["lineitem"], "l_partkey",
+              t["part"], "p_partkey", True),
+        check("lineitem.suppkey->supplier", t["lineitem"], "l_suppkey",
+              t["supplier"], "s_suppkey", True),
+        check("customer.nationkey->nation", t["customer"], "c_nationkey",
+              t["nation"], "n_nationkey", True),
+        check("supplier.nationkey->nation", t["supplier"], "s_nationkey",
+              t["nation"], "n_nationkey", True),
+        check("nation.regionkey->region", t["nation"], "n_regionkey",
+              t["region"], "r_regionkey", True),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_pareto_abc": orders_pareto_abc,
+    "events_ewma_hourly": events_ewma_hourly,
+    "audit_fk_orphans": audit_fk_orphans,
 }
 
 ORACLES = {
@@ -199,6 +303,69 @@ ORACLES = {
                ) / 10000.0 AS win_mean
         FROM events e JOIN bounds b ON e.event_type = b.event_type
         GROUP BY e.event_type
+    """,
+    "events_ewma_hourly": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS b,
+                   count(*)::BIGINT AS n,
+                   sum(value::DECIMAL(18,4)) AS sdec
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        series AS (
+            SELECT event_type,
+                   count(*)::BIGINT AS n_buckets,
+                   list(sdec::DOUBLE / n ORDER BY b) AS xs
+            FROM hourly GROUP BY event_type
+        )
+        SELECT event_type, n_buckets,
+               floor(xs[-1] * 10000 + 0.5) / 10000.0 AS last_mean,
+               floor(list_reduce(xs, (acc, x) -> (acc + x) / 2.0)
+                     * 10000 + 0.5) / 10000.0 AS ewma_level
+        FROM series
+    """,
+    "audit_fk_orphans": """
+        SELECT 'orders.custkey->customer' AS relationship,
+               (SELECT count(*) FROM orders)::BIGINT AS n_child,
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))::BIGINT
+                   AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.orderkey->orders',
+               (SELECT count(*) FROM lineitem)::BIGINT,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+        UNION ALL
+        SELECT 'lineitem.partkey->part',
+               (SELECT count(*) FROM lineitem)::BIGINT,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))::BIGINT
+        UNION ALL
+        SELECT 'lineitem.suppkey->supplier',
+               (SELECT count(*) FROM lineitem)::BIGINT,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+        UNION ALL
+        SELECT 'customer.nationkey->nation',
+               (SELECT count(*) FROM customer)::BIGINT,
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+        UNION ALL
+        SELECT 'supplier.nationkey->nation',
+               (SELECT count(*) FROM supplier)::BIGINT,
+               (SELECT count(*) FROM supplier s
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = s.s_nationkey))::BIGINT
+        UNION ALL
+        SELECT 'nation.regionkey->region',
+               (SELECT count(*) FROM nation)::BIGINT,
+               (SELECT count(*) FROM nation n
+                WHERE NOT EXISTS (SELECT 1 FROM region r
+                                  WHERE r.r_regionkey = n.n_regionkey))::BIGINT
     """,
     "orders_pareto_abc": """
         WITH rev AS (

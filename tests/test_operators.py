@@ -1067,3 +1067,56 @@ def test_pareto_abc_cumulative_consistency(spark, sf_dir):
         elif r["abc_class"] == "C":
             assert r["cum_ppm"] > 950000 - 1
     assert {r["abc_class"] for r in rows} == {"A", "B", "C"}
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    """Exact differential: the engine's EWMA fold vs an independent
+    pandas/python replay of the same hourly-mean series and the same
+    (acc+x)/2 sequence, floor-rounded identically."""
+    import math
+
+    import duckdb
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_ewma_hourly,
+    )
+
+    got = {
+        r["event_type"]: (r["n_buckets"], r["last_mean"], r["ewma_level"])
+        for r in events_ewma_hourly(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, date_trunc('hour', ts) AS b,
+               count(*)::BIGINT, sum(value::DECIMAL(18,4))
+        FROM read_parquet('{sf_dir}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[float]] = {}
+    for etype, _b, n, sdec in rows:
+        series.setdefault(etype, []).append(float(sdec) / n)
+
+    def fl4(x: float) -> float:
+        return math.floor(x * 10000 + 0.5) / 10000.0
+
+    for etype, xs in series.items():
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = (acc + x) / 2.0
+        assert got[etype] == (len(xs), fl4(xs[-1]), fl4(acc)), etype
+
+
+def test_fk_audit_fixtures_are_referentially_intact(spark, sf_dir):
+    """All seven schema relationships are audited and the driver
+    fixtures contain no orphans — the audit's zero-baseline; any
+    future orphan would show as a nonzero count vs the oracle."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        audit_fk_orphans,
+    )
+
+    rows = audit_fk_orphans(spark, sf_dir).collect()
+    assert len(rows) == 7
+    assert all(r["n_child"] > 0 for r in rows)
+    assert all(r["n_orphans"] == 0 for r in rows)
