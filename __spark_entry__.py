@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "graphs",
     "layout",
     "analytics_ext",
+    "linalg",
 )
 
 # STANDING GATE POLICY (round 5+, VERDICT r4 next-round #1).  The

@@ -1,0 +1,139 @@
+"""Distributed iterative linear algebra over the embedding table.
+
+The missing family next to the ANN/clustering stack (similarity.py):
+POWER ITERATION for the dominant right-singular direction of the
+embedding matrix — the building block behind PCA whitening, spectral
+hashing, and the "principal drift direction" diagnostics an embedding
+pipeline monitors at scale.
+
+Everything runs on INTEGER-QUANTIZED vectors with truncating integer
+division (both engines truncate toward zero — verified ``-7 div 2 =
+-7 // 2 = -3``), so the Spark loop and the DuckDB oracle (the same
+iterations unrolled as materialized CTEs) agree to the last digit.
+No floats anywhere after the initial ×10⁴ quantization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from decisions_kinesis_spark.sources.tables import load_table
+
+_Q = 10_000  # input quantization scale
+_D = 10_000  # dot-product downscale inside each iteration
+_S = 10_000  # per-iteration vector renormalization (max-abs target)
+_PI_ITERS = 3
+
+
+def embedding_power_iteration_pc1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant singular direction of the embedding matrix by 3 rounds
+    of power iteration on the Gram operator: v ← normalize(Aᵀ(Av)),
+    starting from the all-ones direction.  Returns the 64 components
+    of the final direction at max-abs scale 10⁴ (1-based ``pos``).
+
+    Integer recurrence (exact in both engines): per row r the score
+    sᵣ = Σⱼ qᵣⱼ·vⱼ, downscaled sᵣ' = sᵣ div 10⁴; per coordinate j the
+    new weight wⱼ = Σᵣ sᵣ'·qᵣⱼ; renormalized vⱼ' = (wⱼ·10⁴) div
+    max|w|.  With |q| ≤ 10⁴ and |v| ≤ 10⁴: |sᵣ| ≤ d·10⁸ (6.4·10⁹ at
+    d=64), |sᵣ'·q| ≤ 6.4·10⁹, so wⱼ stays inside bigint up to ~10⁹
+    rows — the 100 TB envelope at this dimension; beyond that, raise
+    _D (the analysis in ``ann_ivf_refined`` applies).
+
+    Scale: the exploded (row, pos, q) frame is materialized ONCE and
+    reused by all iterations; the 64-row direction frame broadcasts
+    into the dot-product join; the per-row score frame joins back by
+    row key (AQE broadcasts it at small N; at large N it is an
+    equi-join co-partitioned with the explode) and both reductions
+    map-side combine (N groups, then d groups).  Each iteration
+    checkpoints only the 64-row direction (the
+    ``bpe_merges_iterative`` constant-plan lesson).
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = (
+        emb.select(
+            F.col("vec_id").alias("row"),
+            F.posexplode("embedding").alias("pos0", "x"),
+        )
+        .select(
+            "row",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(
+                f"cast(floor(cast(x as double) * {_Q} + 0.5) as bigint)"
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        e.select("pos")
+        .distinct()
+        .select("pos", F.lit(_S).cast("bigint").alias("val"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_PI_ITERS):
+        s = (
+            e.join(F.broadcast(v), "pos")
+            .groupBy("row")
+            .agg(F.sum(F.expr("q * val")).alias("s"))
+        )
+        w = (
+            e.join(s, "row")
+            .groupBy("pos")
+            .agg(F.sum(F.expr(f"(s div {_D}) * q")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select("pos", F.expr(f"(w * {_S}) div m").alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    return v.select("pos", F.col("val").alias("component"))
+
+
+def _power_iteration_oracle() -> str:
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id AS row,
+                   generate_subscripts(embedding, 1) AS pos,
+                   floor(unnest(embedding)::DOUBLE * {_Q} + 0.5)::BIGINT
+                       AS q
+            FROM embeddings
+        ),
+        v0 AS MATERIALIZED (
+            SELECT DISTINCT pos, {_S}::BIGINT AS val FROM e
+        )"""
+    ]
+    for i in range(1, _PI_ITERS + 1):
+        parts.append(
+            f""",
+        s{i} AS MATERIALIZED (
+            SELECT e.row, sum(e.q * v.val)::BIGINT AS s
+            FROM e JOIN v{i - 1} v USING (pos) GROUP BY e.row
+        ),
+        w{i} AS MATERIALIZED (
+            SELECT e.pos, sum((s.s // {_D}) * e.q)::BIGINT AS w
+            FROM e JOIN s{i} s USING (row) GROUP BY e.pos
+        ),
+        v{i} AS MATERIALIZED (
+            SELECT pos, (w * {_S}) // m AS val
+            FROM w{i}, (SELECT max(abs(w))::BIGINT AS m FROM w{i})
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT pos, val AS component FROM v{_PI_ITERS}
+        """
+    )
+    return "".join(parts)
+
+
+QUERIES = {
+    "embedding_power_iteration_pc1": embedding_power_iteration_pc1,
+}
+
+ORACLES = {
+    "embedding_power_iteration_pc1": _power_iteration_oracle(),
+}

@@ -1120,3 +1120,51 @@ def test_fk_audit_fixtures_are_referentially_intact(spark, sf_dir):
     assert len(rows) == 7
     assert all(r["n_child"] > 0 for r in rows)
     assert all(r["n_orphans"] == 0 for r in rows)
+
+
+def test_power_iteration_matches_integer_mirror(spark, sf_dir):
+    """Exact differential: the distributed power iteration vs a pure-
+    python integer replay of the same quantize → dot → downscale →
+    renormalize recurrence on the same vectors."""
+    import duckdb
+    import math
+
+    from decisions_kinesis_spark.operators.linalg import (
+        _D,
+        _PI_ITERS,
+        _Q,
+        _S,
+        embedding_power_iteration_pc1,
+    )
+
+    got = {
+        r["pos"]: r["component"]
+        for r in embedding_power_iteration_pc1(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    vecs = [
+        v[0]
+        for v in con.execute(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+            " ORDER BY vec_id"
+        ).fetchall()
+    ]
+    q = [[int(math.floor(float(x) * _Q + 0.5)) for x in v] for v in vecs]
+    d = len(q[0])
+
+    def tdiv(a: int, b: int) -> int:  # truncate toward zero, like div
+        return -((-a) // b) if a < 0 else a // b
+
+    v = [_S] * d
+    for _ in range(_PI_ITERS):
+        w = [0] * d
+        for row in q:
+            s = sum(a * b for a, b in zip(row, v))
+            sp = tdiv(s, _D)
+            for j, a in enumerate(row):
+                w[j] += sp * a
+        m = max(abs(x) for x in w)
+        v = [tdiv(x * _S, m) for x in w]
+    assert got == {j + 1: v[j] for j in range(d)}
+    assert max(abs(x) for x in got.values()) == _S
