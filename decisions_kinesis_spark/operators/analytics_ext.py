@@ -276,11 +276,128 @@ def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since their last
+    order, against the corpus-wide latest order date), Frequency
+    (order count), Monetary (lifetime revenue, ×10⁴-quantized exact);
+    each dimension scored 1-3 by its cross-customer tercile cuts, then
+    the 27-cell segment table with customer counts and average
+    lifetime value — the marketing-analytics standard.
+
+    Determinism: R/F/M are exact integers; tercile thresholds use the
+    shared continuous-quantile contract and comparisons run on the
+    unrounded doubles; the segment average is one floor-rounded
+    division.  Better scores are better customers: recency scores
+    INVERT (smaller gap ⇒ 3).
+
+    Scale: one map-side-combining aggregation to |customers| rows, a
+    6-value threshold frame broadcast back, and a 27-key final
+    reduce.
+    """
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr(
+            "cast(floor(o_totalprice * 10000 + 0.5) as bigint)"
+        ).alias("rev"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count("*").alias("freq"),
+        F.sum("rev").alias("money"),
+    )
+    glob = per.agg(F.max("last_dt").alias("max_dt"))
+    rfm = per.crossJoin(F.broadcast(glob)).select(
+        "o_custkey",
+        F.datediff("max_dt", "last_dt").alias("rec"),
+        "freq",
+        "money",
+    )
+    cuts = rfm.agg(
+        *[
+            F.expr(f"percentile({c}, cast({k} as double)/3)").alias(
+                f"{c}{k}"
+            )
+            for c in ("rec", "freq", "money")
+            for k in (1, 2)
+        ]
+    )
+    score = lambda c, invert: (  # noqa: E731
+        F.when(F.col(c) <= F.col(f"{c}1"), 3 if invert else 1)
+        .when(F.col(c) <= F.col(f"{c}2"), 2)
+        .otherwise(1 if invert else 3)
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .select(
+            score("rec", True).alias("r_score"),
+            score("freq", False).alias("f_score"),
+            score("money", False).alias("m_score"),
+            "money",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("money").alias("msum"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            fl4(
+                F.col("msum").cast("double")
+                / F.col("n_customers")
+                / 10000.0
+            ).alias("avg_lifetime_value"),
+        )
+    )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov chain: for each user's event
+    sequence (ordered by ts, event_id), count event-type transitions
+    and report P(next | prev) in exact ppm — the navigation-flow /
+    next-action model behind funnel diagnostics.
+
+    Determinism: the sequence order is total (ts ties broken by
+    event_id); probabilities are integer floor divisions.
+
+    Scale: ONE window pass partitioned by user (the sessionize
+    shuffle), then a |types|²-key map-side-combining reduce — no
+    joins; the per-prev totals come from a window over the tiny
+    transition frame.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"),
+            F.col("next_type").alias("next_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return tr.withColumn("n_prev", F.sum("n").over(wp)).select(
+        "prev_type",
+        "next_type",
+        "n",
+        "n_prev",
+        F.expr("(n * 1000000) div n_prev").alias("p_ppm"),
+    )
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_pareto_abc": orders_pareto_abc,
     "events_ewma_hourly": events_ewma_hourly,
     "audit_fk_orphans": audit_fk_orphans,
+    "customer_rfm_segments": customer_rfm_segments,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 ORACLES = {
@@ -303,6 +420,68 @@ ORACLES = {
                ) / 10000.0 AS win_mean
         FROM events e JOIN bounds b ON e.event_type = b.event_type
         GROUP BY e.event_type
+    """,
+    "customer_rfm_segments": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate,
+                   floor(o_totalprice * 10000 + 0.5)::BIGINT AS rev
+            FROM orders
+        ),
+        per AS (
+            SELECT o_custkey, max(o_orderdate) AS last_dt,
+                   count(*)::BIGINT AS freq, sum(rev)::BIGINT AS money
+            FROM o GROUP BY o_custkey
+        ),
+        g AS (SELECT max(last_dt) AS max_dt FROM per),
+        rfm AS (
+            SELECT o_custkey,
+                   date_diff('day', last_dt::DATE, max_dt::DATE) AS rec,
+                   freq, money
+            FROM per, g
+        ),
+        cuts AS (
+            SELECT quantile_cont(rec, 1.0/3) AS rec1,
+                   quantile_cont(rec, 2.0/3) AS rec2,
+                   quantile_cont(freq, 1.0/3) AS freq1,
+                   quantile_cont(freq, 2.0/3) AS freq2,
+                   quantile_cont(money, 1.0/3) AS money1,
+                   quantile_cont(money, 2.0/3) AS money2
+            FROM rfm
+        ),
+        scored AS (
+            SELECT CASE WHEN rec <= rec1 THEN 3
+                        WHEN rec <= rec2 THEN 2 ELSE 1 END AS r_score,
+                   CASE WHEN freq <= freq1 THEN 1
+                        WHEN freq <= freq2 THEN 2 ELSE 3 END AS f_score,
+                   CASE WHEN money <= money1 THEN 1
+                        WHEN money <= money2 THEN 2 ELSE 3 END AS m_score,
+                   money
+            FROM rfm, cuts
+        )
+        SELECT r_score, f_score, m_score,
+               count(*)::BIGINT AS n_customers,
+               floor((sum(money)::DOUBLE / count(*) / 10000.0)
+                     * 10000 + 0.5) / 10000.0 AS avg_lifetime_value
+        FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    "events_markov_transitions": """
+        WITH seq AS (
+            SELECT event_type AS prev_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        tr AS (
+            SELECT prev_type, next_type, count(*)::BIGINT AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n,
+               sum(n) OVER (PARTITION BY prev_type)::BIGINT AS n_prev,
+               (n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
+                   AS p_ppm
+        FROM tr
     """,
     "events_ewma_hourly": """
         WITH hourly AS (

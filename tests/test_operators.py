@@ -1168,3 +1168,82 @@ def test_power_iteration_matches_integer_mirror(spark, sf_dir):
         v = [tdiv(x * _S, m) for x in w]
     assert got == {j + 1: v[j] for j in range(d)}
     assert max(abs(x) for x in got.values()) == _S
+
+
+def test_market_basket_metrics_are_consistent(spark, sf_dir):
+    """Every reported rule satisfies the exact ppm identities against
+    independently-recounted supports, and the report is lift-ordered."""
+    import duckdb
+
+    from decisions_kinesis_spark.operators.graphs import (
+        _MB_MIN_CO,
+        orders_market_basket_lift,
+    )
+
+    rows = orders_market_basket_lift(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    n_orders = con.execute(
+        f"SELECT count(DISTINCT l_orderkey) FROM"
+        f" read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()[0]
+    last = None
+    for r in rows:
+        assert r["n_ab"] >= _MB_MIN_CO
+        assert r["support_ppm"] == r["n_ab"] * 1_000_000 // n_orders
+        assert r["conf_a_to_b_ppm"] == r["n_ab"] * 1_000_000 // r["n_a"]
+        assert r["lift_ppm"] == (
+            r["n_ab"] * n_orders * 1_000_000 // (r["n_a"] * r["n_b"])
+        )
+        if last is not None:
+            assert r["lift_ppm"] <= last
+        last = r["lift_ppm"]
+
+
+def test_rfm_segments_cover_all_customers(spark, sf_dir):
+    """Scores stay in 1-3, the 27-cell table partitions the customer
+    base, and the best segment's average LTV dominates the worst's."""
+    import duckdb
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        customer_rfm_segments,
+    )
+
+    rows = customer_rfm_segments(spark, sf_dir).collect()
+    seg = {(r["r_score"], r["f_score"], r["m_score"]): r for r in rows}
+    assert all(
+        1 <= k[i] <= 3 for k in seg for i in range(3)
+    )
+    con = duckdb.connect()
+    n_cust = con.execute(
+        f"SELECT count(DISTINCT o_custkey) FROM"
+        f" read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    if (3, 3, 3) in seg and (3, 1, 1) in seg:
+        assert (
+            seg[(3, 3, 3)]["avg_lifetime_value"]
+            > seg[(3, 1, 1)]["avg_lifetime_value"]
+        )
+
+
+def test_markov_transition_rows_normalize(spark, sf_dir):
+    """Within each prev_type the transition counts sum to n_prev and
+    the floored probabilities sum to 1e6 within floor slack."""
+    from collections import defaultdict
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_markov_transitions,
+    )
+
+    rows = events_markov_transitions(spark, sf_dir).collect()
+    by_prev = defaultdict(list)
+    for r in rows:
+        by_prev[r["prev_type"]].append(r)
+    assert len(by_prev) >= 2
+    for prev, rs in by_prev.items():
+        n_prev = rs[0]["n_prev"]
+        assert all(r["n_prev"] == n_prev for r in rs)
+        assert sum(r["n"] for r in rs) == n_prev
+        psum = sum(r["p_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) <= psum <= 1_000_000
