@@ -52,11 +52,16 @@ DEFAULT_OPS = (
 
 
 def build_replica(spark, k: int) -> str:
-    """K deterministic perturbed copies of documents + embeddings; all
-    other tables symlinked from the base sf dir.  The dataset is
-    K-keyed and immutable once built, so concurrent/subsequent runs
-    reuse it instead of deleting it out from under each other."""
-    out = f"{OUT}/k{k}"
+    """K deterministic perturbed copies of documents + embeddings, plus
+    FK-consistent K× replicas of the fact/event tables (orders +
+    lineitem share shifted order keys so lineitem→orders integrity
+    holds; part/supplier/customer keys stay, so per-dimension fan-in
+    grows K× — the realistic growth mode for co-occurrence graphs and
+    per-user sequences).  Dimension tables symlink from the base sf
+    dir.  The dataset is K-keyed and immutable once built, so
+    concurrent/subsequent runs reuse it instead of deleting it out
+    from under each other."""
+    out = f"{OUT}/k{k}v2"
     if os.path.isdir(f"{out}/_DONE"):
         return out
     if os.path.isdir(out):
@@ -94,9 +99,35 @@ def build_replica(spark, k: int) -> str:
         .drop("rep")
     )
     bige.repartition(32).write.parquet(f"{out}/embeddings.parquet")
-    for t in (
-        "region nation customer supplier part orders lineitem events".split()
-    ):
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    (
+        orders.crossJoin(F.broadcast(reps))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * 1_000_000_000)
+        .drop("rep")
+        .repartition(32)
+        .write.parquet(f"{out}/orders.parquet")
+    )
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    (
+        li.crossJoin(F.broadcast(reps))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * 1_000_000_000)
+        .drop("rep")
+        .repartition(32)
+        .write.parquet(f"{out}/lineitem.parquet")
+    )
+    # events.parquet is TIMESTAMP(NANOS): go through load_table, which
+    # owns the legacy-conf dance and lands ts at micros
+    from decisions_kinesis_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", BASE)
+    (
+        ev.crossJoin(F.broadcast(reps))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 1_000_000_000_000)
+        .drop("rep")
+        .repartition(32)
+        .write.parquet(f"{out}/events.parquet")
+    )
+    for t in "region nation customer supplier part".split():
         os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
     os.makedirs(f"{out}/_DONE")
     return out
