@@ -130,10 +130,103 @@ def _power_iteration_oracle() -> str:
     return "".join(parts)
 
 
+def embedding_pc1_projection_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spectral drift diagnostics: project every embedding onto the
+    power-iteration direction and report per-LABEL projection stats
+    (n, mean, min, max — ×10⁻⁸-descaled, floor-rounded) — the "is one
+    cohort drifting along the principal axis" monitor an embedding
+    pipeline runs after each model refresh.
+
+    The projection sᵣ = Σⱼ qᵣⱼ·vⱼ is the same exact-integer dot
+    product the iteration uses (|s| ≤ 6.4·10⁹); per-label means divide
+    the exact bigint sum once.  Scale: reuses the iteration plan plus
+    ONE more broadcast-direction join and a |labels|-key reduce.
+    """
+    from decisions_kinesis_spark.functions.rounding import fl4
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = embedding_power_iteration_pc1(spark, sf_dir).select(
+        "pos", F.col("component").alias("val")
+    )
+    e = emb.select(
+        F.col("vec_id").alias("row"),
+        "label",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "row",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(
+            f"cast(floor(cast(x as double) * {_Q} + 0.5) as bigint)"
+        ).alias("q"),
+    )
+    proj = (
+        e.join(F.broadcast(v), "pos")
+        .groupBy("row", "label")
+        .agg(F.sum(F.expr("q * val")).alias("s"))
+    )
+    descale = float(_Q) * float(_S)
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("s").alias("ssum"),
+            F.min("s").alias("smin"),
+            F.max("s").alias("smax"),
+        )
+        .select(
+            "label",
+            "n",
+            fl4(
+                (F.col("ssum").cast("double") / F.col("n").cast("double"))
+                / descale
+            ).alias("mean_proj"),
+            fl4(F.col("smin").cast("double") / descale).alias("min_proj"),
+            fl4(F.col("smax").cast("double") / descale).alias("max_proj"),
+        )
+    )
+
+
+def _projection_oracle() -> str:
+    # compose the power-iteration chain, then one projection + reduce
+    pi = _power_iteration_oracle()
+    head = pi[: pi.rindex("SELECT pos, val AS component")]
+    descale = float(_Q) * float(_S)
+    return (
+        head
+        + f""",
+        el AS MATERIALIZED (
+            SELECT vec_id AS row, label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   floor(unnest(embedding)::DOUBLE * {_Q} + 0.5)::BIGINT
+                       AS q
+            FROM embeddings
+        ),
+        proj AS MATERIALIZED (
+            SELECT el.row, el.label, sum(el.q * v.val)::BIGINT AS s
+            FROM el JOIN v{_PI_ITERS} v USING (pos)
+            GROUP BY el.row, el.label
+        )
+        SELECT label, count(*)::BIGINT AS n,
+               floor(((sum(s)::DOUBLE / count(*)::DOUBLE) / {descale})
+                     * 10000 + 0.5) / 10000.0 AS mean_proj,
+               floor((min(s)::DOUBLE / {descale}) * 10000 + 0.5)
+                   / 10000.0 AS min_proj,
+               floor((max(s)::DOUBLE / {descale}) * 10000 + 0.5)
+                   / 10000.0 AS max_proj
+        FROM proj GROUP BY label
+        """
+    )
+
+
 QUERIES = {
     "embedding_power_iteration_pc1": embedding_power_iteration_pc1,
+    "embedding_pc1_projection_stats": embedding_pc1_projection_stats,
 }
 
 ORACLES = {
     "embedding_power_iteration_pc1": _power_iteration_oracle(),
+    "embedding_pc1_projection_stats": _projection_oracle(),
 }

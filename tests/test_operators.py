@@ -1247,3 +1247,23 @@ def test_markov_transition_rows_normalize(spark, sf_dir):
         assert sum(r["n"] for r in rs) == n_prev
         psum = sum(r["p_ppm"] for r in rs)
         assert 1_000_000 - len(rs) <= psum <= 1_000_000
+
+
+def test_pc1_projection_stats_bracket_means(spark, sf_dir):
+    """Per-label projection stats are internally consistent and cover
+    the whole embedding table."""
+    import duckdb
+
+    from decisions_kinesis_spark.operators.linalg import (
+        embedding_pc1_projection_stats,
+    )
+
+    rows = embedding_pc1_projection_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["min_proj"] <= r["mean_proj"] <= r["max_proj"]
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n
