@@ -391,6 +391,97 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PATH_TOPK = 20
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, the 3-step flavor: the most common
+    event-type paths (a → b → c over consecutive events of one user),
+    top-20 by frequency — the "what do users actually do" report that
+    generalizes the Markov chain to higher order.
+
+    Determinism: the per-user order is total (ts, event_id); the
+    report ordering ties-break on the path string.
+
+    Scale: the SAME single user-partitioned window pass as the Markov
+    chain (two leads instead of one), a |types|³-bounded reduce, and a
+    TakeOrderedAndProject top-k — no joins, no global sort.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("b", F.lead("event_type", 1).over(w))
+        .withColumn("c", F.lead("event_type", 2).over(w))
+        .where(F.col("c").isNotNull())
+        .groupBy(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("b"), F.col("c")
+            ).alias("path")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+def events_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection over each event type's hourly count
+    series: the one-sided cumulative sum ``s ← max(0, s + x − target −
+    slack)`` with target = mean hourly count and 10% slack, reporting
+    the final and maximum excursion and whether the standard h = 3·target
+    decision threshold was breached — the drift alarm a streaming
+    ingest pipeline evaluates per refresh.
+
+    Determinism: counts, target (integer div), and every step are
+    exact integers.  Instead of a sequential fold, both engines use
+    the DRAWUP IDENTITY ``sₖ = Pₖ − min(0, min_{j≤k} Pⱼ)`` (P = raw
+    prefix sum of the deviations) — the recursive clip-at-zero
+    recurrence becomes pure window algebra, which also sidesteps a
+    DuckDB 1.0 ``list_reduce`` hazard where a struct accumulator's
+    second field evaluates against the first field's ALREADY-UPDATED
+    value (observed: max tracked s+x instead of s).
+
+    Scale: two window passes over the per-type ROLLUP series
+    (calendar-bounded, partitioned by type), after one map-side-
+    combining hourly count; targets broadcast back from a |types|-row
+    aggregate.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+    )
+    hourly = ev.groupBy("event_type", "b").agg(F.count("*").alias("n"))
+    tgt = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.expr("sum(n) div count(*)").alias("tgt"),
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (
+        hourly.join(F.broadcast(tgt), "event_type")
+        .withColumn("d", F.expr("n - tgt - (tgt div 10)"))
+        .withColumn("p", F.sum("d").over(run))
+        .withColumn(
+            "s",
+            F.col("p") - F.least(F.lit(0).cast("bigint"), F.min("p").over(run)),
+        )
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.first("n_buckets").alias("n_buckets"),
+            F.first("tgt").alias("tgt"),
+            F.expr("max_by(s, b)").alias("final_cusum"),
+            F.max("s").alias("max_cusum"),
+        )
+        .withColumn("breached", F.col("max_cusum") >= 3 * F.col("tgt"))
+    )
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_pareto_abc": orders_pareto_abc,
@@ -398,6 +489,8 @@ QUERIES = {
     "audit_fk_orphans": audit_fk_orphans,
     "customer_rfm_segments": customer_rfm_segments,
     "events_markov_transitions": events_markov_transitions,
+    "events_top_paths": events_top_paths,
+    "events_cusum_change": events_cusum_change,
 }
 
 ORACLES = {
@@ -420,6 +513,55 @@ ORACLES = {
                ) / 10000.0 AS win_mean
         FROM events e JOIN bounds b ON e.event_type = b.event_type
         GROUP BY e.event_type
+    """,
+    "events_top_paths": f"""
+        WITH seq AS (
+            SELECT event_type AS a,
+                   lead(event_type, 1) OVER w AS b,
+                   lead(event_type, 2) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT a || '>' || b || '>' || c AS path, count(*)::BIGINT AS n
+        FROM seq WHERE c IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT {_PATH_TOPK}
+    """,
+    "events_cusum_change": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS b,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ),
+        tgt AS (
+            SELECT event_type, count(*)::BIGINT AS n_buckets,
+                   sum(n)::BIGINT // count(*)::BIGINT AS tgt
+            FROM hourly GROUP BY event_type
+        ),
+        pref AS (
+            SELECT h.event_type, h.b, t.n_buckets, t.tgt,
+                   sum(h.n - t.tgt - (t.tgt // 10)) OVER w AS p
+            FROM hourly h JOIN tgt t USING (event_type)
+            WINDOW w AS (PARTITION BY h.event_type ORDER BY h.b
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        ),
+        dev AS (
+            SELECT event_type, b, n_buckets, tgt,
+                   p - least(0::BIGINT, min(p) OVER w) AS s
+            FROM pref
+            WINDOW w AS (PARTITION BY event_type ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        )
+        SELECT event_type,
+               any_value(n_buckets) AS n_buckets,
+               any_value(tgt) AS tgt,
+               max_by(s, b) AS final_cusum,
+               max(s) AS max_cusum,
+               max(s) >= 3 * any_value(tgt) AS breached
+        FROM dev GROUP BY event_type
     """,
     "customer_rfm_segments": """
         WITH o AS (

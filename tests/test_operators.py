@@ -1267,3 +1267,61 @@ def test_pc1_projection_stats_bracket_means(spark, sf_dir):
         f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
     ).fetchone()[0]
     assert sum(r["n"] for r in rows) == n
+
+
+def test_cusum_drawup_identity_matches_recursive_fold(spark, sf_dir):
+    """The window-algebra drawup form must equal the textbook
+    recursive clip-at-zero CUSUM, replayed in python on the same
+    hourly series."""
+    import duckdb
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_cusum_change,
+    )
+
+    got = {
+        r["event_type"]: (
+            r["n_buckets"],
+            r["tgt"],
+            r["final_cusum"],
+            r["max_cusum"],
+            r["breached"],
+        )
+        for r in events_cusum_change(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, date_trunc('hour', ts) AS b,
+               count(*)::BIGINT AS n
+        FROM read_parquet('{sf_dir}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for etype, _b, n in rows:
+        series.setdefault(etype, []).append(n)
+    for etype, xs in series.items():
+        tgt = sum(xs) // len(xs)
+        slack = tgt // 10
+        s = m = 0
+        for x in xs:
+            s = max(0, s + x - tgt - slack)
+            m = max(m, s)
+        assert got[etype] == (len(xs), tgt, s, m, m >= 3 * tgt), etype
+
+
+def test_top_paths_are_frequency_ordered_triples(spark, sf_dir):
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_top_paths,
+    )
+
+    rows = events_top_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    last = None
+    for r in rows:
+        assert r["path"].count(">") == 2
+        assert r["n"] >= 1
+        if last is not None:
+            assert r["n"] <= last
+        last = r["n"]
