@@ -482,6 +482,55 @@ def events_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-engagement report: per observed day, DAU, trailing-7-day
+    WAU, trailing-28-day MAU, and the DAU/WAU stickiness ratio in
+    exact ppm — the dashboard triple every consumer product tracks.
+
+    Shape: dedup events to (user, active day) pairs once, then explode
+    each pair into the 28 future days it keeps the user "active" for,
+    reduce to per-(user, day) MINIMUM lag, and count lags < 7 / < 28
+    per day — one distinct, one bounded ×28 explode, two
+    map-side-combining reduces; no self-joins, no per-day rescans.
+    Output days are restricted to days with actual activity (inner
+    join with the DAU frame).
+
+    Scale: |user × day| pairs are orders of magnitude below |events|;
+    the 28× explode is the trade for turning a sliding distinct-count
+    into hash aggregation — the standard scalable shape (a 100 TB
+    events table still yields a tiny pair frame).
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    )
+    active = ev.distinct()
+    dau = active.groupBy("day").agg(F.count("*").alias("dau"))
+    lag = (
+        active.select(
+            "user_id", "day", F.explode(F.expr("sequence(0, 27)")).alias("i")
+        )
+        .select(
+            "user_id", F.expr("date_add(day, i)").alias("day"), "i"
+        )
+        .groupBy("user_id", "day")
+        .agg(F.min("i").alias("mi"))
+    )
+    spans = lag.groupBy("day").agg(
+        F.count(F.when(F.col("mi") < 7, 1)).alias("wau7"),
+        F.count("*").alias("mau28"),
+    )
+    return (
+        dau.join(spans, "day")
+        .select(
+            "day",
+            "dau",
+            "wau7",
+            "mau28",
+            F.expr("(dau * 1000000) div wau7").alias("stickiness_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_pareto_abc": orders_pareto_abc,
@@ -490,6 +539,7 @@ QUERIES = {
     "customer_rfm_segments": customer_rfm_segments,
     "events_markov_transitions": events_markov_transitions,
     "events_top_paths": events_top_paths,
+    "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "events_cusum_change": events_cusum_change,
 }
 
@@ -513,6 +563,28 @@ ORACLES = {
                ) / 10000.0 AS win_mean
         FROM events e JOIN bounds b ON e.event_type = b.event_type
         GROUP BY e.event_type
+    """,
+    "events_dau_wau_stickiness": """
+        WITH active AS (
+            SELECT DISTINCT user_id, ts::DATE AS day FROM events
+        ),
+        dau AS (
+            SELECT day, count(*)::BIGINT AS dau FROM active GROUP BY day
+        ),
+        lag AS (
+            SELECT user_id, day + i::INTEGER AS day, min(i) AS mi
+            FROM active, unnest(generate_series(0, 27)) AS t(i)
+            GROUP BY user_id, day + i::INTEGER
+        ),
+        spans AS (
+            SELECT day,
+                   count(*) FILTER (WHERE mi < 7)::BIGINT AS wau7,
+                   count(*)::BIGINT AS mau28
+            FROM lag GROUP BY day
+        )
+        SELECT d.day, d.dau, s.wau7, s.mau28,
+               (d.dau * 1000000) // s.wau7 AS stickiness_ppm
+        FROM dau d JOIN spans s USING (day)
     """,
     "events_top_paths": f"""
         WITH seq AS (

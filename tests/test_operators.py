@@ -1325,3 +1325,21 @@ def test_top_paths_are_frequency_ordered_triples(spark, sf_dir):
         if last is not None:
             assert r["n"] <= last
         last = r["n"]
+
+
+def test_dau_wau_stickiness_invariants(spark, sf_dir):
+    """DAU ≤ WAU ≤ MAU per day, stickiness is the exact ppm ratio, and
+    the first observed day has DAU == WAU (no prior history)."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_dau_wau_stickiness,
+    )
+
+    rows = sorted(
+        events_dau_wau_stickiness(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau7"] <= r["mau28"]
+        assert r["stickiness_ppm"] == r["dau"] * 1_000_000 // r["wau7"]
+    assert rows[0]["dau"] == rows[0]["wau7"] == rows[0]["mau28"]
