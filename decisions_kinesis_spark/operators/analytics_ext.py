@@ -531,6 +531,92 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_scd2_ship_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 interval construction — the warehouse dimension-
+    versioning shape (valid_from / valid_to / is_current) built from a
+    real change sequence: each order's shipping progress, versioned at
+    every distinct ship date, with the cumulative number of shipped
+    lines as the tracked attribute.  Audited on the 10% key slice so
+    the report stays review-sized at any SF.
+
+    Shape: ONE window pass per order (row_number for the version,
+    running sum for the attribute, lead for the closing bound) over
+    the per-(order, shipdate) pre-aggregate; current versions carry
+    valid_to NULL — the exact contract MERGE-based SCD2 pipelines
+    maintain incrementally.
+
+    Scale: the window partitions by order key (bounded partitions,
+    ≤7 versions); the pre-aggregate map-side combines.
+    """
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_orderkey") % 10 == 0)
+        .groupBy(
+            F.col("l_orderkey").alias("o_key"),
+            F.to_date("l_shipdate").alias("ship_day"),
+        )
+        .agg(F.count("*").alias("n_lines"))
+    )
+    w = Window.partitionBy("o_key").orderBy("ship_day")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "o_key",
+        F.row_number().over(w).alias("version"),
+        F.sum("n_lines").over(run).alias("n_shipped_cum"),
+        F.col("ship_day").alias("valid_from"),
+        F.lead("ship_day").over(w).alias("valid_to"),
+        F.lead("ship_day").over(w).isNull().alias("is_current"),
+    )
+
+
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval SWEEP-LINE: how many orders are open (placed, not yet
+    fully shipped) on each day — the operational backlog series.  An
+    order is open from its order date through its last ship date
+    inclusive.
+
+    Shape: intervals become +1/−1 boundary deltas, aggregated per day,
+    then one cumulative sum over the day axis.  The cumsum window is
+    GLOBAL but runs over the calendar-bounded per-day frame (≤ a few
+    thousand rows at ANY data scale — the day axis does not grow with
+    the data), the one case where a single-partition window is safe by
+    construction; every data-proportional step before it map-side
+    combines.
+    """
+    li = load_table(spark, "lineitem", sf_dir).groupBy(
+        F.col("l_orderkey").alias("o_key")
+    ).agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("o_key"),
+        F.to_date("o_orderdate").alias("open_day"),
+    )
+    iv = o.join(li, "o_key")
+    deltas = (
+        iv.select(F.col("open_day").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            iv.select(
+                F.expr("date_add(close_day, 1)").alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("d").alias("net"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_opened"),
+            F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_closed"),
+        )
+    )
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return deltas.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("net").over(cum).alias("backlog"),
+    )
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_pareto_abc": orders_pareto_abc,
@@ -540,6 +626,8 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_top_paths": events_top_paths,
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
+    "orders_scd2_ship_history": orders_scd2_ship_history,
+    "orders_open_backlog_daily": orders_open_backlog_daily,
     "events_cusum_change": events_cusum_change,
 }
 
@@ -563,6 +651,53 @@ ORACLES = {
                ) / 10000.0 AS win_mean
         FROM events e JOIN bounds b ON e.event_type = b.event_type
         GROUP BY e.event_type
+    """,
+    "orders_scd2_ship_history": """
+        WITH li AS (
+            SELECT l_orderkey AS o_key, l_shipdate::DATE AS ship_day,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem WHERE l_orderkey % 10 = 0
+            GROUP BY 1, 2
+        )
+        SELECT o_key,
+               row_number() OVER w AS version,
+               sum(n_lines) OVER (PARTITION BY o_key ORDER BY ship_day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS n_shipped_cum,
+               ship_day AS valid_from,
+               lead(ship_day) OVER w AS valid_to,
+               lead(ship_day) OVER w IS NULL AS is_current
+        FROM li
+        WINDOW w AS (PARTITION BY o_key ORDER BY ship_day)
+    """,
+    "orders_open_backlog_daily": """
+        WITH close AS (
+            SELECT l_orderkey AS o_key, max(l_shipdate::DATE) AS close_day
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        iv AS (
+            SELECT o.o_orderkey AS o_key, o.o_orderdate::DATE AS open_day,
+                   c.close_day
+            FROM orders o JOIN close c ON c.o_key = o.o_orderkey
+        ),
+        deltas AS (
+            SELECT day, sum(d)::BIGINT AS net,
+                   sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_opened,
+                   sum(CASE WHEN d = -1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_closed
+            FROM (
+                SELECT open_day AS day, 1 AS d FROM iv
+                UNION ALL
+                SELECT close_day + 1 AS day, -1 AS d FROM iv
+            )
+            GROUP BY day
+        )
+        SELECT day, n_opened, n_closed,
+               sum(net) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)::BIGINT AS backlog
+        FROM deltas
     """,
     "events_dau_wau_stickiness": """
         WITH active AS (

@@ -1343,3 +1343,48 @@ def test_dau_wau_stickiness_invariants(spark, sf_dir):
         assert r["dau"] <= r["wau7"] <= r["mau28"]
         assert r["stickiness_ppm"] == r["dau"] * 1_000_000 // r["wau7"]
     assert rows[0]["dau"] == rows[0]["wau7"] == rows[0]["mau28"]
+
+
+def test_scd2_intervals_partition_each_key_timeline(spark, sf_dir):
+    """Per key: versions are 1..n, exactly one current row, intervals
+    chain (valid_to == next valid_from) and the cumulative attribute
+    is strictly increasing."""
+    from collections import defaultdict
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        orders_scd2_ship_history,
+    )
+
+    rows = orders_scd2_ship_history(spark, sf_dir).collect()
+    assert rows
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["o_key"]].append(r)
+    for key, rs in by_key.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r["is_current"] for r in rs) == 1
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["n_shipped_cum"] < b["n_shipped_cum"]
+
+
+def test_backlog_sweep_line_is_consistent(spark, sf_dir):
+    """Backlog equals cumulative net deltas, never goes negative, and
+    ends at zero (every order eventually closes)."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        orders_open_backlog_daily,
+    )
+
+    rows = sorted(
+        orders_open_backlog_daily(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    run = 0
+    for r in rows:
+        run += r["n_opened"] - r["n_closed"]
+        assert r["backlog"] == run
+        assert r["backlog"] >= 0
+    assert rows[-1]["backlog"] == 0
