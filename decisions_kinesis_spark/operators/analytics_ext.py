@@ -617,6 +617,66 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares TREND detection per event type: exact-integer OLS
+    of the ×10⁴-quantized hourly mean against the bucket index —
+    slope (ppm per bucket) and r² (ppm) with no floating point past
+    the shared quantization step, so both engines agree to the digit.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) and r² = num² /
+    (den_x·den_y), computed in DECIMAL(38,0) (num² reaches ~10³⁰ on
+    long series — bigint is not enough; DuckDB widens to INT128/
+    HUGEINT natively and its 10³⁸ ceiling bounds the series length at
+    ~10⁵ buckets ≈ 11 years of hours — the calendar again).
+
+    Scale: hourly means reduce map-side; the per-type series index is
+    a bounded partitioned window; the moment sums are one
+    map-side-combining aggregation.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b"), "value"
+    )
+    hourly = ev.groupBy("event_type", "b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sdec"),
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    pts = hourly.select(
+        "event_type",
+        F.row_number().over(w).cast("bigint").alias("x"),
+        F.expr(
+            "cast(floor((cast(sdec as double) / n) * 10000 + 0.5)"
+            " as bigint)"
+        ).alias("y"),
+    )
+    mom = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        F.expr(
+            "cast((cast(n as decimal(38,0)) * sxy - cast(sx as"
+            " decimal(38,0)) * sy) * 1000000 div (cast(n as"
+            " decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"
+            " as bigint)"
+        ).alias("slope_ppm"),
+        F.expr(
+            "cast((cast(n as decimal(38,0)) * sxy - cast(sx as"
+            " decimal(38,0)) * sy) * (cast(n as decimal(38,0)) * sxy"
+            " - cast(sx as decimal(38,0)) * sy) * 1000000 div"
+            " ((cast(n as decimal(38,0)) * sxx - cast(sx as"
+            " decimal(38,0)) * sx) * (cast(n as decimal(38,0)) * syy"
+            " - cast(sy as decimal(38,0)) * sy)) as bigint)"
+        ).alias("r2_ppm"),
+    )
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_pareto_abc": orders_pareto_abc,
@@ -627,6 +687,7 @@ QUERIES = {
     "events_top_paths": events_top_paths,
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "orders_scd2_ship_history": orders_scd2_ship_history,
+    "events_hourly_trend_ols": events_hourly_trend_ols,
     "orders_open_backlog_daily": orders_open_backlog_daily,
     "events_cusum_change": events_cusum_change,
 }
@@ -651,6 +712,38 @@ ORACLES = {
                ) / 10000.0 AS win_mean
         FROM events e JOIN bounds b ON e.event_type = b.event_type
         GROUP BY e.event_type
+    """,
+    "events_hourly_trend_ols": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS b,
+                   count(*)::BIGINT AS n,
+                   sum(value::DECIMAL(18,4)) AS sdec
+            FROM events GROUP BY 1, 2
+        ),
+        pts AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY b)::BIGINT AS x,
+                   floor((sdec::DOUBLE / n) * 10000 + 0.5)::BIGINT AS y
+            FROM hourly
+        ),
+        mom AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+                   sum(y::HUGEINT * y) AS syy
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type, n,
+               ((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+                // (n::HUGEINT * sxx - sx::HUGEINT * sx))::BIGINT
+                   AS slope_ppm,
+               ((n::HUGEINT * sxy - sx::HUGEINT * sy)
+                * (n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+                // ((n::HUGEINT * sxx - sx::HUGEINT * sx)
+                    * (n::HUGEINT * syy - sy::HUGEINT * sy)))::BIGINT
+                   AS r2_ppm
+        FROM mom
     """,
     "orders_scd2_ship_history": """
         WITH li AS (

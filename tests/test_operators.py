@@ -1388,3 +1388,51 @@ def test_backlog_sweep_line_is_consistent(spark, sf_dir):
         assert r["backlog"] == run
         assert r["backlog"] >= 0
     assert rows[-1]["backlog"] == 0
+
+
+def test_ols_trend_matches_python_least_squares(spark, sf_dir):
+    """Exact differential: the integer OLS vs python's arbitrary-
+    precision replay of the same moment formulas on the same series."""
+    import duckdb
+    import math
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_hourly_trend_ols,
+    )
+
+    got = {
+        r["event_type"]: (r["n"], r["slope_ppm"], r["r2_ppm"])
+        for r in events_hourly_trend_ols(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, date_trunc('hour', ts) AS b,
+               count(*)::BIGINT, sum(value::DECIMAL(18,4))
+        FROM read_parquet('{sf_dir}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for etype, _b, n, sdec in rows:
+        series.setdefault(etype, []).append(
+            int(math.floor((float(sdec) / n) * 10000 + 0.5))
+        )
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if (a < 0) != (b < 0) else abs(a) // abs(b)
+
+    for etype, ys in series.items():
+        n = len(ys)
+        xs = list(range(1, n + 1))
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        slope = tdiv(num * 1_000_000, denx)
+        r2 = tdiv(num * num * 1_000_000, denx * deny)
+        assert got[etype] == (n, slope, r2), etype
+        assert 0 <= r2 <= 1_000_000
