@@ -1,35 +1,42 @@
-"""Second-wave analytic extensions: robust statistics + Pareto/ABC.
+"""Second-wave analytic extensions: the monitoring / behavioral /
+warehouse-modeling operator families beyond the first-wave suites.
 
-Two operator families the monitoring/merchandising side of an
-analytics engine needs beyond the first-wave suites:
+Four groups, all first-class oracled queries:
 
-- ``events_winsorized_stats`` — percentile-clipped (winsorized) robust
-  moments per event type, completing the robust-statistics family next
-  to ``events_mad_outliers`` (windows_ext.py): MAD answers "how many
-  points are anomalous", winsorizing answers "what is the mean once
-  tails stop lying".
-- ``orders_pareto_abc`` — cumulative-revenue-share ABC classification
-  of parts (the 80/95 Pareto cut), the inventory-analytics shape that
-  needs an exact GLOBAL cumulative sum — implemented with the
-  distributed prefix-sum pattern (range repartition + per-partition
-  offsets), never a single-partition window, so the same plan survives
-  a dimension table with 10⁸ members.
+- ROBUST STATS & MONITORING — ``events_winsorized_stats`` (p1/p99
+  clipped moments, next to windows_ext's MAD), ``events_ewma_hourly``
+  (α=½ sequential-fold smoothing), ``events_cusum_change`` (level-
+  shift alarm via the drawup identity), ``events_hourly_trend_ols``
+  (exact-integer least-squares slope + r²).
+- BEHAVIORAL ANALYTICS — ``events_markov_transitions`` (first-order
+  next-action chain), ``events_top_paths`` (3-step sequence mining),
+  ``events_dau_wau_stickiness`` (DAU/WAU/MAU via bounded explode),
+  ``customer_rfm_segments`` (tercile-scored RFM 27-cell table).
+- WAREHOUSE MODELING — ``orders_pareto_abc`` (cumulative-share ABC
+  cuts on the distributed prefix-sum pattern,
+  ``functions/ordering.range_prefix``), ``orders_scd2_ship_history``
+  (SCD type-2 validity intervals), ``orders_open_backlog_daily``
+  (interval sweep-line).
+- INTEGRITY — ``audit_fk_orphans`` (anti-join orphan counts for every
+  schema FK relationship).
 
-Determinism: quantile interpolations are bitwise-identical between
-the engines (the established ``percentile``/``quantile_cont``
-contract); money flows through per-row integer quantization (×10⁴,
-floor+0.5) so every sum, cumulative sum, and share is exact BIGINT in
-both engines; double outputs are floor-rounded at 4dp.
+Determinism contract shared by all of them: quantile interpolations
+are bitwise-identical between the engines (the established
+``percentile``/``quantile_cont`` contract); money and measures pass
+through per-row ×10⁴ integer quantization so sums, cumulative sums,
+shares, and regression moments are exact integers (DECIMAL(38,0)
+where products outgrow bigint); sequential folds execute the same
+IEEE op sequence in both engines; double outputs are floor-rounded
+at 4dp.
 """
 
 from __future__ import annotations
-
-from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from decisions_kinesis_spark.functions.ordering import range_prefix
 from decisions_kinesis_spark.functions.rounding import fl4
 from decisions_kinesis_spark.sources.tables import load_table
 
@@ -127,26 +134,11 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_key")
         .agg(F.sum("r").alias("rev_scaled"))
     )
-    part = (
-        rev.repartitionByRange(
-            _ABC_PARTS, F.col("rev_scaled").desc(), F.col("part_key")
-        )
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    subtotals = sorted(
-        (r["_pid"], r["s"], r["c"])
-        for r in part.groupBy("_pid")
-        .agg(F.sum("rev_scaled").alias("s"), F.count("*").alias("c"))
-        .collect()
-    )
-    total = sum(s for _, s, _ in subtotals)
-    offsets, acc = [], 0
-    for pid, s, _c in subtotals:
-        offsets.append((pid, Decimal(acc)))
-        acc += s
-    off_df = part.sparkSession.createDataFrame(
-        offsets, "_pid int, _off decimal(38,0)"
+    part, off_df, _rows, total = range_prefix(
+        rev,
+        [F.col("rev_scaled").desc(), F.col("part_key")],
+        _ABC_PARTS,
+        sum_col="rev_scaled",
     )
     w = (
         Window.partitionBy("_pid")
@@ -159,7 +151,7 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cum",
             F.sum(F.col("rev_scaled").cast("decimal(38,0)")).over(w)
-            + F.col("_off"),
+            + F.col("_sum_off"),
         )
         .select(
             "part_key",
@@ -649,30 +641,43 @@ def events_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("y"),
     )
-    mom = pts.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.expr("x * y")).alias("sxy"),
-        F.sum(F.expr("x * x")).alias("sxx"),
-        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+    # n >= 2 guards denx = n·Σx² − (Σx)² > 0 (x are distinct ranks);
+    # a constant series makes deny = 0 ⇒ r² is undefined → NULL, not a
+    # division error (the driver gate runs ANSI mode)
+    mom = (
+        pts.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    num = (
+        "(cast(n as decimal(38,0)) * sxy"
+        " - cast(sx as decimal(38,0)) * sy)"
+    )
+    denx = (
+        "(cast(n as decimal(38,0)) * sxx"
+        " - cast(sx as decimal(38,0)) * sx)"
+    )
+    deny = (
+        "(cast(n as decimal(38,0)) * syy"
+        " - cast(sy as decimal(38,0)) * sy)"
     )
     return mom.select(
         "event_type",
         "n",
+        F.expr(f"cast({num} * 1000000 div {denx} as bigint)").alias(
+            "slope_ppm"
+        ),
         F.expr(
-            "cast((cast(n as decimal(38,0)) * sxy - cast(sx as"
-            " decimal(38,0)) * sy) * 1000000 div (cast(n as"
-            " decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"
+            f"cast(case when {deny} = 0 then null else"
+            f" {num} * {num} * 1000000 div ({denx} * {deny}) end"
             " as bigint)"
-        ).alias("slope_ppm"),
-        F.expr(
-            "cast((cast(n as decimal(38,0)) * sxy - cast(sx as"
-            " decimal(38,0)) * sy) * (cast(n as decimal(38,0)) * sxy"
-            " - cast(sx as decimal(38,0)) * sy) * 1000000 div"
-            " ((cast(n as decimal(38,0)) * sxx - cast(sx as"
-            " decimal(38,0)) * sx) * (cast(n as decimal(38,0)) * syy"
-            " - cast(sy as decimal(38,0)) * sy)) as bigint)"
         ).alias("r2_ppm"),
     )
 
@@ -738,12 +743,14 @@ ORACLES = {
                ((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
                 // (n::HUGEINT * sxx - sx::HUGEINT * sx))::BIGINT
                    AS slope_ppm,
-               ((n::HUGEINT * sxy - sx::HUGEINT * sy)
-                * (n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
-                // ((n::HUGEINT * sxx - sx::HUGEINT * sx)
-                    * (n::HUGEINT * syy - sy::HUGEINT * sy)))::BIGINT
-                   AS r2_ppm
-        FROM mom
+               (CASE WHEN (n::HUGEINT * syy - sy::HUGEINT * sy) = 0
+                     THEN NULL
+                     ELSE (n::HUGEINT * sxy - sx::HUGEINT * sy)
+                          * (n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+                          // ((n::HUGEINT * sxx - sx::HUGEINT * sx)
+                              * (n::HUGEINT * syy - sy::HUGEINT * sy))
+                END)::BIGINT AS r2_ppm
+        FROM mom WHERE n >= 2
     """,
     "orders_scd2_ship_history": """
         WITH li AS (

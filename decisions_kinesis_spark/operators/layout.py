@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from decisions_kinesis_spark.functions.ordering import range_prefix
 from decisions_kinesis_spark.sources.tables import load_table
 
 _Z_BITS = 10  # 10 bits/dim → 20-bit Morton key
@@ -72,7 +73,8 @@ def layout_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implementation (one pass for both layouts): each row is emitted
     twice, tagged with its layout and that layout's sort key, then the
     union gets ONE global total order (layout major, key minor) via
-    the scalable distributed-rank pattern:
+    the scalable distributed-rank pattern (shared helper
+    ``functions/ordering.range_prefix``):
 
     1. range-repartition on (layout, k1, k2, k3) — the same shuffle a
        real layout-optimize write pays — then localCheckpoint: the
@@ -129,26 +131,12 @@ def layout_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     order_cols = ["layout", "k1", "k2", "k3"]
-    part = (
-        tagged.repartitionByRange(32, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = sorted(
-        (r["_pid"], r["cnt"])
-        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    )
-    total = sum(c for _, c in counts)
+    part, off_df, total, _ = range_prefix(tagged, order_cols, 32)
     n = total // 2  # rows per layout
-    offsets, acc = [], 0
-    for pid, c in counts:
-        offsets.append((pid, acc))
-        acc += c
-    off_df = part.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     tiled = (
         part.join(F.broadcast(off_df), "_pid")
-        .withColumn("_pos", F.row_number().over(w) + F.col("_off"))
+        .withColumn("_pos", F.row_number().over(w) + F.col("_row_off"))
         # 'linear' sorts before 'zorder', so linear occupies global
         # positions 1..n and zorder n+1..2n
         .withColumn(

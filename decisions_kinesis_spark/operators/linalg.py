@@ -92,7 +92,10 @@ def embedding_power_iteration_pc1(
     return v.select("pos", F.col("val").alias("component"))
 
 
-def _power_iteration_oracle() -> str:
+def _power_iteration_ctes() -> str:
+    """The shared WITH-chain (explode → v0 → s/w/v per iteration);
+    both oracles append their own final SELECT — no string surgery on
+    a finished statement."""
     parts = [
         f"""
         WITH e AS MATERIALIZED (
@@ -122,12 +125,16 @@ def _power_iteration_oracle() -> str:
             FROM w{i}, (SELECT max(abs(w))::BIGINT AS m FROM w{i})
         )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _power_iteration_oracle() -> str:
+    return (
+        _power_iteration_ctes()
+        + f"""
         SELECT pos, val AS component FROM v{_PI_ITERS}
         """
     )
-    return "".join(parts)
 
 
 def embedding_pc1_projection_stats(
@@ -190,12 +197,11 @@ def embedding_pc1_projection_stats(
 
 
 def _projection_oracle() -> str:
-    # compose the power-iteration chain, then one projection + reduce
-    pi = _power_iteration_oracle()
-    head = pi[: pi.rindex("SELECT pos, val AS component")]
+    # compose the shared power-iteration CTE chain, then one
+    # projection + reduce
     descale = float(_Q) * float(_S)
     return (
-        head
+        _power_iteration_ctes()
         + f""",
         el AS MATERIALIZED (
             SELECT vec_id AS row, label,

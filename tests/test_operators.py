@@ -1150,12 +1150,10 @@ def test_power_iteration_matches_integer_mirror(spark, sf_dir):
             " ORDER BY vec_id"
         ).fetchall()
     ]
+    from _helpers import tdiv
+
     q = [[int(math.floor(float(x) * _Q + 0.5)) for x in v] for v in vecs]
     d = len(q[0])
-
-    def tdiv(a: int, b: int) -> int:  # truncate toward zero, like div
-        return -((-a) // b) if a < 0 else a // b
-
     v = [_S] * d
     for _ in range(_PI_ITERS):
         w = [0] * d
@@ -1289,26 +1287,10 @@ def test_cusum_drawup_identity_matches_recursive_fold(spark, sf_dir):
         )
         for r in events_cusum_change(spark, sf_dir).collect()
     }
-    con = duckdb.connect()
-    rows = con.execute(
-        f"""
-        SELECT event_type, date_trunc('hour', ts) AS b,
-               count(*)::BIGINT AS n
-        FROM read_parquet('{sf_dir}/events.parquet')
-        GROUP BY 1, 2 ORDER BY 1, 2
-        """
-    ).fetchall()
-    series: dict[str, list[int]] = {}
-    for etype, _b, n in rows:
-        series.setdefault(etype, []).append(n)
-    for etype, xs in series.items():
-        tgt = sum(xs) // len(xs)
-        slack = tgt // 10
-        s = m = 0
-        for x in xs:
-            s = max(0, s + x - tgt - slack)
-            m = max(m, s)
-        assert got[etype] == (len(xs), tgt, s, m, m >= 3 * tgt), etype
+    from _helpers import cusum_fold, hourly_counts
+
+    for etype, xs in hourly_counts(sf_dir).items():
+        assert got[etype] == cusum_fold(xs), etype
 
 
 def test_top_paths_are_frequency_ordered_triples(spark, sf_dir):
@@ -1419,8 +1401,7 @@ def test_ols_trend_matches_python_least_squares(spark, sf_dir):
             int(math.floor((float(sdec) / n) * 10000 + 0.5))
         )
 
-    def tdiv(a: int, b: int) -> int:
-        return -((-a) // b) if (a < 0) != (b < 0) else abs(a) // abs(b)
+    from _helpers import tdiv
 
     for etype, ys in series.items():
         n = len(ys)

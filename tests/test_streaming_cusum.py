@@ -86,16 +86,12 @@ def test_streaming_cusum_maintenance_matches_batch(spark, tmp_path):
     series: dict[str, list[tuple]] = {}
     for (etype, b), n in state.items():
         series.setdefault(etype, []).append((b, n))
-    got = {}
-    for etype, pairs in series.items():
-        xs = [n for _b, n in sorted(pairs)]
-        tgt = sum(xs) // len(xs)
-        slack = tgt // 10
-        s = m = 0
-        for x in xs:
-            s = max(0, s + x - tgt - slack)
-            m = max(m, s)
-        got[etype] = (len(xs), tgt, s, m, m >= 3 * tgt)
+    from _helpers import cusum_fold
+
+    got = {
+        etype: cusum_fold([n for _b, n in sorted(pairs)])
+        for etype, pairs in series.items()
+    }
 
     batch = {
         r["event_type"]: (
