@@ -7,7 +7,8 @@ Four groups, all first-class oracled queries:
   clipped moments, next to windows_ext's MAD), ``events_ewma_hourly``
   (α=½ sequential-fold smoothing), ``events_cusum_change`` (level-
   shift alarm via the drawup identity), ``events_hourly_trend_ols``
-  (exact-integer least-squares slope + r²).
+  (exact-integer least-squares slope + r²),
+  ``events_seasonal_profile_anomalies`` (hour-of-day baseline breaks).
 - BEHAVIORAL ANALYTICS — ``events_markov_transitions`` (first-order
   next-action chain), ``events_top_paths`` (3-step sequence mining),
   ``events_dau_wau_stickiness`` (DAU/WAU/MAU via bounded explode),
@@ -682,6 +683,51 @@ def events_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_seasonal_profile_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-profile anomaly detection, completing the monitoring
+    quartet (MAD = point outliers, CUSUM = level shifts, OLS = trend,
+    THIS = seasonality): per (event type, hour-of-day), the baseline
+    mean count across days and how many individual days deviate beyond
+    2× / below ½× that baseline — the diurnal-pattern break monitor.
+
+    Determinism: baselines are ×100-scaled integer ratios (sum·100 div
+    n_days); the anomaly comparisons cross-multiply integers, so no
+    division result is ever compared.
+
+    Scale: one map-side-combining count to |type × day × hod| cells,
+    one reduce to |type × hod| baselines broadcast back, one flag
+    reduce — the same two-bounded-shuffle shape as the gopher gate.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+    )
+    cells = ev.groupBy("event_type", "day", "hod").agg(
+        F.count("*").alias("n")
+    )
+    base = cells.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_days"),
+        F.expr("(sum(n) * 100) div count(*)").alias("baseline_x100"),
+    )
+    return (
+        cells.join(F.broadcast(base), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.first("baseline_x100").alias("baseline_x100"),
+            F.count(
+                F.when(F.expr("n * 100 > 2 * baseline_x100"), 1)
+            ).alias("n_high_days"),
+            F.count(
+                F.when(F.expr("n * 200 < baseline_x100"), 1)
+            ).alias("n_low_days"),
+        )
+    )
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_pareto_abc": orders_pareto_abc,
@@ -695,6 +741,7 @@ QUERIES = {
     "events_hourly_trend_ols": events_hourly_trend_ols,
     "orders_open_backlog_daily": orders_open_backlog_daily,
     "events_cusum_change": events_cusum_change,
+    "events_seasonal_profile_anomalies": events_seasonal_profile_anomalies,
 }
 
 ORACLES = {
@@ -717,6 +764,27 @@ ORACLES = {
                ) / 10000.0 AS win_mean
         FROM events e JOIN bounds b ON e.event_type = b.event_type
         GROUP BY e.event_type
+    """,
+    "events_seasonal_profile_anomalies": """
+        WITH cells AS (
+            SELECT event_type, ts::DATE AS day, hour(ts) AS hod,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2, 3
+        ),
+        base AS (
+            SELECT event_type, hod, count(*)::BIGINT AS n_days,
+                   (sum(n) * 100) // count(*) AS baseline_x100
+            FROM cells GROUP BY event_type, hod
+        )
+        SELECT c.event_type, c.hod,
+               any_value(b.n_days) AS n_days,
+               any_value(b.baseline_x100) AS baseline_x100,
+               count(*) FILTER (WHERE c.n * 100 > 2 * b.baseline_x100)
+                   ::BIGINT AS n_high_days,
+               count(*) FILTER (WHERE c.n * 200 < b.baseline_x100)
+                   ::BIGINT AS n_low_days
+        FROM cells c JOIN base b USING (event_type, hod)
+        GROUP BY c.event_type, c.hod
     """,
     "events_hourly_trend_ols": """
         WITH hourly AS (

@@ -1417,3 +1417,18 @@ def test_ols_trend_matches_python_least_squares(spark, sf_dir):
         r2 = tdiv(num * num * 1_000_000, denx * deny)
         assert got[etype] == (n, slope, r2), etype
         assert 0 <= r2 <= 1_000_000
+
+
+def test_seasonal_profile_anomalies_consistency(spark, sf_dir):
+    """Every (type, hour-of-day) cell is covered, baselines are
+    positive, and anomalous-day counts never exceed the day count."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_seasonal_profile_anomalies,
+    )
+
+    rows = events_seasonal_profile_anomalies(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hod"] <= 23
+        assert r["baseline_x100"] > 0
+        assert r["n_high_days"] + r["n_low_days"] <= r["n_days"]
