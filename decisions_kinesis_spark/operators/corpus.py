@@ -1612,6 +1612,56 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("stage_id").cast("bigint"), "stage", "n_docs")
 
 
+_NOVELTY_BUCKET = 100  # documents per ingest slice
+
+
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diminishing-returns curve for corpus growth: documents are
+    sliced into ingest order buckets (doc_id div 100) and each bucket
+    reports how many of its distinct 8-token grams were NEVER SEEN in
+    any earlier bucket — the novelty-decay measurement behind "is more
+    of this source still adding information", i.e. the data-curation
+    curve Villalobos-style scaling audits read.
+
+    No sequential state: a gram's first-seen bucket is simply
+    ``min(bucket)`` over its occurrences, so the whole curve is two
+    hash aggregations and one 8-byte-key equi-join — order-free and
+    exactly reproducible.
+
+    Scale: shares ``doc_token_grams`` (hashed grams, map-side
+    distinct); the first-seen frame is |distinct grams| keyed by the
+    8-byte hash; the join is the decontam equi-join shape.  Output is
+    |buckets| rows.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    bg = (
+        doc_token_grams(docs)
+        .select(
+            F.expr(f"doc_id div {_NOVELTY_BUCKET}").alias("bucket"), "g"
+        )
+        .distinct()
+    )
+    firsts = bg.groupBy("g").agg(F.min("bucket").alias("fb"))
+    return (
+        bg.join(firsts, "g")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_gram_types"),
+            F.count(F.when(F.col("fb") == F.col("bucket"), 1)).alias(
+                "n_novel_types"
+            ),
+        )
+        .select(
+            "bucket",
+            "n_gram_types",
+            "n_novel_types",
+            F.expr("(n_novel_types * 1000000) div n_gram_types").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "quality_gopher_flags": quality_gopher_flags,
     "quality_repetition_flags": quality_repetition_flags,
@@ -1636,6 +1686,7 @@ QUERIES = {
     "mix_resample_apply": mix_resample_apply,
     "dsir_importance_weights": dsir_importance_weights,
     "corpus_funnel_report": corpus_funnel_report,
+    "corpus_novelty_curve": corpus_novelty_curve,
 }
 
 _DUCK_FL4 = "floor(({e}) * 10000 + 0.5) / 10000.0"
@@ -2425,4 +2476,34 @@ ORACLES["corpus_funnel_report"] = f"""
     UNION ALL SELECT 4, 'exact_substring_dedup', n4 FROM one
     UNION ALL SELECT 5, 'holdout_removed', n5 FROM one
     UNION ALL SELECT 6, 'decontaminated', n6 FROM one
+"""
+
+
+ORACLES["corpus_novelty_curve"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE len(toks) >= {_SUBSTR_N}),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(toks) - {_SUBSTR_N} + 2),
+                   i -> array_to_string(
+                       list_slice(toks, i, i + {_SUBSTR_N} - 1), ' ')
+               )) AS gram
+        FROM nz
+    ),
+    bg AS (
+        SELECT DISTINCT doc_id // {_NOVELTY_BUCKET} AS bucket,
+               {_DUCK_BIGHASH.format(e="gram")} AS g
+        FROM g
+    ),
+    firsts AS (SELECT g, min(bucket) AS fb FROM bg GROUP BY g)
+    SELECT bucket,
+           count(*)::BIGINT AS n_gram_types,
+           count(*) FILTER (WHERE fb = bucket)::BIGINT AS n_novel_types,
+           (count(*) FILTER (WHERE fb = bucket) * 1000000)
+               // count(*) AS novelty_ppm
+    FROM bg JOIN firsts USING (g)
+    GROUP BY bucket
 """

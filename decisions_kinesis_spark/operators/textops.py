@@ -581,6 +581,69 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAKE_TOPK = 20
+#: Same regex, two escape depths: Spark SQL string literals unescape
+#: backslashes (so the pattern needs \\b to reach the Java regex as
+#: \b), DuckDB passes literals through verbatim (so \b IS \b).
+_RAKE_SPARK_RE = "\\\\b(" + "|".join(_EN_STOP) + ")\\\\b"
+_RAKE_DUCK_RE = "\\b(" + "|".join(_EN_STOP) + ")\\b"
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal stopword-free runs; each word scores
+    degree/frequency (degree = summed length of phrases containing
+    it, frequency = its occurrence count); a phrase scores the sum of
+    its word scores.  Top-20 corpus phrases by score with occurrence
+    counts — the unsupervised keyword surface next to TF-IDF.
+
+    Determinism: word scores are ×100-scaled integer ratios
+    (``degree·100 div freq``), phrase scores exact integer sums;
+    ties break on the phrase text.  Stopword splitting is one
+    regexp_replace (DuckDB side needs the ``'g'`` flag — the
+    documented replace-all gotcha) + split.
+
+    Scale: two explodes (phrases, words) with map-side-combining
+    counts; the word-score frame is vocabulary-sized and broadcast
+    back into the phrase scoring join; top-k is
+    TakeOrderedAndProject.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    phrases = docs.select(
+        F.explode(
+            F.expr(
+                "filter(transform(split(regexp_replace(lower(text),"
+                f" '{_RAKE_SPARK_RE}', '|'), '\\\\|'),"
+                " p -> trim(regexp_replace(p, '\\\\s+', ' '))),"
+                " p -> p != '')"
+            )
+        ).alias("phrase")
+    )
+    pw = phrases.select(
+        "phrase",
+        F.expr("split(phrase, ' ')").alias("ws"),
+    ).select("phrase", F.size("ws").alias("plen"), F.explode("ws").alias("w"))
+    scores = pw.groupBy("w").agg(
+        F.expr("(sum(plen) * 100) div count(*)").alias("score_x100")
+    )
+    return (
+        pw.join(F.broadcast(scores), "w")
+        .groupBy("phrase")
+        .agg(F.sum("score_x100").alias("total"))
+        .join(
+            phrases.groupBy("phrase").agg(F.count("*").alias("n_occ")),
+            "phrase",
+        )
+        .select(
+            "phrase",
+            F.expr("total div n_occ").alias("score_x100"),
+            "n_occ",
+        )
+        .orderBy(F.col("score_x100").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_dup_span_fraction": text_dup_span_fraction,
@@ -596,6 +659,7 @@ QUERIES = {
     "text_pack_context_bins": text_pack_context_bins,
     "text_redact_patterns": text_redact_patterns,
     "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
+    "text_rake_keywords": text_rake_keywords,
 }
 
 _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
@@ -885,4 +949,35 @@ ORACLES["retrieval_hybrid_rrf"] = f"""
                   ORDER BY rrf_scaled DESC, doc_id ASC) AS rank
           FROM fused)
     WHERE rank <= {_BM25_TOPK}
+"""
+
+
+ORACLES["text_rake_keywords"] = f"""
+    WITH phrases AS (
+        SELECT unnest(list_filter(list_transform(
+                   string_split(regexp_replace(lower(text),
+                       '{_RAKE_DUCK_RE}', '|', 'g'), '|'),
+                   p -> trim(regexp_replace(p, '\\s+', ' ', 'g'))),
+               p -> p <> '')) AS phrase
+        FROM documents
+    ),
+    pw AS (
+        SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    scores AS (
+        SELECT w, (sum(plen) * 100) // count(*) AS score_x100
+        FROM pw GROUP BY w
+    ),
+    ps AS (
+        SELECT pw.phrase, sum(s.score_x100)::BIGINT AS total
+        FROM pw JOIN scores s USING (w)
+        GROUP BY pw.phrase
+    ),
+    occ AS (SELECT phrase, count(*)::BIGINT AS n_occ FROM phrases GROUP BY phrase)
+    SELECT p.phrase, (p.total // o.n_occ)::BIGINT AS score_x100, o.n_occ
+    FROM ps p JOIN occ o USING (phrase)
+    ORDER BY score_x100 DESC, phrase
+    LIMIT {_RAKE_TOPK}
 """

@@ -1432,3 +1432,42 @@ def test_seasonal_profile_anomalies_consistency(spark, sf_dir):
         assert 0 <= r["hod"] <= 23
         assert r["baseline_x100"] > 0
         assert r["n_high_days"] + r["n_low_days"] <= r["n_days"]
+
+
+def test_novelty_curve_first_bucket_is_all_novel(spark, sf_dir):
+    from decisions_kinesis_spark.operators.corpus import (
+        corpus_novelty_curve,
+    )
+
+    rows = sorted(
+        corpus_novelty_curve(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows
+    assert rows[0]["bucket"] == 0
+    assert rows[0]["novelty_ppm"] == 1_000_000
+    for r in rows:
+        assert 0 < r["n_novel_types"] <= r["n_gram_types"] or (
+            r["n_novel_types"] == 0
+        )
+        assert r["novelty_ppm"] == (
+            r["n_novel_types"] * 1_000_000 // r["n_gram_types"]
+        )
+
+
+def test_rake_phrases_are_stopword_free_and_ordered(spark, sf_dir):
+    from decisions_kinesis_spark.operators.textops import (
+        _EN_STOP,
+        text_rake_keywords,
+    )
+
+    rows = text_rake_keywords(spark, sf_dir).collect()
+    assert rows
+    last = None
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert words and not set(words) & set(_EN_STOP)
+        assert r["score_x100"] > 0 and r["n_occ"] >= 1
+        if last is not None:
+            assert r["score_x100"] <= last
+        last = r["score_x100"]
