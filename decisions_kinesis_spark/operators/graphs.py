@@ -116,6 +116,10 @@ def pagerank(pairs: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("r div deg")).alias("s"))
             .select("node", F.expr(f"{tp} + (85 * s) div 100").alias("r"))
+            # per-iteration pin: measured vs checkpointing every 2nd
+            # level — identical wall-clock (the broadcast build is the
+            # real per-level job; the checkpoint barrier is free), so
+            # keep the simpler constant-plan form
             .localCheckpoint(eager=True)
         )
     return ranks.join(degs, "node")

@@ -155,3 +155,59 @@ def test_resize_matches_pure_python_reference(w, h, data):
     out = resize_box2(blob)
     assert (out["r_width"], out["r_height"]) == (rw, rh)
     assert [out["rsum_r"], out["rsum_g"], out["rsum_b"]] == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+def test_range_prefix_positions_match_single_node_sort(
+    spark, vals, n_parts
+):
+    """Property: the distributed range_prefix machinery reproduces the
+    single-node total order exactly — global position from (partition
+    offset + within-partition row_number) equals the sorted rank, and
+    the _sum_off offsets reproduce the exact prefix sums — for random
+    data (with duplicate keys) and any partition count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from decisions_kinesis_spark.functions.ordering import range_prefix
+
+    rows = [(a, s, i) for i, (a, s) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "a bigint, s bigint, uid bigint")
+    part, off, total_rows, total_sum = range_prefix(
+        df, ["a", "uid"], n_parts, sum_col="s"
+    )
+    w = Window.partitionBy("_pid").orderBy("a", "uid")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = (
+        part.join(F.broadcast(off), "_pid")
+        .select(
+            "uid",
+            (F.row_number().over(w) + F.col("_row_off")).alias("pos"),
+            (
+                F.sum("s").over(run)
+                + F.col("_sum_off").cast("bigint")
+            ).alias("psum"),
+        )
+        .collect()
+    )
+    expect = sorted(rows, key=lambda r: (r[0], r[2]))
+    assert total_rows == len(rows)
+    assert total_sum == sum(s for _a, s, _u in rows)
+    exp_pos = {uid: i + 1 for i, (_a, _s, uid) in enumerate(expect)}
+    acc, exp_psum = 0, {}
+    for _a, s, uid in expect:
+        acc += s
+        exp_psum[uid] = acc
+    assert {r["uid"]: r["pos"] for r in got} == exp_pos
+    assert {r["uid"]: r["psum"] for r in got} == exp_psum
