@@ -728,6 +728,81 @@ def events_seasonal_profile_anomalies(
     )
 
 
+def supplier_otif_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier fulfillment scorecard: per supplier, lead-time stats
+    from order date to each line's ship date — line count, mean /
+    p95 lead days (exact integers / shared-contract quantile), and
+    the on-time share (≤ 60-day lead) in ppm — the vendor-performance
+    report every procurement dashboard carries.
+
+    Scale: one broadcast-free equi-join on the natural orderkey (the
+    q-series co-partitioning), then a map-side-combining reduce to
+    |suppliers| rows; the p95 is the documented exact-percentile
+    reducer over bounded groups.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship")
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("odate"),
+    )
+    lead = li.join(o, "l_orderkey").select(
+        "l_suppkey", F.datediff("ship", "odate").alias("lead_days")
+    )
+    return (
+        lead.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("lead_days").alias("lead_sum"),
+            F.expr(
+                "percentile(lead_days, cast(95 as double)/100)"
+            ).alias("p95_raw"),
+            F.count(F.when(F.col("lead_days") <= 60, 1)).alias("n_ontime"),
+        )
+        .select(
+            "l_suppkey",
+            "n_lines",
+            F.expr("lead_sum div n_lines").alias("mean_lead_days"),
+            fl4(F.col("p95_raw")).alias("p95_lead_days"),
+            F.expr("(n_ontime * 1000000) div n_lines").alias("ontime_ppm"),
+        )
+    )
+
+
+def docs_language_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset drift monitor: per ingest-order bucket (doc_id div
+    100) and language, the bucket's language share vs the corpus-wide
+    share, with the signed delta in ppm — catching a source whose
+    language mix shifts mid-crawl (the ingestion-QA check next to the
+    novelty curve).
+
+    Exact ppm arithmetic throughout; corpus shares are a |langs|-row
+    broadcast.
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.expr("doc_id div 100").alias("bucket"), "lang"
+    )
+    per = docs.groupBy("bucket", "lang").agg(F.count("*").alias("n"))
+    btot = per.groupBy("bucket").agg(F.sum("n").alias("bn"))
+    ctot = per.groupBy("lang").agg(F.sum("n").alias("cn"))
+    total = docs.count()
+    return (
+        per.join(F.broadcast(btot), "bucket")
+        .join(F.broadcast(ctot), "lang")
+        .select(
+            "bucket",
+            "lang",
+            "n",
+            F.expr("(n * 1000000) div bn").alias("share_ppm"),
+            F.expr(f"(cn * 1000000) div {total}").alias("corpus_ppm"),
+            F.expr(
+                f"(n * 1000000) div bn - (cn * 1000000) div {total}"
+            ).alias("delta_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_pareto_abc": orders_pareto_abc,
@@ -742,6 +817,8 @@ QUERIES = {
     "orders_open_backlog_daily": orders_open_backlog_daily,
     "events_cusum_change": events_cusum_change,
     "events_seasonal_profile_anomalies": events_seasonal_profile_anomalies,
+    "supplier_otif_scorecard": supplier_otif_scorecard,
+    "docs_language_mix_drift": docs_language_mix_drift,
 }
 
 ORACLES = {
@@ -764,6 +841,39 @@ ORACLES = {
                ) / 10000.0 AS win_mean
         FROM events e JOIN bounds b ON e.event_type = b.event_type
         GROUP BY e.event_type
+    """,
+    "supplier_otif_scorecard": """
+        WITH lead AS (
+            SELECT l.l_suppkey,
+                   date_diff('day', o.o_orderdate::DATE,
+                             l.l_shipdate::DATE) AS lead_days
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT l_suppkey,
+               count(*)::BIGINT AS n_lines,
+               sum(lead_days)::BIGINT // count(*) AS mean_lead_days,
+               floor(quantile_cont(lead_days, 95.0/100) * 10000 + 0.5)
+                   / 10000.0 AS p95_lead_days,
+               (count(*) FILTER (WHERE lead_days <= 60) * 1000000)
+                   // count(*) AS ontime_ppm
+        FROM lead GROUP BY l_suppkey
+    """,
+    "docs_language_mix_drift": """
+        WITH per AS (
+            SELECT doc_id // 100 AS bucket, lang, count(*)::BIGINT AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        btot AS (SELECT bucket, sum(n)::BIGINT AS bn FROM per GROUP BY bucket),
+        ctot AS (SELECT lang, sum(n)::BIGINT AS cn FROM per GROUP BY lang),
+        t AS (SELECT sum(n)::BIGINT AS total FROM per)
+        SELECT p.bucket, p.lang, p.n,
+               (p.n * 1000000) // b.bn AS share_ppm,
+               (c.cn * 1000000) // t.total AS corpus_ppm,
+               (p.n * 1000000) // b.bn - (c.cn * 1000000) // t.total
+                   AS delta_ppm
+        FROM per p
+        JOIN btot b USING (bucket)
+        JOIN ctot c USING (lang), t
     """,
     "events_seasonal_profile_anomalies": """
         WITH cells AS (

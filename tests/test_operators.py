@@ -1471,3 +1471,33 @@ def test_rake_phrases_are_stopword_free_and_ordered(spark, sf_dir):
         if last is not None:
             assert r["score_x100"] <= last
         last = r["score_x100"]
+
+
+def test_otif_scorecard_invariants(spark, sf_dir):
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        supplier_otif_scorecard,
+    )
+
+    rows = supplier_otif_scorecard(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_lines"] > 0
+        assert 0 <= r["ontime_ppm"] <= 1_000_000
+        assert r["mean_lead_days"] <= r["p95_lead_days"] + 1
+
+
+def test_language_drift_shares_sum_per_bucket(spark, sf_dir):
+    from collections import defaultdict
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        docs_language_mix_drift,
+    )
+
+    rows = docs_language_mix_drift(spark, sf_dir).collect()
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append(r)
+        assert r["delta_ppm"] == r["share_ppm"] - r["corpus_ppm"]
+    for bucket, rs in by_bucket.items():
+        s = sum(r["share_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000
