@@ -803,6 +803,60 @@ def docs_language_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_chi2_ab_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen for experimentation: users are
+    deterministically hash-split into A/B cohorts and the event-type
+    distribution is tested per type — each row reports the observed
+    A/B counts, the expectation cross-products, and that cell pair's
+    ×10⁶-scaled chi-square contribution, plus the total statistic on
+    every row (the dashboard "is this experiment skewing behavior"
+    screen).
+
+    Exactness: with o = observed, r/c = margins, N = total, each
+    contribution is (o·N − r·c)² · 10⁶ div (N·r·c) — pure integer
+    cross-multiplication in DECIMAL(38,0) (the OLS discipline; the
+    squared term reaches ~10²⁰ at sf0.1 and grows as N⁴).
+
+    Scale: one |types×2|-cell contingency reduce with broadcast
+    margins — constant-size frames after the first map-side combine.
+    """
+    h = (
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    ev = load_table(spark, "events", sf_dir).select(
+        F.expr(f"case when {h} % 2 = 0 then 'A' else 'B' end").alias(
+            "cohort"
+        ),
+        "event_type",
+    )
+    cells = ev.groupBy("event_type", "cohort").agg(F.count("*").alias("o"))
+    rowm = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    colm = cells.groupBy("cohort").agg(F.sum("o").alias("c"))
+    total = ev.count()
+    d38 = lambda e: f"cast({e} as decimal(38,0))"  # noqa: E731
+    contrib = (
+        f"({d38('o')} * {total} - {d38('r')} * c)"
+        f" * ({d38('o')} * {total} - {d38('r')} * c) * 1000000"
+        f" div ({d38(str(total))} * r * c)"
+    )
+    per = (
+        cells.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "cohort")
+        .withColumn("chi2_cell_x1e6", F.expr(f"cast({contrib} as bigint)"))
+    )
+    tot = per.agg(F.sum("chi2_cell_x1e6").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "cohort",
+        "o",
+        "r",
+        "c",
+        "chi2_cell_x1e6",
+        F.col("t").alias("chi2_total_x1e6"),
+    )
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_pareto_abc": orders_pareto_abc,
@@ -819,7 +873,10 @@ QUERIES = {
     "events_seasonal_profile_anomalies": events_seasonal_profile_anomalies,
     "supplier_otif_scorecard": supplier_otif_scorecard,
     "docs_language_mix_drift": docs_language_mix_drift,
+    "events_chi2_ab_types": events_chi2_ab_types,
 }
+
+
 
 ORACLES = {
     "events_winsorized_stats": """
@@ -1197,3 +1254,36 @@ ORACLES = {
         FROM c, t
     """,
 }
+
+
+_CHI2_DUCK_H = "('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT"
+ORACLES["events_chi2_ab_types"] = f"""
+    WITH ev AS (
+        SELECT CASE WHEN {_CHI2_DUCK_H} % 2 = 0 THEN 'A' ELSE 'B' END
+                   AS cohort,
+               event_type
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, cohort, count(*)::BIGINT AS o
+        FROM ev GROUP BY 1, 2
+    ),
+    rowm AS (SELECT event_type, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+    colm AS (SELECT cohort, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+    t AS (SELECT sum(o)::BIGINT AS total FROM cells),
+    per AS (
+        SELECT cl.event_type, cl.cohort, cl.o, rm.r, cm.c,
+               ((cl.o::HUGEINT * t.total - rm.r::HUGEINT * cm.c)
+                * (cl.o::HUGEINT * t.total - rm.r::HUGEINT * cm.c)
+                * 1000000
+                // (t.total::HUGEINT * rm.r * cm.c))::BIGINT
+                   AS chi2_cell_x1e6
+        FROM cells cl
+        JOIN rowm rm USING (event_type)
+        JOIN colm cm USING (cohort), t
+    )
+    SELECT event_type, cohort, o, r, c, chi2_cell_x1e6,
+           (SELECT sum(chi2_cell_x1e6) FROM per)::BIGINT
+               AS chi2_total_x1e6
+    FROM per
+"""

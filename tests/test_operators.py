@@ -1501,3 +1501,32 @@ def test_language_drift_shares_sum_per_bucket(spark, sf_dir):
     for bucket, rs in by_bucket.items():
         s = sum(r["share_ppm"] for r in rs)
         assert 1_000_000 - len(rs) <= s <= 1_000_000
+
+
+def test_chi2_ab_contributions_match_python(spark, sf_dir):
+    """Exact differential: the integer chi-square contributions vs an
+    arbitrary-precision python replay of the same contingency table."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_chi2_ab_types,
+    )
+
+    rows = events_chi2_ab_types(spark, sf_dir).collect()
+    assert rows
+    cells = {(r["event_type"], r["cohort"]): r["o"] for r in rows}
+    rm: dict = {}
+    cm: dict = {}
+    for (et, co), o in cells.items():
+        rm[et] = rm.get(et, 0) + o
+        cm[co] = cm.get(co, 0) + o
+    total = sum(cells.values())
+    exp = {
+        k: ((o * total - rm[k[0]] * cm[k[1]]) ** 2 * 1_000_000)
+        // (total * rm[k[0]] * cm[k[1]])
+        for k, o in cells.items()
+    }
+    tot = sum(exp.values())
+    for r in rows:
+        k = (r["event_type"], r["cohort"])
+        assert r["r"] == rm[k[0]] and r["c"] == cm[k[1]]
+        assert r["chi2_cell_x1e6"] == exp[k]
+        assert r["chi2_total_x1e6"] == tot
