@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from decisions_kinesis_spark.functions.ordering import range_prefix
+from decisions_kinesis_spark.operators.corpus import _NOVELTY_BUCKET
+from decisions_kinesis_spark.operators.textops import _BIGHASH, _DUCK_BIGHASH
 from decisions_kinesis_spark.functions.rounding import fl4
 from decisions_kinesis_spark.sources.tables import load_table
 
@@ -696,9 +698,17 @@ def events_seasonal_profile_anomalies(
     n_days); the anomaly comparisons cross-multiply integers, so no
     division result is ever compared.
 
-    Scale: one map-side-combining count to |type × day × hod| cells,
-    one reduce to |type × hod| baselines broadcast back, one flag
-    reduce — the same two-bounded-shuffle shape as the gopher gate.
+    The cell frame is DENSIFIED against the full (type × observed-day
+    × 24h) grid before flagging: a complete one-hour outage — the
+    strongest possible diurnal break — produces NO raw cell, and
+    without the grid it would be invisible to both the baseline (mean
+    inflated by averaging only days-with-data) and the low-day count
+    (review finding).  Zero cells count as low days whenever the
+    baseline is positive.
+
+    Scale: one map-side-combining count to |type × day × hod| cells;
+    the grid is calendar × |types|-bounded (broadcast), the left join
+    keys on it, and the baseline/flag reduces are |type × hod|-sized.
     """
     ev = load_table(spark, "events", sf_dir).select(
         "event_type",
@@ -708,12 +718,28 @@ def events_seasonal_profile_anomalies(
     cells = ev.groupBy("event_type", "day", "hod").agg(
         F.count("*").alias("n")
     )
-    base = cells.groupBy("event_type", "hod").agg(
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(ev.select("day").distinct())
+        .select(
+            "event_type",
+            "day",
+            F.explode(F.expr("sequence(0, 23)")).alias("hod"),
+        )
+    )
+    dense = grid.join(cells, ["event_type", "day", "hod"], "left").select(
+        "event_type",
+        "day",
+        "hod",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    base = dense.groupBy("event_type", "hod").agg(
         F.count("*").alias("n_days"),
         F.expr("(sum(n) * 100) div count(*)").alias("baseline_x100"),
     )
     return (
-        cells.join(F.broadcast(base), ["event_type", "hod"])
+        dense.join(F.broadcast(base), ["event_type", "hod"])
         .groupBy("event_type", "hod")
         .agg(
             F.first("n_days").alias("n_days"),
@@ -722,7 +748,10 @@ def events_seasonal_profile_anomalies(
                 F.when(F.expr("n * 100 > 2 * baseline_x100"), 1)
             ).alias("n_high_days"),
             F.count(
-                F.when(F.expr("n * 200 < baseline_x100"), 1)
+                F.when(
+                    F.expr("n * 200 < baseline_x100 and baseline_x100 > 0"),
+                    1,
+                )
             ).alias("n_low_days"),
         )
     )
@@ -777,18 +806,23 @@ def docs_language_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     language mix shifts mid-crawl (the ingestion-QA check next to the
     novelty curve).
 
-    Exact ppm arithmetic throughout; corpus shares are a |langs|-row
-    broadcast.
+    Exact ppm arithmetic throughout.  The |langs|-row corpus-share
+    frame broadcasts; the per-bucket totals frame grows with the
+    corpus (|docs| div bucket width) so it joins UN-HINTED — ``per``
+    is already hash-partitioned by bucket from its groupBy, making
+    the join a cheap co-partitioned shuffle at any scale.  The bucket
+    width is the shared ``corpus._NOVELTY_BUCKET`` so this monitor
+    and the novelty curve slice identically.
     """
     docs = load_table(spark, "documents", sf_dir).select(
-        F.expr("doc_id div 100").alias("bucket"), "lang"
+        F.expr(f"doc_id div {_NOVELTY_BUCKET}").alias("bucket"), "lang"
     )
     per = docs.groupBy("bucket", "lang").agg(F.count("*").alias("n"))
     btot = per.groupBy("bucket").agg(F.sum("n").alias("bn"))
     ctot = per.groupBy("lang").agg(F.sum("n").alias("cn"))
     total = docs.count()
     return (
-        per.join(F.broadcast(btot), "bucket")
+        per.join(btot, "bucket")
         .join(F.broadcast(ctot), "lang")
         .select(
             "bucket",
@@ -813,17 +847,18 @@ def events_chi2_ab_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen).
 
     Exactness: with o = observed, r/c = margins, N = total, each
-    contribution is (o·N − r·c)² · 10⁶ div (N·r·c) — pure integer
-    cross-multiplication in DECIMAL(38,0) (the OLS discipline; the
-    squared term reaches ~10²⁰ at sf0.1 and grows as N⁴).
+    contribution is (o·N − r·c)² · 10⁶ div (N·r·c), computed as the
+    overflow-safe TWO-STEP ratio ``A div B · 10⁶ + (A % B) · 10⁶ div
+    B`` in DECIMAL(38,0) (the DSIR/epoch-expansion discipline): the
+    single-step form wraps at ~10⁸ events (N⁴·10⁶ vs the 10³⁸ cap)
+    while the two-step form is exact to N ≈ 2·10⁹ — beyond that,
+    pre-aggregate or sample the cohorts before the screen (the
+    docstring bound every decimal operator here carries).
 
     Scale: one |types×2|-cell contingency reduce with broadcast
     margins — constant-size frames after the first map-side combine.
     """
-    h = (
-        "cast(conv(substring(md5(cast(user_id as string)), 1, 15),"
-        " 16, 10) as bigint)"
-    )
+    h = _BIGHASH.format(e="cast(user_id as string)")
     ev = load_table(spark, "events", sf_dir).select(
         F.expr(f"case when {h} % 2 = 0 then 'A' else 'B' end").alias(
             "cohort"
@@ -835,11 +870,10 @@ def events_chi2_ab_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     colm = cells.groupBy("cohort").agg(F.sum("o").alias("c"))
     total = ev.count()
     d38 = lambda e: f"cast({e} as decimal(38,0))"  # noqa: E731
-    contrib = (
-        f"({d38('o')} * {total} - {d38('r')} * c)"
-        f" * ({d38('o')} * {total} - {d38('r')} * c) * 1000000"
-        f" div ({d38(str(total))} * r * c)"
-    )
+    num = f"({d38('o')} * {total} - {d38('r')} * c)"
+    a = f"({num} * {num})"
+    b = f"({d38(str(total))} * r * c)"
+    contrib = f"({a} div {b}) * 1000000 + (({a} % {b}) * 1000000) div {b}"
     per = (
         cells.join(F.broadcast(rowm), "event_type")
         .join(F.broadcast(colm), "cohort")
@@ -915,9 +949,10 @@ ORACLES = {
                    // count(*) AS ontime_ppm
         FROM lead GROUP BY l_suppkey
     """,
-    "docs_language_mix_drift": """
+    "docs_language_mix_drift": f"""
         WITH per AS (
-            SELECT doc_id // 100 AS bucket, lang, count(*)::BIGINT AS n
+            SELECT doc_id // {_NOVELTY_BUCKET} AS bucket, lang,
+                   count(*)::BIGINT AS n
             FROM documents GROUP BY 1, 2
         ),
         btot AS (SELECT bucket, sum(n)::BIGINT AS bn FROM per GROUP BY bucket),
@@ -938,19 +973,33 @@ ORACLES = {
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2, 3
         ),
+        grid AS (
+            SELECT t.event_type, d.day, h.hod
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT DISTINCT ts::DATE AS day FROM events) d
+            CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hod) h
+        ),
+        dense AS (
+            SELECT g.event_type, g.day, g.hod,
+                   coalesce(c.n, 0)::BIGINT AS n
+            FROM grid g LEFT JOIN cells c
+              ON c.event_type = g.event_type AND c.day = g.day
+             AND c.hod = g.hod
+        ),
         base AS (
             SELECT event_type, hod, count(*)::BIGINT AS n_days,
                    (sum(n) * 100) // count(*) AS baseline_x100
-            FROM cells GROUP BY event_type, hod
+            FROM dense GROUP BY event_type, hod
         )
         SELECT c.event_type, c.hod,
                any_value(b.n_days) AS n_days,
                any_value(b.baseline_x100) AS baseline_x100,
                count(*) FILTER (WHERE c.n * 100 > 2 * b.baseline_x100)
                    ::BIGINT AS n_high_days,
-               count(*) FILTER (WHERE c.n * 200 < b.baseline_x100)
+               count(*) FILTER (WHERE c.n * 200 < b.baseline_x100
+                                  AND b.baseline_x100 > 0)
                    ::BIGINT AS n_low_days
-        FROM cells c JOIN base b USING (event_type, hod)
+        FROM dense c JOIN base b USING (event_type, hod)
         GROUP BY c.event_type, c.hod
     """,
     "events_hourly_trend_ols": """
@@ -1256,7 +1305,7 @@ ORACLES = {
 }
 
 
-_CHI2_DUCK_H = "('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT"
+_CHI2_DUCK_H = _DUCK_BIGHASH.format(e="user_id::VARCHAR")
 ORACLES["events_chi2_ab_types"] = f"""
     WITH ev AS (
         SELECT CASE WHEN {_CHI2_DUCK_H} % 2 = 0 THEN 'A' ELSE 'B' END
@@ -1273,10 +1322,13 @@ ORACLES["events_chi2_ab_types"] = f"""
     t AS (SELECT sum(o)::BIGINT AS total FROM cells),
     per AS (
         SELECT cl.event_type, cl.cohort, cl.o, rm.r, cm.c,
-               ((cl.o::HUGEINT * t.total - rm.r::HUGEINT * cm.c)
-                * (cl.o::HUGEINT * t.total - rm.r::HUGEINT * cm.c)
-                * 1000000
-                // (t.total::HUGEINT * rm.r * cm.c))::BIGINT
+               (((cl.o::HUGEINT * t.total - rm.r::HUGEINT * cm.c)
+                  * (cl.o::HUGEINT * t.total - rm.r::HUGEINT * cm.c)
+                  // (t.total::HUGEINT * rm.r * cm.c)) * 1000000
+                + (((cl.o::HUGEINT * t.total - rm.r::HUGEINT * cm.c)
+                    * (cl.o::HUGEINT * t.total - rm.r::HUGEINT * cm.c)
+                    % (t.total::HUGEINT * rm.r * cm.c)) * 1000000)
+                  // (t.total::HUGEINT * rm.r * cm.c))::BIGINT
                    AS chi2_cell_x1e6
         FROM cells cl
         JOIN rowm rm USING (event_type)

@@ -604,8 +604,10 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented replace-all gotcha) + split.
 
     Scale: two explodes (phrases, words) with map-side-combining
-    counts; the word-score frame is vocabulary-sized and broadcast
-    back into the phrase scoring join; top-k is
+    counts; the word-score frame is VOCABULARY-sized (open, heavy-
+    tailed) so it joins UN-HINTED — AQE broadcasts it while small and
+    degrades to a shuffled equi-join when it is not (the TF-IDF
+    document-frequency discipline, SCALE.md); top-k is
     TakeOrderedAndProject.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
@@ -627,7 +629,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(sum(plen) * 100) div count(*)").alias("score_x100")
     )
     return (
-        pw.join(F.broadcast(scores), "w")
+        pw.join(scores, "w")
         .groupBy("phrase")
         .agg(F.sum("score_x100").alias("total"))
         .join(

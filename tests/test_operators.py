@@ -1428,9 +1428,14 @@ def test_seasonal_profile_anomalies_consistency(spark, sf_dir):
 
     rows = events_seasonal_profile_anomalies(spark, sf_dir).collect()
     assert rows
+    # dense grid: every (type, hod) cell sees the SAME observed-day
+    # count, so complete outages are countable as low days
+    assert len({r["n_days"] for r in rows}) == 1
+    types = {r["event_type"] for r in rows}
+    assert len(rows) == 24 * len(types)
     for r in rows:
         assert 0 <= r["hod"] <= 23
-        assert r["baseline_x100"] > 0
+        assert r["baseline_x100"] >= 0
         assert r["n_high_days"] + r["n_low_days"] <= r["n_days"]
 
 
