@@ -7,7 +7,10 @@ Demonstrates every Python extension tier with the fast (Arrow) paths:
 - ``applyInPandas``           — per-group transforms (see operators/asof);
 - ``mapInPandas``             — per-partition batch streams (see
                                 operators/multimodal);
-- ``foreachBatch``            — sink-side dispatch (see streaming/runtime).
+- ``foreachBatch``            — sink-side dispatch (see streaming/runtime);
+- Python ``udtf``             — Arrow-optimized table function
+                                (row-GENERATING extension tier, new in
+                                Spark 4) — ``udtf_chunk_documents``.
 
 Row-at-a-time Python UDFs are deliberately absent — they are the slow
 path (SURVEY.md §4) and nothing in the surface needs them.
@@ -107,7 +110,73 @@ def pandas_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (8-token overlap)
+
+try:  # Spark 4 surface; gate so older runtimes still import the module
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(
+        returnType=(
+            "chunk_id int, n_tokens int, first_tok string, last_tok string"
+        ),
+        useArrow=True,
+    )
+    class _ChunkUdtf:
+        """Overlapping-window chunker as a Python UDTF — the
+        row-GENERATING extension tier (Spark 4), Arrow-optimized
+        (plan shows ArrowEvalPythonUDTF, not BatchEvalPython).  Yields
+        one row per chunk: width _CHUNK_W, stride _CHUNK_S, final
+        partial chunk kept (the text_chunk_documents policy)."""
+
+        def eval(self, text):  # noqa: D102 - contract in class doc
+            toks = [t for t in (text or "").lower().split() if t]
+            i = cid = 0
+            while i < len(toks):
+                c = toks[i : i + _CHUNK_W]
+                yield cid, len(c), c[0], c[-1]
+                if i + _CHUNK_W >= len(toks):
+                    break
+                i += _CHUNK_S
+                cid += 1
+
+    _HAVE_UDTF = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    _HAVE_UDTF = False
+
+
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python-UDTF tier demo with a value-checked oracle: lateral-join
+    the Arrow-optimized chunking table function against a 5% document
+    slice and return every chunk's shape (id, token count, boundary
+    tokens).
+
+    Scale note: like every Python tier here, this is the pattern for
+    logic that genuinely needs imperative Python (a real tokenizer, a
+    parser); THIS particular chunking is also expressible in pure
+    Column algebra (``text_chunk_documents``), which stays JVM-side
+    and faster — the UDTF exists to prove the extension tier end-to-
+    end (lateral join, Arrow batches, deterministic output).
+    """
+    if not _HAVE_UDTF:  # pragma: no cover
+        raise NotImplementedError("Python UDTFs need pyspark >= 4")
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+    docs.createOrReplaceTempView("_udtf_chunk_docs")
+    spark.udtf.register("dks_chunk_udtf", _ChunkUdtf)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_tokens, c.first_tok, c.last_tok
+        FROM _udtf_chunk_docs d, LATERAL dks_chunk_udtf(d.text) c
+        """
+    )
+
+
 QUERIES = {
+    "udtf_chunk_documents": udtf_chunk_documents,
     "pandas_udf_engagement_score": pandas_udf_engagement_score,
     "pandas_udaf_user_rms": pandas_udaf_user_rms,
     "pandas_grouped_map_minmax": pandas_grouped_map_minmax,
@@ -142,3 +211,30 @@ ORACLES = {
         WHERE event_type = 'view'
     """,
 }
+
+
+from decisions_kinesis_spark.operators.dedup import _DUCK_TOKS  # noqa: E402
+
+ORACLES["udtf_chunk_documents"] = f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    nz AS (
+        SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 1
+    ),
+    ks AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0,
+                   CASE WHEN n <= {_CHUNK_W} THEN 0
+                        ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+                   END)) AS k
+        FROM nz
+    )
+    SELECT doc_id, k::INT AS chunk_id,
+           (least(k * {_CHUNK_S} + {_CHUNK_W}, n) - k * {_CHUNK_S})::INT
+               AS n_tokens,
+           toks[k * {_CHUNK_S} + 1] AS first_tok,
+           toks[least(k * {_CHUNK_S} + {_CHUNK_W}, n)] AS last_tok
+    FROM ks
+"""

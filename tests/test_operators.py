@@ -1535,3 +1535,35 @@ def test_chi2_ab_contributions_match_python(spark, sf_dir):
         assert r["r"] == rm[k[0]] and r["c"] == cm[k[1]]
         assert r["chi2_cell_x1e6"] == exp[k]
         assert r["chi2_total_x1e6"] == tot
+
+
+def test_udtf_chunks_tile_documents_with_overlap(spark, sf_dir):
+    """The UDTF's chunks must tile each selected document: ids
+    contiguous from 0, all-but-last chunk full width, n_tokens
+    consistent with the stride/width contract, and the plan runs the
+    ARROW UDTF path (never BatchEvalPython)."""
+    from collections import defaultdict
+
+    from decisions_kinesis_spark.operators.udfs import (
+        _CHUNK_S,
+        _CHUNK_W,
+        udtf_chunk_documents,
+    )
+    from decisions_kinesis_spark.plans.audit import audit_plan
+
+    df = udtf_chunk_documents(spark, sf_dir)
+    a = audit_plan(df)
+    assert a.arrow_eval and not a.python_eval
+    by_doc = defaultdict(list)
+    for r in df.collect():
+        by_doc[r["doc_id"]].append(r)
+    assert by_doc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r["n_tokens"] == _CHUNK_W
+        assert 1 <= rs[-1]["n_tokens"] <= _CHUNK_W
+        if len(rs) > 1:
+            # overlap contract: total tokens = W + (k-1)*S + last
+            assert rs[-1]["n_tokens"] > _CHUNK_W - _CHUNK_S or len(rs) == 1
