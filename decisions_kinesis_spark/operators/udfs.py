@@ -175,8 +175,85 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESS_GAP_S = 1800  # 30-minute inactivity gap
+_SESS_GAP_US = _SESS_GAP_S * 1_000_000
+
+
+if _HAVE_UDTF:
+
+    @_udtf(
+        returnType=(
+            "user_id bigint, event_id bigint, session_id int,"
+            " session_event_idx int"
+        ),
+        useArrow=True,
+    )
+    class _SessionizeUdtf:
+        """PER-PARTITION STATEFUL Python UDTF (the TABLE-argument +
+        PARTITION BY form): each instance receives ONE user's events
+        in (ts, event_id) order and carries running state across rows
+        — the imperative-sessionization shape that
+        ``applyInPandasWithState`` serves in streaming, here as the
+        batch table-function tier."""
+
+        def __init__(self):
+            self._prev = None
+            self._sid = 0
+            self._idx = 0
+
+        def eval(self, row):  # noqa: D102 - contract in class doc
+            import datetime as _dt
+
+            ts = row["ts"]
+            # exact timedelta compare (not float total_seconds): the
+            # oracle replays the same boundary at integer microseconds
+            if (
+                self._prev is not None
+                and (ts - self._prev)
+                > _dt.timedelta(seconds=_SESS_GAP_S)
+            ):
+                self._sid += 1
+                self._idx = 0
+            self._idx += 1
+            self._prev = ts
+            yield row["user_id"], row["event_id"], self._sid, self._idx
+
+
+def udtf_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-argument UDTF demo with a value-checked oracle: assign
+    30-minute-gap session ids and within-session indexes to a 10%
+    user slice, with the per-user state living in ordinary Python
+    attributes — Spark partitions BY USER and orders each partition
+    stream for the UDTF (``PARTITION BY … ORDER BY (…)``), so the
+    imperative code never sees out-of-order rows.
+
+    The oracle replays the identical semantics relationally (gap-flag
+    cumulative sum + row_number) — the same dual the streaming
+    sessionizer proves.  Scale: one user-keyed shuffle, Arrow row
+    stream per partition; state is O(1) per user.
+    """
+    if not _HAVE_UDTF:  # pragma: no cover
+        raise NotImplementedError("Python UDTFs need pyspark >= 4")
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id") % 10 == 0)
+        .select("user_id", "event_id", "ts")
+    )
+    ev.createOrReplaceTempView("_udtf_sess_events")
+    spark.udtf.register("dks_sessionize_udtf", _SessionizeUdtf)
+    return spark.sql(
+        """
+        SELECT * FROM dks_sessionize_udtf(
+            TABLE(SELECT user_id, event_id, ts FROM _udtf_sess_events)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
+
+
 QUERIES = {
     "udtf_chunk_documents": udtf_chunk_documents,
+    "udtf_sessionize_stateful": udtf_sessionize_stateful,
     "pandas_udf_engagement_score": pandas_udf_engagement_score,
     "pandas_udaf_user_rms": pandas_udaf_user_rms,
     "pandas_grouped_map_minmax": pandas_grouped_map_minmax,
@@ -237,4 +314,34 @@ ORACLES["udtf_chunk_documents"] = f"""
            toks[k * {_CHUNK_S} + 1] AS first_tok,
            toks[least(k * {_CHUNK_S} + {_CHUNK_W}, n)] AS last_tok
     FROM ks
+"""
+
+
+ORACLES["udtf_sessionize_stateful"] = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, ts FROM events WHERE user_id % 10 = 0
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > {_SESS_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::INT AS session_id,
+               ts
+        FROM flagged
+    )
+    SELECT user_id, event_id, session_id,
+           row_number() OVER (
+               PARTITION BY user_id, session_id ORDER BY ts, event_id
+           )::INT AS session_event_idx
+    FROM sess
 """

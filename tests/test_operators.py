@@ -1567,3 +1567,32 @@ def test_udtf_chunks_tile_documents_with_overlap(spark, sf_dir):
         if len(rs) > 1:
             # overlap contract: total tokens = W + (k-1)*S + last
             assert rs[-1]["n_tokens"] > _CHUNK_W - _CHUNK_S or len(rs) == 1
+
+
+def test_udtf_sessionize_state_is_per_user_and_ordered(spark, sf_dir):
+    """Session ids start at 0 and increase by gap events only; the
+    within-session index restarts at 1; the plan uses the Arrow UDTF
+    path."""
+    from collections import defaultdict
+
+    from decisions_kinesis_spark.operators.udfs import (
+        udtf_sessionize_stateful,
+    )
+    from decisions_kinesis_spark.plans.audit import audit_plan
+
+    df = udtf_sessionize_stateful(spark, sf_dir)
+    a = audit_plan(df)
+    assert a.arrow_eval and not a.python_eval
+    by_user = defaultdict(list)
+    for r in df.collect():
+        assert r["user_id"] % 10 == 0
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        sids = sorted({r["session_id"] for r in rs})
+        assert sids == list(range(len(sids)))  # contiguous from 0
+        by_sess = defaultdict(list)
+        for r in rs:
+            by_sess[r["session_id"]].append(r["session_event_idx"])
+        for sid, idxs in by_sess.items():
+            assert sorted(idxs) == list(range(1, len(idxs) + 1))
