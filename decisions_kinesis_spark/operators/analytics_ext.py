@@ -988,7 +988,7 @@ ORACLES = {
         ),
         base AS (
             SELECT event_type, hod, count(*)::BIGINT AS n_days,
-                   (sum(n) * 100) // count(*) AS baseline_x100
+                   ((sum(n) * 100) // count(*))::BIGINT AS baseline_x100
             FROM dense GROUP BY event_type, hod
         )
         SELECT c.event_type, c.hod,
@@ -1045,9 +1045,10 @@ ORACLES = {
         )
         SELECT o_key,
                row_number() OVER w AS version,
-               sum(n_lines) OVER (PARTITION BY o_key ORDER BY ship_day
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                           AND CURRENT ROW) AS n_shipped_cum,
+               (sum(n_lines) OVER (PARTITION BY o_key ORDER BY ship_day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW))::BIGINT
+                   AS n_shipped_cum,
                ship_day AS valid_from,
                lead(ship_day) OVER w AS valid_to,
                lead(ship_day) OVER w IS NULL AS is_current
@@ -1149,8 +1150,8 @@ ORACLES = {
         SELECT event_type,
                any_value(n_buckets) AS n_buckets,
                any_value(tgt) AS tgt,
-               max_by(s, b) AS final_cusum,
-               max(s) AS max_cusum,
+               max_by(s, b)::BIGINT AS final_cusum,
+               max(s)::BIGINT AS max_cusum,
                max(s) >= 3 * any_value(tgt) AS breached
         FROM dev GROUP BY event_type
     """,
@@ -1212,8 +1213,8 @@ ORACLES = {
         )
         SELECT prev_type, next_type, n,
                sum(n) OVER (PARTITION BY prev_type)::BIGINT AS n_prev,
-               (n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
-                   AS p_ppm
+               ((n * 1000000) // sum(n) OVER (PARTITION BY prev_type))
+                   ::BIGINT AS p_ppm
         FROM tr
     """,
     "events_ewma_hourly": """
@@ -1283,7 +1284,7 @@ ORACLES = {
         WITH rev AS (
             SELECT l_partkey AS part_key,
                    sum(floor(l_extendedprice * (1.0 - l_discount) * 10000
-                             + 0.5)::BIGINT) AS rev_scaled
+                             + 0.5)::BIGINT)::BIGINT AS rev_scaled
             FROM lineitem GROUP BY l_partkey
         ),
         t AS (SELECT sum(rev_scaled)::BIGINT AS total FROM rev),
@@ -1296,7 +1297,7 @@ ORACLES = {
             FROM rev
         )
         SELECT part_key, rev_scaled,
-               (cum * 1000000) // total AS cum_ppm,
+               ((cum * 1000000) // total)::BIGINT AS cum_ppm,
                CASE WHEN cum * 100 <= 80 * total THEN 'A'
                     WHEN cum * 100 <= 95 * total THEN 'B'
                     ELSE 'C' END AS abc_class

@@ -166,7 +166,7 @@ def _pagerank_oracle() -> str:
         )
     parts.append(
         """
-        SELECT r.node AS part_key, r.r AS rank_scaled,
+        SELECT r.node AS part_key, r.r::BIGINT AS rank_scaled,
                d.deg AS weighted_deg
         FROM r{k} r JOIN deg d ON d.node = r.node
         ORDER BY r.r DESC, r.node

@@ -1,9 +1,33 @@
-"""Local mimic of the driver's correctness gate.
+"""Local mimic of the driver's correctness gate — driver-strength.
 
 For each declared query: run the Spark DataFrame and the DuckDB oracle
-SQL on the same parquet tables, then compare row count, column names,
-and the order-insensitive multiset of values (exact — floats included,
-which is why every query rounds double aggregates on both sides).
+SQL on the same parquet tables, then compare
+
+1. row count,
+2. column names,
+3. **logical column types** (DuckDB's ``DESCRIBE`` result schema vs
+   the Spark schema, canonicalized per family — this is the check
+   that would have caught the round-5 HUGEINT/decimal oracle reds
+   locally: the driver's value hash is type-sensitive, so a DuckDB
+   ``HUGEINT``/``DECIMAL(38,0)`` column — Arrow ``decimal128(38,0)``
+   — against a Spark ``bigint`` fails the driver even when every
+   value is numerically equal), and
+4. the order-insensitive multiset of **exact** values (no rounding —
+   every query uses engine-stable integer/decimal arithmetic, so
+   exact equality is the contract).  When exact differs but a
+   1e-9-rounded compare matches, the report says so: that diagnostic
+   means ulp-level float divergence, not a wrong answer, but it still
+   FAILS here because it would fail the driver.
+
+Canonicalization: all signed/unsigned integer widths fold to ``int``
+(the driver's hash is integer-width-insensitive — r5 evidence: only
+decimal-vs-int mixes failed, int32-vs-int64 never did), HUGEINT is
+``decimal(s=0)`` (its Arrow representation), floats fold to ``float``,
+decimals keep their scale but not precision, ``string``/``bool``/
+``date``/``timestamp``/``binary`` are families, ``T[]`` lists recurse.
+
+``DESCRIBE SELECT`` only binds and plans — the type check is free even
+for the heavy unrolled-CTE oracles.
 
 Usage:  python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -11,6 +35,7 @@ Usage:  python tools/oracle_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import re
 import sys
 from collections import Counter
 
@@ -32,7 +57,76 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def norm(v):
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+_DECIMAL_RE = re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
+
+
+def canon_duck(t: str) -> str:
+    """Canonical family string for a DuckDB ``DESCRIBE`` column_type."""
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"list<{canon_duck(t[:-2])}>"
+    u = t.upper()
+    if u in _DUCK_INT:
+        return "int"
+    if u in ("HUGEINT", "UHUGEINT"):
+        return "decimal(s=0)"  # Arrow decimal128(38,0) — driver-visible
+    m = _DECIMAL_RE.match(u)
+    if m:
+        return f"decimal(s={m.group(2)})"
+    if u in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if u == "BOOLEAN":
+        return "bool"
+    if u in ("VARCHAR", "TEXT", "STRING"):
+        return "string"
+    if u == "BLOB":
+        return "binary"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t.lower()
+
+
+def canon_spark(dt) -> str:
+    """Canonical family string for a pyspark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal(s={dt.scale})"
+    if isinstance(dt, (T.StringType, T.VarcharType, T.CharType)):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{canon_spark(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{canon_spark(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return dt.simpleString()
+
+
+def duck_output_types(con, sql: str) -> dict[str, str]:
+    """column name -> canonical family, via DESCRIBE (bind-only)."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: canon_duck(r[1]) for r in rows}
+
+
+def norm_rounded(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -40,29 +134,63 @@ def norm(v):
     return v
 
 
-def norm_row(row, cols, order):
+def norm_exact(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _row_key(row, cols, order, norm):
     return tuple(norm(row[cols.index(c)]) for c in order)
 
 
 def compare(name: str, spark_df, con, sql: str) -> list[str]:
     errors = []
     s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    d_cols = [c[0] for c in rel.description]
-    d_rows = rel.fetchall()
+    s_types = {f.name: canon_spark(f.dataType) for f in spark_df.schema.fields}
+    d_types = duck_output_types(con, sql)
+    d_cols = list(d_types)
     if sorted(s_cols) != sorted(d_cols):
-        errors.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        errors.append(
+            f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        )
         return errors
+    type_diffs = [
+        f"{c}: spark={s_types[c]} duck={d_types[c]}"
+        for c in sorted(s_cols)
+        if s_types[c] != d_types[c]
+    ]
+    if type_diffs:
+        errors.append("TYPES differ (driver hash is type-sensitive): "
+                      + "; ".join(type_diffs))
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    d_rows = con.execute(sql).fetchall()
     if len(s_rows) != len(d_rows):
-        errors.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+        errors.append(
+            f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"
+        )
     order = sorted(s_cols)
-    s_set = Counter(norm_row(r, s_cols, order) for r in s_rows)
-    d_set = Counter(norm_row(r, d_cols, order) for r in d_rows)
-    if s_set != d_set:
-        only_s = list((s_set - d_set).items())[:3]
-        only_d = list((d_set - s_set).items())[:3]
-        errors.append(f"values differ; spark-only={only_s} duck-only={only_d} (cols {order})")
+    s_exact = Counter(_row_key(r, s_cols, order, norm_exact) for r in s_rows)
+    d_exact = Counter(_row_key(r, d_cols, order, norm_exact) for r in d_rows)
+    if s_exact != d_exact:
+        s_round = Counter(
+            _row_key(r, s_cols, order, norm_rounded) for r in s_rows
+        )
+        d_round = Counter(
+            _row_key(r, d_cols, order, norm_rounded) for r in d_rows
+        )
+        if s_round == d_round:
+            errors.append(
+                "EXACT values differ but 1e-9-rounded match — ulp-level "
+                f"float divergence; would fail the driver (cols {order})"
+            )
+        else:
+            only_s = list((s_round - d_round).items())[:3]
+            only_d = list((d_round - s_round).items())[:3]
+            errors.append(
+                f"values differ; spark-only={only_s} duck-only={only_d} "
+                f"(cols {order})"
+            )
     return errors
 
 
@@ -99,6 +227,7 @@ def main() -> int:
                 print(f"    {e}")
         else:
             print(f"✓ {name}")
+        sys.stdout.flush()
     print(f"\n{'FAIL' if n_fail else 'OK'} ({n_fail} failures)")
     return 1 if n_fail else 0
 
