@@ -18,6 +18,8 @@ path (SURVEY.md §4) and nothing in the surface needs them.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -113,6 +115,13 @@ def pandas_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_W = 32  # tokens per chunk
 _CHUNK_S = 24  # stride (8-token overlap)
 
+#: The engine-wide tokenizer splits on JVM-regex ``\s+`` — the ASCII
+#: whitespace class [ \t\n\x0b\f\r], NOT Unicode whitespace.  Python's
+#: ``str.split()`` breaks on every Unicode space (U+00A0, U+2003, …),
+#: so the UDTF tier must use this explicit class or its chunks drift
+#: from the JVM/DuckDB operators on non-ASCII-whitespace text.
+_ASCII_WS = re.compile(r"[\t\n\x0b\x0c\r ]+")
+
 try:  # Spark 4 surface; gate so older runtimes still import the module
     from pyspark.sql.functions import udtf as _udtf
 
@@ -130,7 +139,7 @@ try:  # Spark 4 surface; gate so older runtimes still import the module
         partial chunk kept (the text_chunk_documents policy)."""
 
         def eval(self, text):  # noqa: D102 - contract in class doc
-            toks = [t for t in (text or "").lower().split() if t]
+            toks = [t for t in _ASCII_WS.split((text or "").lower()) if t]
             i = cid = 0
             while i < len(toks):
                 c = toks[i : i + _CHUNK_W]

@@ -1569,6 +1569,30 @@ def test_udtf_chunks_tile_documents_with_overlap(spark, sf_dir):
             assert rs[-1]["n_tokens"] > _CHUNK_W - _CHUNK_S or len(rs) == 1
 
 
+def test_udtf_chunk_tokenizer_matches_jvm_on_unicode_whitespace(spark):
+    """The UDTF must tokenize with the engine-wide ASCII-whitespace
+    rule: a non-breaking space (U+00A0) is NOT a token boundary (the
+    JVM ``split(lower(text), '\\s+')`` keeps it inside the token),
+    while every ASCII whitespace char is.  Python's ``str.split()``
+    would disagree — this pins the parity fix."""
+    from decisions_kinesis_spark.operators.udfs import _ChunkUdtf
+
+    chunker = _ChunkUdtf.func()
+    # U+00A0 binds words together; ASCII \t\n\x0b\x0c\r and space split
+    text = "A B \tC\nD\x0bE\x0cF\rG"
+    rows = list(chunker.eval(text))
+    assert rows == [(0, 6, "a b", "g")]
+    jvm = (
+        spark.createDataFrame([(text,)], "text string")
+        .selectExpr(
+            "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks"
+        )
+        .collect()[0]["toks"]
+    )
+    assert jvm == ["a b", "c", "d", "e", "f", "g"]
+    assert rows[0][2] == jvm[0] and rows[0][3] == jvm[-1]
+
+
 def test_udtf_sessionize_state_is_per_user_and_ordered(spark, sf_dir):
     """Session ids start at 0 and increase by gap events only; the
     within-session index restarts at 1; the plan uses the Arrow UDTF
