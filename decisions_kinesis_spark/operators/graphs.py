@@ -47,6 +47,14 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     order*, which TPC-H bounds at 7 (and real carts bound similarly),
     so instance count stays O(|lineitem|) at any scale.
 
+    Node-set contract: nodes (and the teleport mass 0.15/N) derive
+    from EDGE ENDPOINTS — a part that never co-occurs with another
+    part in any order is not a node and does not appear in the output.
+    That is the co-occurrence-prior semantics wanted here (an isolated
+    part has no link evidence and would carry only teleport mass); a
+    variant seeding from the full ``part`` table would need explicit
+    deg=0 dangling-mass handling on both engine sides.
+
     Integer semantics (exact in both engines): r₀ = SCALE div N;
     teleport = (15·SCALE) div (100·N); each edge instance carries
     r div deg(src) where deg = weighted (instance) degree;

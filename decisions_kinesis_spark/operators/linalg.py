@@ -86,7 +86,17 @@ def embedding_power_iteration_pc1(
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = (
             w.crossJoin(F.broadcast(m))
-            .select("pos", F.expr(f"(w * {_S}) div m").alias("val"))
+            # m = 0 guard: a degenerate (all-zero / perfectly
+            # cancelling) embedding table renormalizes to the zero
+            # direction instead of dividing by zero — same CASE on the
+            # oracle side
+            .select(
+                "pos",
+                F.expr(
+                    f"case when m = 0 then 0L"
+                    f" else (w * {_S}) div m end"
+                ).alias("val"),
+            )
             .localCheckpoint(eager=True)
         )
     return v.select("pos", F.col("val").alias("component"))
@@ -121,7 +131,9 @@ def _power_iteration_ctes() -> str:
             FROM e JOIN s{i} s USING (row) GROUP BY e.pos
         ),
         v{i} AS MATERIALIZED (
-            SELECT pos, (w * {_S}) // m AS val
+            SELECT pos,
+                   CASE WHEN m = 0 THEN 0::BIGINT
+                        ELSE (w * {_S}) // m END AS val
             FROM w{i}, (SELECT max(abs(w))::BIGINT AS m FROM w{i})
         )"""
         )

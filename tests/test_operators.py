@@ -1122,6 +1122,31 @@ def test_fk_audit_fixtures_are_referentially_intact(spark, sf_dir):
     assert all(r["n_orphans"] == 0 for r in rows)
 
 
+def test_power_iteration_zero_matrix_is_defined(spark, tmp_path):
+    """Degenerate input: an all-zero embedding table must renormalize
+    to the zero direction (m = 0 guard), not divide by zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.linalg import (
+        embedding_power_iteration_pc1,
+    )
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[0.0] * 8] * 3, pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 1, 0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = embedding_power_iteration_pc1(spark, str(tmp_path)).collect()
+    assert len(rows) == 8
+    assert all(r["component"] == 0 for r in rows)
+
+
 def test_power_iteration_matches_integer_mirror(spark, sf_dir):
     """Exact differential: the distributed power iteration vs a pure-
     python integer replay of the same quantize → dot → downscale →
