@@ -685,6 +685,13 @@ def events_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The declared event-type taxonomy of the events stream (TESTDATA.md
+#: generator contract).  The seasonal monitor densifies against THIS
+#: list, not observed distinct types — a type missing from the whole
+#: corpus must show up as zero rows, not disappear.
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
 def events_seasonal_profile_anomalies(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -698,13 +705,17 @@ def events_seasonal_profile_anomalies(
     n_days); the anomaly comparisons cross-multiply integers, so no
     division result is ever compared.
 
-    The cell frame is DENSIFIED against the full (type × observed-day
-    × 24h) grid before flagging: a complete one-hour outage — the
-    strongest possible diurnal break — produces NO raw cell, and
-    without the grid it would be invisible to both the baseline (mean
-    inflated by averaging only days-with-data) and the low-day count
-    (review finding).  Zero cells count as low days whenever the
-    baseline is positive.
+    The cell frame is DENSIFIED against the full (declared-type ×
+    observed-day × 24h) grid before flagging: a complete one-hour
+    outage — the strongest possible diurnal break — produces NO raw
+    cell, and without the grid it would be invisible to both the
+    baseline (mean inflated by averaging only days-with-data) and the
+    low-day count (review finding).  Zero cells count as low days
+    whenever the baseline is positive.  The type axis comes from the
+    DECLARED taxonomy (``_EVENT_TYPES``), not from observed distinct
+    types, so a type absent from the entire corpus — total ingestion
+    failure, the worst break of all — still surfaces as 24 all-zero
+    rows instead of vanishing from the report.
 
     Scale: one map-side-combining count to |type × day × hod| cells;
     the grid is calendar × |types|-bounded (broadcast), the left join
@@ -715,12 +726,24 @@ def events_seasonal_profile_anomalies(
         F.to_date("ts").alias("day"),
         F.hour("ts").alias("hod"),
     )
+    return seasonal_profile_anomalies(spark, ev, _EVENT_TYPES)
+
+
+def seasonal_profile_anomalies(
+    spark: SparkSession, ev: DataFrame, types
+) -> DataFrame:
+    """Frame-level seasonal-profile core over (event_type, day, hod)
+    rows, densified against the declared ``types`` taxonomy — split
+    out so tests can assert the absent-type contract directly."""
     cells = ev.groupBy("event_type", "day", "hod").agg(
         F.count("*").alias("n")
     )
     grid = (
-        ev.select("event_type")
-        .distinct()
+        F.broadcast(
+            spark.createDataFrame(
+                [(t,) for t in types], "event_type string"
+            )
+        )
         .crossJoin(ev.select("day").distinct())
         .select(
             "event_type",
@@ -967,7 +990,7 @@ ORACLES = {
         JOIN btot b USING (bucket)
         JOIN ctot c USING (lang), t
     """,
-    "events_seasonal_profile_anomalies": """
+    "events_seasonal_profile_anomalies": f"""
         WITH cells AS (
             SELECT event_type, ts::DATE AS day, hour(ts) AS hod,
                    count(*)::BIGINT AS n
@@ -975,7 +998,8 @@ ORACLES = {
         ),
         grid AS (
             SELECT t.event_type, d.day, h.hod
-            FROM (SELECT DISTINCT event_type FROM events) t
+            FROM (SELECT unnest([{", ".join(repr(t) for t in _EVENT_TYPES)}])
+                      AS event_type) t
             CROSS JOIN (SELECT DISTINCT ts::DATE AS day FROM events) d
             CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hod) h
         ),

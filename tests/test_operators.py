@@ -1464,6 +1464,40 @@ def test_seasonal_profile_anomalies_consistency(spark, sf_dir):
         assert r["n_high_days"] + r["n_low_days"] <= r["n_days"]
 
 
+def test_seasonal_profile_absent_type_is_visible(spark):
+    """A type in the declared taxonomy with ZERO events anywhere must
+    still appear in the report — 24 all-zero rows with the shared
+    observed-day count — instead of vanishing (the vacuity fix)."""
+    import datetime as dt
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        seasonal_profile_anomalies,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("view", dt.date(2026, 1, d), h)
+            for d in (1, 2, 3)
+            for h in (0, 12)
+        ]
+        + [("click", dt.date(2026, 1, 1), 5)],
+        "event_type string, day date, hod int",
+    )
+    rows = seasonal_profile_anomalies(
+        spark, ev, ("view", "click", "error")
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    # the absent type is present: 24 rows, zero baseline, zero flags
+    assert set(by_type) == {"view", "click", "error"}
+    assert len(by_type["error"]) == 24
+    for r in by_type["error"]:
+        assert r["n_days"] == 3  # shares the observed-day axis
+        assert r["baseline_x100"] == 0
+        assert r["n_high_days"] == 0 and r["n_low_days"] == 0
+
+
 def test_novelty_curve_first_bucket_is_all_novel(spark, sf_dir):
     from decisions_kinesis_spark.operators.corpus import (
         corpus_novelty_curve,
