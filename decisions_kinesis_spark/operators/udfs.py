@@ -187,6 +187,11 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESS_GAP_S = 1800  # 30-minute inactivity gap
 _SESS_GAP_US = _SESS_GAP_S * 1_000_000
 
+import datetime as _dt_mod  # noqa: E402 - UDTF arithmetic unit
+
+#: One microsecond, for exact integer timedelta division in UDTFs.
+_US = _dt_mod.timedelta(microseconds=1)
+
 
 if _HAVE_UDTF:
 
@@ -228,6 +233,98 @@ if _HAVE_UDTF:
             yield row["user_id"], row["event_id"], self._sid, self._idx
 
 
+if _HAVE_UDTF:
+
+    @_udtf(
+        returnType=(
+            "user_id bigint, win_start timestamp, n_events int,"
+            " max_gap_us bigint, longest_up_run int"
+        ),
+        useArrow=True,
+    )
+    class _WindowStatsUdtf:
+        """WINDOWED stateful Python UDTF: PARTITION BY (user,
+        event-time hour window) — each instance folds ONE window's
+        ordered event stream and emits a single summary row from
+        ``terminate()`` (the aggregate-shaped table-function form,
+        completing the tier enumeration: per-row lateral →
+        per-partition stream → per-window fold)."""
+
+        def __init__(self):
+            self._key = None
+            self._n = 0
+            self._prev_ts = None
+            self._prev_val = None
+            self._max_gap = 0
+            self._run = 0
+            self._best_run = 0
+
+        def eval(self, row):  # noqa: D102 - contract in class doc
+            self._key = (row["user_id"], row["win_start"])
+            self._n += 1
+            if self._prev_ts is not None:
+                gap = (row["ts"] - self._prev_ts) // _US
+                if gap > self._max_gap:
+                    self._max_gap = gap
+            if self._prev_val is not None and row["value"] > self._prev_val:
+                self._run += 1
+            else:
+                self._run = 1
+            if self._run > self._best_run:
+                self._best_run = self._run
+            self._prev_ts = row["ts"]
+            self._prev_val = row["value"]
+
+        def terminate(self):  # noqa: D102 - one summary row per window
+            if self._key is not None:
+                yield (
+                    self._key[0],
+                    self._key[1],
+                    self._n,
+                    self._max_gap,
+                    self._best_run,
+                )
+
+
+def udtf_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-UDTF demo with a value-checked oracle: per (user,
+    event-time hour window) on a 10% user slice, the event count, the
+    maximum inter-event gap (exact integer microseconds), and the
+    longest strictly-increasing value run — computed imperatively by a
+    per-window UDTF instance whose partition key INCLUDES the
+    event-time window (``PARTITION BY (user_id, win_start)``).
+
+    The oracle replays the identical fold relationally (lag diffs +
+    run-id prefix sums).  Scale: one (user, window)-keyed shuffle,
+    Arrow row stream per partition, O(1) state per window — the batch
+    dual of a watermarked streaming window aggregate.
+    """
+    if not _HAVE_UDTF:  # pragma: no cover
+        raise NotImplementedError("Python UDTFs need pyspark >= 4")
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id") % 10 == 3)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.date_trunc("HOUR", "ts").alias("win_start"),
+        )
+    )
+    ev.createOrReplaceTempView("_udtf_win_events")
+    spark.udtf.register("dks_window_stats_udtf", _WindowStatsUdtf)
+    return spark.sql(
+        """
+        SELECT * FROM dks_window_stats_udtf(
+            TABLE(SELECT user_id, event_id, ts, value, win_start
+                  FROM _udtf_win_events)
+            PARTITION BY (user_id, win_start) ORDER BY (ts, event_id)
+        )
+        """
+    )
+
+
 def udtf_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TABLE-argument UDTF demo with a value-checked oracle: assign
     30-minute-gap session ids and within-session indexes to a 10%
@@ -263,6 +360,7 @@ def udtf_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "udtf_chunk_documents": udtf_chunk_documents,
     "udtf_sessionize_stateful": udtf_sessionize_stateful,
+    "udtf_window_stats": udtf_window_stats,
     "pandas_udf_engagement_score": pandas_udf_engagement_score,
     "pandas_udaf_user_rms": pandas_udaf_user_rms,
     "pandas_grouped_map_minmax": pandas_grouped_map_minmax,
@@ -323,6 +421,49 @@ ORACLES["udtf_chunk_documents"] = f"""
            toks[k * {_CHUNK_S} + 1] AS first_tok,
            toks[least(k * {_CHUNK_S} + {_CHUNK_W}, n)] AS last_tok
     FROM ks
+"""
+
+
+ORACLES["udtf_window_stats"] = """
+    WITH ev AS (
+        SELECT user_id, event_id, ts, value,
+               date_trunc('hour', ts) AS win_start
+        FROM events WHERE user_id % 10 = 3
+    ),
+    d AS (
+        SELECT user_id, event_id, ts, value, win_start,
+               lag(ts) OVER w AS pts,
+               CASE WHEN lag(value) OVER w IS NULL
+                         OR value <= lag(value) OVER w
+                    THEN 1 ELSE 0 END AS brk
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id, win_start ORDER BY ts, event_id)
+    ),
+    r AS (
+        SELECT user_id, win_start,
+               sum(brk) OVER (
+                   PARTITION BY user_id, win_start ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_id
+        FROM d
+    ),
+    runs AS (
+        SELECT user_id, win_start, run_id, count(*) AS rl
+        FROM r GROUP BY user_id, win_start, run_id
+    ),
+    gaps AS (
+        SELECT user_id, win_start, count(*)::INT AS n_events,
+               coalesce(max(epoch_us(ts) - epoch_us(pts)), 0)::BIGINT
+                   AS max_gap_us
+        FROM d GROUP BY user_id, win_start
+    ),
+    best AS (
+        SELECT user_id, win_start, max(rl)::INT AS longest_up_run
+        FROM runs GROUP BY user_id, win_start
+    )
+    SELECT g.user_id, g.win_start, g.n_events, g.max_gap_us,
+           b.longest_up_run
+    FROM gaps g JOIN best b USING (user_id, win_start)
 """
 
 

@@ -1652,6 +1652,32 @@ def test_udtf_chunk_tokenizer_matches_jvm_on_unicode_whitespace(spark):
     assert rows[0][2] == jvm[0] and rows[0][3] == jvm[-1]
 
 
+def test_udtf_window_stats_one_row_per_window(spark, sf_dir):
+    """The windowed UDTF emits exactly one summary row per (user,
+    hour-window), with internally consistent stats, on the Arrow UDTF
+    path."""
+    from decisions_kinesis_spark.operators.udfs import udtf_window_stats
+    from decisions_kinesis_spark.plans.audit import audit_plan
+
+    df = udtf_window_stats(spark, sf_dir)
+    a = audit_plan(df)
+    assert a.arrow_eval and not a.python_eval
+    rows = df.collect()
+    assert rows
+    keys = [(r["user_id"], r["win_start"]) for r in rows]
+    assert len(keys) == len(set(keys))  # one row per window
+    for r in rows:
+        assert r["user_id"] % 10 == 3
+        assert r["win_start"].minute == 0 and r["win_start"].second == 0
+        assert r["n_events"] >= 1
+        assert 1 <= r["longest_up_run"] <= r["n_events"]
+        if r["n_events"] == 1:
+            assert r["max_gap_us"] == 0
+        else:
+            # gaps within one hour window are < 3600s
+            assert 0 <= r["max_gap_us"] < 3_600_000_000
+
+
 def test_udtf_sessionize_state_is_per_user_and_ordered(spark, sf_dir):
     """Session ids start at 0 and increase by gap events only; the
     within-session index restarts at 1; the plan uses the Arrow UDTF
