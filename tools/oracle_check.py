@@ -62,8 +62,32 @@ _DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
 _DECIMAL_RE = re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside (), [] or <>."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
 def canon_duck(t: str) -> str:
-    """Canonical family string for a DuckDB ``DESCRIBE`` column_type."""
+    """Canonical family string for a DuckDB ``DESCRIBE`` column_type.
+
+    MAP/STRUCT recurse into ``map<k,v>`` / ``struct<name:type,...>`` to
+    mirror ``canon_spark`` exactly; anything else unknown canonicalizes
+    to ``unrecognized:<raw>`` so the compare can surface it as a
+    distinct diagnostic instead of a misleading hard TYPES-differ.
+    """
     t = t.strip()
     if t.endswith("[]"):
         return f"list<{canon_duck(t[:-2])}>"
@@ -87,7 +111,17 @@ def canon_duck(t: str) -> str:
         return "date"
     if u.startswith("TIMESTAMP"):
         return "timestamp"
-    return t.lower()
+    if u.startswith("MAP(") and t.endswith(")"):
+        kv = _split_top_level(t[4:-1])
+        if len(kv) == 2:
+            return f"map<{canon_duck(kv[0])},{canon_duck(kv[1])}>"
+    if u.startswith("STRUCT(") and t.endswith(")"):
+        fields = []
+        for f in _split_top_level(t[7:-1]):
+            name, _, ftype = f.partition(" ")
+            fields.append(f"{name.strip().strip(chr(34))}:{canon_duck(ftype)}")
+        return f"struct<{','.join(fields)}>"
+    return f"unrecognized:{t.lower()}"
 
 
 def canon_spark(dt) -> str:
@@ -112,21 +146,31 @@ def canon_spark(dt) -> str:
         return "timestamp"
     if isinstance(dt, T.ArrayType):
         return f"list<{canon_spark(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return (f"map<{canon_spark(dt.keyType)},"
+                f"{canon_spark(dt.valueType)}>")
     if isinstance(dt, T.StructType):
         inner = ",".join(
             f"{f.name}:{canon_spark(f.dataType)}" for f in dt.fields
         )
         return f"struct<{inner}>"
-    return dt.simpleString()
+    return f"unrecognized:{dt.simpleString()}"
 
 
-def duck_output_types(con, sql: str) -> dict[str, str]:
-    """column name -> canonical family, via DESCRIBE (bind-only)."""
+def duck_output_schema(con, sql: str) -> list[tuple[str, str]]:
+    """Ordered [(column name, canonical family)] via DESCRIBE (bind-only).
+
+    Kept as a list, not a dict: a duplicated output column name in an
+    oracle SELECT must surface as a duplicate-name error, not silently
+    collapse to the last occurrence.
+    """
     rows = con.execute(f"DESCRIBE {sql}").fetchall()
-    return {r[0]: canon_duck(r[1]) for r in rows}
+    return [(r[0], canon_duck(r[1])) for r in rows]
 
 
 def norm_rounded(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_rounded(x) for x in v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -135,6 +179,8 @@ def norm_rounded(v):
 
 
 def norm_exact(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_exact(x) for x in v)
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
     return v
@@ -147,22 +193,47 @@ def _row_key(row, cols, order, norm):
 def compare(name: str, spark_df, con, sql: str) -> list[str]:
     errors = []
     s_cols = list(spark_df.columns)
-    s_types = {f.name: canon_spark(f.dataType) for f in spark_df.schema.fields}
-    d_types = duck_output_types(con, sql)
-    d_cols = list(d_types)
+    d_schema = duck_output_schema(con, sql)
+    d_cols = [c for c, _ in d_schema]
+    # Duplicate output names are ambiguous for the sorted-by-name driver
+    # compare (and for positional indexing below) — fail loudly.
+    for side, cols in (("spark", s_cols), ("duck", d_cols)):
+        dups = sorted({c for c in cols if cols.count(c) > 1})
+        if dups:
+            errors.append(f"duplicate output column names on {side} "
+                          f"side: {dups} — alias them apart")
+    if errors:
+        return errors
     if sorted(s_cols) != sorted(d_cols):
         errors.append(
             f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
         )
         return errors
+    s_types = {f.name: canon_spark(f.dataType) for f in spark_df.schema.fields}
+    d_types = dict(d_schema)
+    unrecognized = [
+        f"{c}: spark={s_types[c]} duck={d_types[c]}"
+        for c in sorted(s_cols)
+        if "unrecognized:" in s_types[c] or "unrecognized:" in d_types[c]
+    ]
     type_diffs = [
         f"{c}: spark={s_types[c]} duck={d_types[c]}"
         for c in sorted(s_cols)
         if s_types[c] != d_types[c]
+        and "unrecognized:" not in s_types[c]
+        and "unrecognized:" not in d_types[c]
     ]
+    if unrecognized:
+        errors.append(
+            "UNRECOGNIZED type family (canonicalizer gap, not a proven "
+            "mismatch — extend canon_* before trusting this row): "
+            + "; ".join(unrecognized))
     if type_diffs:
-        errors.append("TYPES differ (driver hash is type-sensitive): "
-                      + "; ".join(type_diffs))
+        errors.append(
+            "TYPES differ (driver hash is type-sensitive; family folding "
+            "is inferred from r5 driver evidence — int widths fold, "
+            "decimal scale-sensitive/precision-insensitive, "
+            "HUGEINT==decimal(38,0)): " + "; ".join(type_diffs))
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_rows = con.execute(sql).fetchall()
     if len(s_rows) != len(d_rows):
