@@ -974,6 +974,32 @@ def test_pagerank_matches_integer_recurrence_on_star_graph(spark):
     assert got[0][0] > got[1][0] > got[2][0] == got[3][0]
 
 
+def test_triangle_counts_k4_and_open_wedge(spark):
+    """Hand-built differential for the degree-oriented counting core:
+    K4 (nodes 0-3) has C(4,3)=4 triangles, every node in exactly 3
+    with deg 3; the pendant path 4-5-6 (an open wedge sharing no
+    closing edge) contributes nothing and its nodes are absent."""
+    from decisions_kinesis_spark.operators.graphs import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(4, 5), (5, 6)]
+    df = spark.createDataFrame(k4 + path, "u bigint, v bigint")
+    got = {r["node"]: (r["tri_cnt"], r["deg"]) for r in triangle_counts(df).collect()}
+    assert got == {n: (3, 3) for n in range(4)}
+
+
+def test_triangle_counts_tie_degrees_bowtie(spark):
+    """Bowtie (two triangles sharing node 0): apex counted in both,
+    wings in one each — exercises the (deg, key) tie-break orientation
+    (all wing nodes have equal degree 2)."""
+    from decisions_kinesis_spark.operators.graphs import triangle_counts
+
+    edges = [(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    got = {r["node"]: (r["tri_cnt"], r["deg"]) for r in triangle_counts(df).collect()}
+    assert got == {0: (2, 4), 1: (1, 2), 2: (1, 2), 3: (1, 2), 4: (1, 2)}
+
+
 def test_pagerank_uniform_on_symmetric_triangle(spark):
     """K3 is vertex-transitive: all ranks must be exactly equal, and
     total mass stays within integer-floor slack of _PR_SCALE."""
