@@ -646,6 +646,113 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-language stopword sets for the lang-aware RAKE tier — tiny
+#: published head-of-Zipf function-word lists per language (public
+#: knowledge; same spirit as the ``_EN_STOP`` list above).  A CLOSED
+#: taxonomy compiled into the plan as a CASE over ``lang`` — constant
+#: size, so no join and no broadcast is needed at any data scale.
+#: zh caveat (documented limitation): RAKE is defined over
+#: whitespace/stopword-delimited runs; unsegmented CJK text yields
+#: whole-line candidate phrases.  Both engines share the behavior
+#: (Java-regex and RE2 ``\b`` are both ASCII-word-char-defined, so the
+#: zh patterns are consistent no-ops on unsegmented text).
+_RAKE_LANG_STOP = {
+    "en": _EN_STOP,
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den",
+           "von", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es",
+           "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est",
+           "dans"),
+    "zh": ("的", "了", "和", "是", "在", "我", "有", "他", "这", "不"),
+}
+_RAKE_LANG_TOPK = 10
+
+
+def _rake_case_expr(escape: str) -> str:
+    """One CASE expression mapping each known ``lang`` to its
+    stopword-split text; unknown langs fall through unsplit (the
+    whole lowered text becomes one candidate phrase).  ``escape`` is
+    the backslash prefix for the word-boundary metachar at the target
+    engine's string-literal depth (Spark SQL literals unescape once;
+    DuckDB literals are verbatim)."""
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN regexp_replace(lower(text),"
+        f" '{escape}b({'|'.join(stops)}){escape}b', '|'"
+        + (", 'g')" if escape == "\\" else ")")
+        for lang, stops in sorted(_RAKE_LANG_STOP.items())
+    )
+    return f"CASE {arms} ELSE lower(text) END"
+
+
+def text_rake_keywords_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language RAKE (Rose et al. 2010): same degree/frequency
+    scoring as ``text_rake_keywords``, but candidate phrases are the
+    maximal runs free of the DOCUMENT'S OWN language's stopwords
+    (``_RAKE_LANG_STOP``), and word scores / top-k are computed within
+    each language — an 'en' stopword does not split a 'de' document.
+    Output: top-10 phrases per language with exact ×100-scaled integer
+    scores and occurrence counts, rank ties broken on phrase text.
+
+    Scale: the stopword taxonomy is compiled into the plan as a CASE
+    over the closed ``lang`` set — zero joins for the dispatch.  Two
+    explodes with map-side-combining counts; the per-(lang, word)
+    score frame is vocabulary-sized (open, heavy-tailed) so it joins
+    UN-HINTED per the SCALE.md vocabulary rule; per-language top-k is
+    a rank-filtered window that Spark rewrites to WindowGroupLimit
+    (map-side per-partition top-k before the |langs|-key shuffle).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("lang", "text")
+    case = _rake_case_expr("\\\\")
+    phrases = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                f"filter(transform(split({case}, '\\\\|'),"
+                " p -> trim(regexp_replace(p, '\\\\s+', ' '))),"
+                " p -> p != '')"
+            )
+        ).alias("phrase"),
+    )
+    pw = phrases.select(
+        "lang",
+        "phrase",
+        F.expr("split(phrase, ' ')").alias("ws"),
+    ).select(
+        "lang", "phrase", F.size("ws").alias("plen"),
+        F.explode("ws").alias("w"),
+    )
+    scores = pw.groupBy("lang", "w").agg(
+        F.expr("(sum(plen) * 100) div count(*)").alias("score_x100")
+    )
+    ranked = (
+        pw.join(scores, ["lang", "w"])
+        .groupBy("lang", "phrase")
+        .agg(F.sum("score_x100").alias("total"))
+        .join(
+            phrases.groupBy("lang", "phrase").agg(
+                F.count("*").alias("n_occ")
+            ),
+            ["lang", "phrase"],
+        )
+        .select(
+            "lang", "phrase",
+            F.expr("total div n_occ").alias("score_x100"),
+            "n_occ",
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score_x100"), F.asc("phrase")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _RAKE_LANG_TOPK)
+        .select("lang", "phrase", "score_x100", "n_occ", "rank")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_dup_span_fraction": text_dup_span_fraction,
@@ -662,6 +769,7 @@ QUERIES = {
     "text_redact_patterns": text_redact_patterns,
     "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
     "text_rake_keywords": text_rake_keywords,
+    "text_rake_keywords_by_lang": text_rake_keywords_by_lang,
 }
 
 _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
@@ -982,4 +1090,45 @@ ORACLES["text_rake_keywords"] = f"""
     FROM ps p JOIN occ o USING (phrase)
     ORDER BY score_x100 DESC, phrase
     LIMIT {_RAKE_TOPK}
+"""
+
+_RAKE_DUCK_CASE = _rake_case_expr("\\")
+ORACLES["text_rake_keywords_by_lang"] = f"""
+    WITH phrases AS (
+        SELECT lang,
+               unnest(list_filter(list_transform(
+                   string_split({_RAKE_DUCK_CASE}, '|'),
+                   p -> trim(regexp_replace(p, '\\s+', ' ', 'g'))),
+               p -> p <> '')) AS phrase
+        FROM documents
+    ),
+    pw AS (
+        SELECT lang, phrase, len(string_split(phrase, ' ')) AS plen,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    scores AS (
+        SELECT lang, w, (sum(plen) * 100) // count(*) AS score_x100
+        FROM pw GROUP BY lang, w
+    ),
+    ps AS (
+        SELECT pw.lang, pw.phrase, sum(s.score_x100)::BIGINT AS total
+        FROM pw JOIN scores s USING (lang, w)
+        GROUP BY pw.lang, pw.phrase
+    ),
+    occ AS (
+        SELECT lang, phrase, count(*)::BIGINT AS n_occ
+        FROM phrases GROUP BY lang, phrase
+    ),
+    ranked AS (
+        SELECT p.lang, p.phrase,
+               (p.total // o.n_occ)::BIGINT AS score_x100, o.n_occ,
+               row_number() OVER (
+                   PARTITION BY p.lang
+                   ORDER BY (p.total // o.n_occ) DESC, p.phrase
+               )::BIGINT AS rank
+        FROM ps p JOIN occ o USING (lang, phrase)
+    )
+    SELECT lang, phrase, score_x100, n_occ, rank
+    FROM ranked WHERE rank <= {_RAKE_LANG_TOPK}
 """

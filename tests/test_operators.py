@@ -1563,6 +1563,47 @@ def test_rake_phrases_are_stopword_free_and_ordered(spark, sf_dir):
         last = r["score_x100"]
 
 
+def test_rake_by_lang_uses_own_language_stopwords(spark, tmp_path):
+    """Language isolation: an 'en' stopword must NOT split a 'de'
+    document's phrases (and vice versa), and top-k / scoring run
+    independently per language."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.textops import (
+        _RAKE_LANG_STOP,
+        text_rake_keywords_by_lang,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            # 'the' is an en stopword only; 'und' is a de stopword only
+            "text": pa.array(
+                ["alpha the beta und gamma", "alpha the beta und gamma"]
+            ),
+            "lang": pa.array(["en", "de"]),
+            "source": pa.array(["t", "t"]),
+            "n_chars": pa.array([24, 24], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = text_rake_keywords_by_lang(spark, str(tmp_path)).collect()
+    by_lang = {
+        lang: sorted(r["phrase"] for r in rows if r["lang"] == lang)
+        for lang in ("en", "de")
+    }
+    # en splits on 'the' only: 'und' survives inside a phrase
+    assert by_lang["en"] == ["alpha", "beta und gamma"]
+    # de splits on 'und' only: 'the' survives inside a phrase
+    assert by_lang["de"] == ["alpha the beta", "gamma"]
+    for r in rows:
+        assert not set(r["phrase"].split(" ")) & set(
+            _RAKE_LANG_STOP[r["lang"]]
+        )
+        assert r["score_x100"] > 0 and r["n_occ"] >= 1 and r["rank"] >= 1
+
+
 def test_otif_scorecard_invariants(spark, sf_dir):
     from decisions_kinesis_spark.operators.analytics_ext import (
         supplier_otif_scorecard,
