@@ -53,16 +53,29 @@ def main() -> None:
     # still honest: extra passes are real end-to-end runs and min()
     # only removes box noise, never real plan cost — a genuine
     # regression survives all probes (and then becomes the new floor).
+    # Floors are keyed BY SF: a run at sf0.01 must not overwrite the
+    # sf0.1 floors with 10x-smaller times (which would make every
+    # later sf0.1 query 'breach' and burn re-probe passes).
     here = os.path.dirname(os.path.abspath(__file__))
     floor_path = os.path.join(here, "bench_floor.json")
-    prior: dict[str, float] = {}
+    sf_key = str(sf)
+    all_floors: dict[str, dict[str, float]] = {}
     try:
         with open(floor_path) as f:
-            prior = json.load(f) or {}
+            all_floors = json.load(f) or {}
+        if all_floors and not isinstance(
+            next(iter(all_floors.values())), dict
+        ):  # migrate the pre-SF-keyed flat layout (written at sf0.1)
+            all_floors = {"0.1": all_floors}
     except (OSError, ValueError):
-        try:  # first run after the floor file lands: seed from last run
+        pass
+    prior = dict(all_floors.get(sf_key) or {})
+    if not prior:
+        try:  # first run at this sf: seed from last run if same sf
             with open(os.path.join(here, "bench_last.json")) as f:
-                prior = json.load(f).get("queries", {}) or {}
+                last = json.load(f)
+            if str(last.get("sf")) == sf_key:
+                prior = last.get("queries", {}) or {}
         except (OSError, ValueError):
             pass
 
@@ -128,8 +141,13 @@ def main() -> None:
         "text_token_stats",
         "pipeline_clean_corpus",
     )
+    # metric label says what the protocol IS: best pass per query
+    # (2 passes always; up to 3 more only when a stall is detected by
+    # pass-disagreement or the historical floor) — calling it
+    # 'best_of_2' would misattribute re-probe recoveries to real
+    # speedups when comparing rounds.
     payload = {
-        "metric": "total_wall_sec_all_queries_best_of_2",
+        "metric": "total_wall_sec_all_queries_best_pass",
         "value": total,
         "unit": "sec",
         "queries": {k: timings[k] for k in headline if k in timings},
@@ -156,17 +174,24 @@ def main() -> None:
     # Update the rolling floor: min(prior, this run) per query.  A query
     # that STILL breaches 2.0x after all probes is a real regression —
     # accept its new time as the floor so later runs measure against the
-    # current plan instead of re-probing forever.  Prune deregistered
-    # queries so the file tracks the live registry.
-    new_floor = {}
+    # current plan instead of re-probing forever.  A query that errored
+    # THIS run keeps its prior floor (a transient OOM must not erase the
+    # history the next run's stall detection needs); only queries gone
+    # from the registry are pruned.
+    registered = set(entry_mod.queries())
+    new_floor = {
+        n: f0 for n, f0 in prior.items()
+        if n in registered and n not in timings
+    }
     for name, best in timings.items():
         f0 = prior.get(name)
         if f0 and best > 2.0 * f0 and best > 0.3:
             new_floor[name] = best  # persistent regression: reset floor
         else:
             new_floor[name] = min(f0, best) if f0 else best
+    all_floors[sf_key] = new_floor
     with open(floor_path, "w") as f:
-        f.write(json.dumps(new_floor, sort_keys=True) + "\n")
+        f.write(json.dumps(all_floors, sort_keys=True) + "\n")
     sys.stdout.flush()
     sys.stderr.flush()
     os.write(real_stdout_fd, (line + "\n").encode())

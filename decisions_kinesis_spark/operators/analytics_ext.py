@@ -711,11 +711,12 @@ def events_seasonal_profile_anomalies(
     cell, and without the grid it would be invisible to both the
     baseline (mean inflated by averaging only days-with-data) and the
     low-day count (review finding).  Zero cells count as low days
-    whenever the baseline is positive.  The type axis comes from the
-    DECLARED taxonomy (``_EVENT_TYPES``), not from observed distinct
-    types, so a type absent from the entire corpus — total ingestion
-    failure, the worst break of all — still surfaces as 24 all-zero
-    rows instead of vanishing from the report.
+    whenever the baseline is positive.  The type axis is the DECLARED
+    taxonomy (``_EVENT_TYPES``) UNIONED with observed distinct types:
+    a type absent from the entire corpus — total ingestion failure,
+    the worst break of all — surfaces as 24 all-zero rows, and an
+    observed type the declared list has drifted away from stays in
+    the report instead of falling out of the grid join.
 
     Scale: one map-side-combining count to |type × day × hod| cells;
     the grid is calendar × |types|-bounded (broadcast), the left join
@@ -733,17 +734,27 @@ def seasonal_profile_anomalies(
     spark: SparkSession, ev: DataFrame, types
 ) -> DataFrame:
     """Frame-level seasonal-profile core over (event_type, day, hod)
-    rows, densified against the declared ``types`` taxonomy — split
-    out so tests can assert the absent-type contract directly."""
+    rows, densified against the declared ``types`` taxonomy UNIONED
+    with the observed distinct types — split out so tests can assert
+    both halves of the type-axis contract directly (declared-but-
+    absent surfaces; observed-but-undeclared is not dropped)."""
     cells = ev.groupBy("event_type", "day", "hod").agg(
         F.count("*").alias("n")
     )
+    # Type axis = DECLARED ∪ OBSERVED: the declared leg surfaces a
+    # type absent from the whole corpus (total ingestion failure) as
+    # all-zero rows; the observed leg keeps a type the taxonomy has
+    # drifted away from (undeclared 'refund' in dirty data) in the
+    # report instead of silently dropping it out of the left join.
+    # Event-type is a taxonomy-bounded axis by contract, so the union
+    # stays broadcastable at any data scale.
+    type_axis = (
+        spark.createDataFrame([(t,) for t in types], "event_type string")
+        .union(ev.select("event_type").distinct())
+        .distinct()
+    )
     grid = (
-        F.broadcast(
-            spark.createDataFrame(
-                [(t,) for t in types], "event_type string"
-            )
-        )
+        F.broadcast(type_axis)
         .crossJoin(ev.select("day").distinct())
         .select(
             "event_type",
@@ -999,7 +1010,9 @@ ORACLES = {
         grid AS (
             SELECT t.event_type, d.day, h.hod
             FROM (SELECT unnest([{", ".join(repr(t) for t in _EVENT_TYPES)}])
-                      AS event_type) t
+                      AS event_type
+                  UNION
+                  SELECT DISTINCT event_type FROM events) t
             CROSS JOIN (SELECT DISTINCT ts::DATE AS day FROM events) d
             CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hod) h
         ),

@@ -266,7 +266,16 @@ if _HAVE_UDTF:
                 gap = (row["ts"] - self._prev_ts) // _US
                 if gap > self._max_gap:
                     self._max_gap = gap
-            if self._prev_val is not None and row["value"] > self._prev_val:
+            # NULL semantics (declared, mirrored in the oracle): a
+            # NULL value can never be part of a strictly-increasing
+            # run — it breaks the current run and stands as its own
+            # length-1 run; the next row starts fresh.
+            v = row["value"]
+            if (
+                v is not None
+                and self._prev_val is not None
+                and v > self._prev_val
+            ):
                 self._run += 1
             else:
                 self._run = 1
@@ -433,7 +442,8 @@ ORACLES["udtf_window_stats"] = """
     d AS (
         SELECT user_id, event_id, ts, value, win_start,
                lag(ts) OVER w AS pts,
-               CASE WHEN lag(value) OVER w IS NULL
+               CASE WHEN value IS NULL
+                         OR lag(value) OVER w IS NULL
                          OR value <= lag(value) OVER w
                     THEN 1 ELSE 0 END AS brk
         FROM ev

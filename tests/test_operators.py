@@ -1491,9 +1491,11 @@ def test_seasonal_profile_anomalies_consistency(spark, sf_dir):
 
 
 def test_seasonal_profile_absent_type_is_visible(spark):
-    """A type in the declared taxonomy with ZERO events anywhere must
-    still appear in the report — 24 all-zero rows with the shared
-    observed-day count — instead of vanishing (the vacuity fix)."""
+    """Both halves of the type-axis contract: a DECLARED type with
+    ZERO events anywhere must still appear (24 all-zero rows with the
+    shared observed-day count — the vacuity fix), and an OBSERVED type
+    missing from the declared taxonomy must not be dropped by the grid
+    join (the drift fix)."""
     import datetime as dt
 
     from decisions_kinesis_spark.operators.analytics_ext import (
@@ -1506,7 +1508,8 @@ def test_seasonal_profile_absent_type_is_visible(spark):
             for d in (1, 2, 3)
             for h in (0, 12)
         ]
-        + [("click", dt.date(2026, 1, 1), 5)],
+        + [("click", dt.date(2026, 1, 1), 5)]
+        + [("refund", dt.date(2026, 1, 2), 7)],  # NOT in the taxonomy
         "event_type string, day date, hod int",
     )
     rows = seasonal_profile_anomalies(
@@ -1515,13 +1518,17 @@ def test_seasonal_profile_absent_type_is_visible(spark):
     by_type = {}
     for r in rows:
         by_type.setdefault(r["event_type"], []).append(r)
-    # the absent type is present: 24 rows, zero baseline, zero flags
-    assert set(by_type) == {"view", "click", "error"}
+    # declared-but-absent is present: 24 rows, zero baseline, no flags
+    assert set(by_type) == {"view", "click", "error", "refund"}
     assert len(by_type["error"]) == 24
     for r in by_type["error"]:
         assert r["n_days"] == 3  # shares the observed-day axis
         assert r["baseline_x100"] == 0
         assert r["n_high_days"] == 0 and r["n_low_days"] == 0
+    # observed-but-undeclared is densified like any declared type
+    assert len(by_type["refund"]) == 24
+    hit = [r for r in by_type["refund"] if r["hod"] == 7][0]
+    assert hit["n_days"] == 3 and hit["baseline_x100"] == 33
 
 
 def test_novelty_curve_first_bucket_is_all_novel(spark, sf_dir):
@@ -1743,6 +1750,42 @@ def test_udtf_window_stats_one_row_per_window(spark, sf_dir):
         else:
             # gaps within one hour window are < 3600s
             assert 0 <= r["max_gap_us"] < 3_600_000_000
+
+
+def test_udtf_window_stats_null_value_breaks_run(spark):
+    """Declared NULL semantics: a NULL value breaks the increasing
+    run (its own length-1 run) on BOTH the Python and the oracle side
+    — it neither crashes eval nor silently extends a run."""
+    import datetime as dt
+
+    from decisions_kinesis_spark.operators.udfs import _WindowStatsUdtf
+
+    spark.udtf.register("dks_window_stats_udtf_nulltest", _WindowStatsUdtf)
+    w0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        (3, i + 1, w0 + dt.timedelta(minutes=i), v, w0)
+        for i, v in enumerate([1.0, 2.0, None, 3.0, 4.0])
+    ]
+    spark.createDataFrame(
+        rows,
+        "user_id bigint, event_id bigint, ts timestamp,"
+        " value double, win_start timestamp",
+    ).createOrReplaceTempView("_t_win_null")
+    out = spark.sql(
+        """
+        SELECT * FROM dks_window_stats_udtf_nulltest(
+            TABLE(SELECT * FROM _t_win_null)
+            PARTITION BY (user_id, win_start) ORDER BY (ts, event_id)
+        )
+        """
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # runs: [1,2] | [NULL] | [3,4] — NOT [1,2,NULL]=3 (old oracle) and
+    # no TypeError (old eval)
+    assert r["n_events"] == 5
+    assert r["longest_up_run"] == 2
+    assert r["max_gap_us"] == 60_000_000
 
 
 def test_udtf_sessionize_state_is_per_user_and_ordered(spark, sf_dir):

@@ -63,14 +63,19 @@ _DECIMAL_RE = re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas not nested inside (), [] or <>."""
-    parts, depth, cur = [], 0, []
+    """Split on commas not nested inside (), [] or <>, and not inside
+    a double-quoted identifier (DuckDB quotes struct field names that
+    need it; embedded quotes are doubled)."""
+    parts, depth, cur, in_q = [], 0, [], False
     for ch in s:
-        if ch in "([<":
-            depth += 1
-        elif ch in ")]>":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == '"':
+            in_q = not in_q
+        elif not in_q:
+            if ch in "([<":
+                depth += 1
+            elif ch in ")]>":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_q:
             parts.append("".join(cur))
             cur = []
         else:
@@ -118,8 +123,26 @@ def canon_duck(t: str) -> str:
     if u.startswith("STRUCT(") and t.endswith(")"):
         fields = []
         for f in _split_top_level(t[7:-1]):
-            name, _, ftype = f.partition(" ")
-            fields.append(f"{name.strip().strip(chr(34))}:{canon_duck(ftype)}")
+            f = f.strip()
+            if f.startswith('"'):
+                # quoted field name — may contain spaces/commas; DuckDB
+                # doubles embedded quotes ("" -> ")
+                i, name_chars = 1, []
+                while i < len(f):
+                    if f[i] == '"':
+                        if i + 1 < len(f) and f[i + 1] == '"':
+                            name_chars.append('"')
+                            i += 2
+                            continue
+                        i += 1
+                        break
+                    name_chars.append(f[i])
+                    i += 1
+                name, ftype = "".join(name_chars), f[i:].strip()
+            else:
+                name, _, ftype = f.partition(" ")
+                name = name.strip()
+            fields.append(f"{name}:{canon_duck(ftype)}")
         return f"struct<{','.join(fields)}>"
     return f"unrecognized:{t.lower()}"
 
@@ -168,7 +191,35 @@ def duck_output_schema(con, sql: str) -> list[tuple[str, str]]:
     return [(r[0], canon_duck(r[1])) for r in rows]
 
 
+def _norm_mapping(v, norm):
+    """Hashable canonical form for MAP/STRUCT values.  Spark returns
+    structs as Row (tuple subclass WITH field names via asDict) and
+    maps as dict; DuckDB returns both as dict — fold every shape to a
+    sentinel-tagged sorted (key, value) tuple so the multiset compare
+    is field-name-aware and engine-agnostic.  The sentinel keeps a map
+    value from colliding with a genuine list-of-pairs column (the
+    schema gate already guarantees same family, but stay exact)."""
+    if (
+        set(v) == {"key", "value"}
+        and isinstance(v["key"], list)
+        and isinstance(v["value"], list)
+        and len(v["key"]) == len(v["value"])
+    ):
+        # DuckDB's columnar MAP fetch shape {'key': [...], 'value':
+        # [...]} — zip to pairs.  Applied by BOTH sides' normalizers,
+        # so even a genuine struct<key:list,value:list> column folds
+        # identically on each engine and still compares exactly.
+        v = dict(zip(v["key"], v["value"]))
+    return ("__kv__",) + tuple(
+        sorted((norm(k), norm(x)) for k, x in v.items())
+    )
+
+
 def norm_rounded(v):
+    if hasattr(v, "asDict"):  # pyspark Row (struct) — check before tuple
+        return _norm_mapping(v.asDict(), norm_rounded)
+    if isinstance(v, dict):  # map (both engines) / DuckDB struct
+        return _norm_mapping(v, norm_rounded)
     if isinstance(v, (list, tuple)):
         return tuple(norm_rounded(x) for x in v)
     if isinstance(v, float):
@@ -179,6 +230,10 @@ def norm_rounded(v):
 
 
 def norm_exact(v):
+    if hasattr(v, "asDict"):  # pyspark Row (struct) — check before tuple
+        return _norm_mapping(v.asDict(), norm_exact)
+    if isinstance(v, dict):  # map (both engines) / DuckDB struct
+        return _norm_mapping(v, norm_exact)
     if isinstance(v, (list, tuple)):
         return tuple(norm_exact(x) for x in v)
     if isinstance(v, float) and math.isnan(v):

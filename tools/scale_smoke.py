@@ -66,7 +66,9 @@ def build_replica(spark, k: int) -> str:
     legacy = f"{OUT}/k{k}"
     if os.path.isdir(legacy):
         print(f"removing stale legacy replica dir {legacy}")
-        shutil.rmtree(legacy)
+        # tolerate a concurrent run racing the same cleanup — losing
+        # the race must not kill this run (the reuse guarantee above)
+        shutil.rmtree(legacy, ignore_errors=True)
     out = f"{OUT}/k{k}v2"
     if os.path.isdir(f"{out}/_DONE"):
         return out
