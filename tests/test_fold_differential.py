@@ -211,3 +211,43 @@ def test_range_prefix_positions_match_single_node_sort(
         exp_psum[uid] = acc
     assert {r["uid"]: r["pos"] for r in got} == exp_pos
     assert {r["uid"]: r["psum"] for r in got} == exp_psum
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_triangle_counts_match_brute_force(spark, edges):
+    """Degree-oriented wedge counting == O(n^3) brute force on random
+    graphs: per-node triangle counts AND degrees agree exactly, and
+    nodes in no triangle are absent (the documented output contract)."""
+    from itertools import combinations
+
+    from decisions_kinesis_spark.operators.graphs import triangle_counts
+
+    und = {(min(u, v), max(u, v)) for u, v in edges}
+    nodes = {n for e in und for n in e}
+    tri = {n: 0 for n in nodes}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (
+            (a, b) in und and (a, c) in und and (b, c) in und
+        ):
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    deg = {n: sum(n in e for e in und) for n in nodes}
+    expect = {
+        n: (tri[n], deg[n]) for n in nodes if tri[n] > 0
+    }
+    df = spark.createDataFrame(sorted(und), "u bigint, v bigint")
+    got = {
+        r["node"]: (r["tri_cnt"], r["deg"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got == expect, (sorted(und), got, expect)
