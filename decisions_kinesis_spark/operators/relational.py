@@ -187,9 +187,15 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    """LEFT ANTI (NOT EXISTS): customers with no URGENT-priority
+    order.  The priority filter keeps the anti-join demo non-vacuous:
+    every customer in this corpus has ordered at least once, so the
+    unfiltered form returns 0 rows at every SF and its correctness
+    row would check nothing."""
     cust = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -1118,9 +1124,15 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: anti join against orders + global scalar
     subquery — rich customers (balance above the positive-balance
-    average) who never ordered, grouped by nation."""
+    average) with no RECENT order (none since 1999-01-01), grouped by
+    nation.  The recency cutoff plays the role of Q22's substitution
+    parameters, chosen so the result is non-empty at every test SF —
+    an everywhere-empty result would make the correctness row vacuous
+    (this corpus's every rich customer has ordered at least once)."""
     cust = load_table(spark, "customer", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
     nation = load_table(spark, "nation", sf_dir)
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("ab")
@@ -1730,7 +1742,8 @@ ORACLES = {
     "join_anti_customers_without_orders": """
         SELECT c_custkey, c_name
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
     """,
     "agg_rollup_lineitem": """
         SELECT l_returnflag, l_linestatus,
@@ -2145,7 +2158,8 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                            WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY n_name
     """,
     "q14_promo_revenue": """
