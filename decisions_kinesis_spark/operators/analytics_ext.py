@@ -791,6 +791,121 @@ def seasonal_profile_anomalies(
     )
 
 
+#: Max autocorrelation lag (hours) — one full day, so the diurnal
+#: cycle shows as the lag-24 peak.
+_ACF_MAX_LAG = 24
+
+
+def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's DENSE hourly
+    count series at lags 1..24 — the periodicity detector that closes
+    the monitoring quintet (MAD = point outliers, CUSUM = level
+    shifts, OLS = trend, seasonal profile = diurnal baseline breaks,
+    THIS = how periodic the signal actually is: a strong lag-24 spike
+    confirms the daily cycle the seasonal monitor assumes).
+
+    Estimator: the standard global-mean ACF ``r_k = Σ_{t>k}(c_t−c̄)
+    (c_{t−k}−c̄) / Σ_t(c_t−c̄)²``, made EXACT by n-scaling: with
+    ``d_t = n·c_t − S`` (S = Σc, all integers) the n² factors cancel,
+    so ``r_k = Σ d_t·d_{t−k} / Σ d_t²`` is a ratio of exact
+    DECIMAL(38,0) integers; output is the ppm floor-division both
+    engines truncate identically (toward zero — verified for negative
+    numerators on both; a constant series has den = 0 → NULL, not a
+    division error).  Exactness bound: ``|num|·10⁶ < 10³⁸`` ⇔
+    ``Σd² < 10³²`` — with the calendar-bounded series length (≤10⁵
+    hourly buckets ≈ 11 years) that allows ~3·10⁸ events PER HOUR
+    per type before overflow, far past any corpus here (the chi2
+    documented-bound pattern).
+
+    The series is DENSIFIED against the declared-∪-observed type axis
+    and the full observed hour span (the seasonal-monitor contract):
+    silent outage hours enter as zeros — exactly the rows that break
+    autocorrelation — and a type absent from the whole corpus
+    surfaces as 24 NULL-acf rows instead of vanishing.
+
+    Scale: one map-side-combining count to |type × hour| cells; the
+    grid is taxonomy × calendar-bounded (broadcast axes); the lag
+    probe is a 24-wide bounded explode equi-joined back on
+    ``(type, t−k)`` — rollup-sized frames throughout, never raw
+    events.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+    )
+    return acf_hourly(spark, ev, _EVENT_TYPES, _ACF_MAX_LAG)
+
+
+def acf_hourly(
+    spark: SparkSession, ev: DataFrame, types, max_lag: int
+) -> DataFrame:
+    """Frame-level ACF core over (event_type, b) hour-bucket rows,
+    densified against the declared ``types`` ∪ observed axis and the
+    observed hour span — split out so tests can inject synthetic
+    series (known-ACF ramps, absent types, alternating signs)."""
+    counts = ev.groupBy("event_type", "b").agg(F.count("*").alias("c"))
+    span = ev.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    type_axis = (
+        spark.createDataFrame([(t,) for t in types], "event_type string")
+        .union(ev.select("event_type").distinct())
+        .distinct()
+    )
+    hours = span.select(
+        "b0", F.explode(F.expr("sequence(b0, b1, interval 1 hour)")).alias("b")
+    ).select(
+        F.expr(
+            "cast((unix_timestamp(b) - unix_timestamp(b0)) div 3600"
+            " as bigint)"
+        ).alias("t"),
+        "b",
+    )
+    dense = (
+        F.broadcast(type_axis)
+        .crossJoin(hours)
+        .join(counts, ["event_type", "b"], "left")
+        .select(
+            "event_type", "t", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.count("*").alias("nh"), F.sum("c").alias("s")
+    )
+    d = dense.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "t",
+        F.expr("cast(nh as decimal(38,0)) * c - s").alias("d"),
+    )
+    probes = d.select(
+        "event_type",
+        "d",
+        F.explode(F.expr(f"sequence(1, {int(max_lag)})")).alias("k"),
+        F.col("t"),
+    ).withColumn("tp", F.expr("t - k"))
+    num = (
+        probes.join(
+            d.select(
+                "event_type",
+                F.col("t").alias("tp"),
+                F.col("d").alias("d_prev"),
+            ),
+            ["event_type", "tp"],
+        )
+        .groupBy("event_type", "k")
+        .agg(F.sum(F.expr("d * d_prev")).alias("num"))
+    )
+    den = d.groupBy("event_type").agg(
+        F.sum(F.expr("d * d")).alias("den"), F.count("*").alias("n_hours")
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        F.col("k").cast("int").alias("lag"),
+        "n_hours",
+        F.expr(
+            "cast(case when den = 0 then null"
+            " else num * 1000000 div den end as bigint)"
+        ).alias("acf_ppm"),
+    )
+
+
 def supplier_otif_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier fulfillment scorecard: per supplier, lead-time stats
     from order date to each line's ship date — line count, mean /
@@ -942,6 +1057,7 @@ QUERIES = {
     "supplier_otif_scorecard": supplier_otif_scorecard,
     "docs_language_mix_drift": docs_language_mix_drift,
     "events_chi2_ab_types": events_chi2_ab_types,
+    "events_acf_hourly": events_acf_hourly,
 }
 
 
@@ -1376,4 +1492,61 @@ ORACLES["events_chi2_ab_types"] = f"""
            (SELECT sum(chi2_cell_x1e6) FROM per)::BIGINT
                AS chi2_total_x1e6
     FROM per
+"""
+
+ORACLES["events_acf_hourly"] = f"""
+    WITH ev AS (
+        SELECT event_type, date_trunc('hour', ts) AS b FROM events
+    ),
+    counts AS (
+        SELECT event_type, b, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+    ),
+    span AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+    hours AS (
+        SELECT ((epoch_us(u.h) - epoch_us(s.b0)) // 3600000000)::BIGINT
+                   AS t,
+               u.h AS b
+        FROM span s, unnest(generate_series(s.b0, s.b1, INTERVAL 1 HOUR))
+                 AS u(h)
+    ),
+    types AS (
+        SELECT unnest([{", ".join(repr(t) for t in _EVENT_TYPES)}])
+            AS event_type
+        UNION
+        SELECT DISTINCT event_type FROM ev
+    ),
+    dense AS (
+        SELECT ty.event_type, h.t, coalesce(c.c, 0)::BIGINT AS c
+        FROM types ty
+        CROSS JOIN hours h
+        LEFT JOIN counts c
+          ON c.event_type = ty.event_type AND c.b = h.b
+    ),
+    stats AS (
+        SELECT event_type, count(*)::BIGINT AS nh, sum(c)::BIGINT AS s
+        FROM dense GROUP BY 1
+    ),
+    dd AS (
+        SELECT de.event_type, de.t,
+               (st.nh::HUGEINT * de.c - st.s) AS d
+        FROM dense de JOIN stats st USING (event_type)
+    ),
+    probes AS (
+        SELECT event_type, d, l.k, t - l.k AS tp
+        FROM dd, unnest(generate_series(1, {_ACF_MAX_LAG})) AS l(k)
+    ),
+    num AS (
+        SELECT p.event_type, p.k, sum(p.d * d2.d) AS num
+        FROM probes p JOIN dd d2
+          ON d2.event_type = p.event_type AND d2.t = p.tp
+        GROUP BY 1, 2
+    ),
+    den AS (
+        SELECT event_type, sum(d * d) AS den, count(*)::BIGINT AS n_hours
+        FROM dd GROUP BY 1
+    )
+    SELECT n.event_type, n.k::INT AS lag, de.n_hours,
+           (CASE WHEN de.den = 0 THEN NULL
+                 ELSE n.num * 1000000 // de.den END)::BIGINT AS acf_ppm
+    FROM num n JOIN den de USING (event_type)
 """

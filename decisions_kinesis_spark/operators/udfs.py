@@ -366,7 +366,58 @@ def udtf_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_stats_arrow_batches(batches):
+    """RecordBatch → RecordBatch byte/char/regex stats, entirely in
+    Arrow compute kernels — no pandas materialization, no per-row
+    Python.  Yields one output batch per input batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        doc_id = b.column(b.schema.get_field_index("doc_id"))
+        text = b.column(b.schema.get_field_index("text"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_id,
+                pc.cast(pc.binary_length(text), pa.int64()),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+                pc.cast(pc.count_substring(text, " "), pa.int64()),
+                pc.cast(pc.count_substring_regex(text, "[A-Z]"), pa.int64()),
+            ],
+            names=["doc_id", "n_bytes", "n_chars", "n_spaces", "n_upper"],
+        )
+
+
+def arrow_map_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` tier demo with a value-checked oracle: per-doc
+    UTF-8 byte length, character length, space count, and ASCII-upper
+    count, computed by Arrow compute kernels over raw ``RecordBatch``
+    streams — the LOWEST-level Python extension tier (below
+    ``mapInPandas``: no pandas conversion at all), completing the
+    enumeration scalar-pandas → UDAF → grouped-map → mapInPandas →
+    mapInArrow → UDTF.
+
+    Determinism: every stat is an exact integer; the regex class
+    ``[A-Z]`` is ASCII-only and both engines run RE2-family engines,
+    so counts agree on any input (n_bytes ≠ n_chars on non-ASCII text
+    — the fixture case).
+
+    Scale: a narrow per-partition map — no shuffle, no state; the
+    scan is pruned to (doc_id, text) and batches stream through Arrow
+    without a pandas copy, so memory is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of
+    corpus size.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return docs.mapInArrow(
+        _doc_stats_arrow_batches,
+        "doc_id bigint, n_bytes bigint, n_chars bigint,"
+        " n_spaces bigint, n_upper bigint",
+    )
+
+
 QUERIES = {
+    "arrow_map_doc_stats": arrow_map_doc_stats,
     "udtf_chunk_documents": udtf_chunk_documents,
     "udtf_sessionize_stateful": udtf_sessionize_stateful,
     "udtf_window_stats": udtf_window_stats,
@@ -376,6 +427,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "arrow_map_doc_stats": """
+        SELECT doc_id,
+               strlen(text)::BIGINT AS n_bytes,
+               length(text)::BIGINT AS n_chars,
+               (length(text) - length(replace(text, ' ', '')))::BIGINT
+                   AS n_spaces,
+               length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT
+                   AS n_upper
+        FROM documents
+    """,
     "pandas_grouped_map_minmax": """
         WITH p AS (
             SELECT user_id, event_id, value FROM events

@@ -95,5 +95,6 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         arrow_eval=("ArrowEvalPython" in plan)
         or ("FlatMapGroupsInPandas" in plan)
         or ("MapInPandas" in plan)
+        or ("MapInArrow" in plan)
         or ("FlatMapCoGroupsInPandas" in plan),
     )

@@ -1815,3 +1815,80 @@ def test_udtf_sessionize_state_is_per_user_and_ordered(spark, sf_dir):
             by_sess[r["session_id"]].append(r["session_event_idx"])
         for sid, idxs in by_sess.items():
             assert sorted(idxs) == list(range(1, len(idxs) + 1))
+
+
+def test_arrow_map_doc_stats_kernels_and_plan(spark, sf_dir):
+    """mapInArrow tier: the stats come from Arrow compute kernels over
+    RecordBatches (no pandas, no row-Python), the plan carries the
+    MapInArrow node, and the byte/char split is exact on non-ASCII
+    text (the case the oracle's strlen/length pair discriminates)."""
+    from decisions_kinesis_spark.operators.udfs import (
+        _doc_stats_arrow_batches,
+        arrow_map_doc_stats,
+    )
+
+    plan = (
+        arrow_map_doc_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan
+
+    docs = spark.createDataFrame(
+        [(1, "Héllo Wörld"), (2, ""), (3, "AB cd EF")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in docs.mapInArrow(
+            _doc_stats_arrow_batches,
+            "doc_id bigint, n_bytes bigint, n_chars bigint,"
+            " n_spaces bigint, n_upper bigint",
+        ).collect()
+    }
+    r1 = rows[1]  # é and ö are 2 UTF-8 bytes each
+    assert (r1["n_bytes"], r1["n_chars"]) == (13, 11)
+    assert r1["n_spaces"] == 1 and r1["n_upper"] == 2
+    r2 = rows[2]
+    assert (r2["n_bytes"], r2["n_chars"], r2["n_spaces"], r2["n_upper"]) == (
+        0,
+        0,
+        0,
+        0,
+    )
+    r3 = rows[3]
+    assert r3["n_spaces"] == 2 and r3["n_upper"] == 4
+
+
+def test_acf_hourly_known_series_and_truncation(spark):
+    """ACF core on hand-computed series: exact ppm values, truncation
+    TOWARD ZERO on negative non-exact ratios (floor would differ), a
+    declared-but-absent type surfacing as NULL-acf rows, and the
+    shared dense hour axis."""
+    import datetime as dt
+
+    from decisions_kinesis_spark.operators.analytics_ext import acf_hourly
+
+    h = [dt.datetime(2026, 1, 1, hh, 0, 0) for hh in range(3)]
+    rows = (
+        [("alt", h[0])] + [("alt", h[1])] * 3 + [("alt", h[2])]
+        + [("skew", h[0])] * 2 + [("skew", h[1]), ("skew", h[2])]
+    )
+    ev = spark.createDataFrame(rows, "event_type string, b timestamp")
+    out = acf_hourly(spark, ev, ("alt", "skew", "ghost"), 3).collect()
+    got = {(r["event_type"], r["lag"]): r for r in out}
+    # alt counts [1,3,1]: d=[-2,4,-2], den=24 -> lag1 -16e6/24, lag2 4e6/24
+    assert got[("alt", 1)]["acf_ppm"] == -666666  # trunc; floor = -666667
+    assert got[("alt", 2)]["acf_ppm"] == 166666
+    # skew counts [2,1,1]: d=[2,-1,-1], den=6
+    assert got[("skew", 1)]["acf_ppm"] == -166666
+    assert got[("skew", 2)]["acf_ppm"] == -333333
+    # lag 3 has no pairs on a 3-hour span -> no rows at all
+    assert not any(lag == 3 for (_t, lag) in got)
+    # declared-but-absent type: constant-zero series -> NULL acf rows
+    assert got[("ghost", 1)]["acf_ppm"] is None
+    assert got[("ghost", 2)]["acf_ppm"] is None
+    # every type shares the dense observed hour axis
+    assert {r["n_hours"] for r in out} == {3}
