@@ -47,3 +47,39 @@ def cusum_fold(xs: list[int]) -> tuple[int, int, int, int, bool]:
         s = max(0, s + x - tgt - slack)
         m = max(m, s)
     return len(xs), tgt, s, m, m >= 3 * tgt
+
+
+def acf_from_state(state: dict, types, max_lag: int) -> dict:
+    """Independent ACF derivation from accumulated (type, hour) → n
+    state (nonzero counts only): densify on the declared-∪-observed
+    type axis over the global observed hour span, then the textbook
+    mean-centered estimator in exact integer arithmetic
+    (d_t = n·c_t − S; ppm via tdiv) — independent of the DataFrame
+    formulation's n-scaling algebra."""
+    import datetime as dt
+
+    hours = sorted({b for (_t, b) in state})
+    if not hours:
+        return {}
+    span = [hours[0]]
+    while span[-1] < hours[-1]:
+        span.append(span[-1] + dt.timedelta(hours=1))
+    axis = sorted(set(types) | {t for (t, _b) in state})
+    out: dict = {}
+    for t in axis:
+        cs = [state.get((t, b), 0) for b in span]
+        n = len(cs)
+        s = sum(cs)
+        d = [n * c - s for c in cs]
+        den = sum(x * x for x in d)
+        for k in range(1, max_lag + 1):
+            if n <= k:
+                continue  # no (t, t−k) pairs -> the engines emit no row
+            if den == 0:
+                out[(t, k)] = None
+            else:
+                out[(t, k)] = tdiv(
+                    sum(d[i] * d[i - k] for i in range(k, n)) * 1_000_000,
+                    den,
+                )
+    return out

@@ -251,3 +251,43 @@ def test_triangle_counts_match_brute_force(spark, edges):
         for r in triangle_counts(df).collect()
     }
     assert got == expect, (sorted(und), got, expect)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    series=st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.lists(st.integers(0, 5), min_size=1, max_size=8),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_acf_hourly_matches_python_reference(spark, series):
+    """ACF DataFrame formulation (n-scaled DECIMAL identity) == the
+    textbook mean-centered integer estimator on random short series —
+    including constant series (NULL acf), all-zero types, and series
+    whose observed span shrinks past leading/trailing zero hours (the
+    densification contract both sides must share)."""
+    import datetime as dt
+
+    from _helpers import acf_from_state
+    from decisions_kinesis_spark.operators.analytics_ext import acf_hourly
+
+    h0 = dt.datetime(2026, 3, 1, 0, 0, 0)
+    rows = []
+    state = {}
+    for t, cs in series.items():
+        for i, c in enumerate(cs):
+            if c > 0:
+                b = h0 + dt.timedelta(hours=i)
+                state[(t, b)] = c
+                rows.extend([(t, b)] * c)
+    types = ("a", "ghost")
+    max_lag = 3
+    expect = acf_from_state(state, types, max_lag)
+    ev = spark.createDataFrame(rows, "event_type string, b timestamp")
+    got = {
+        (r["event_type"], r["lag"]): r["acf_ppm"]
+        for r in acf_hourly(spark, ev, types, max_lag).collect()
+    }
+    assert got == expect, (series, got, expect)
