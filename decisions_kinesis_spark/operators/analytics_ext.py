@@ -220,6 +220,63 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt DOUBLE-exponential smoothing (α = β = ½) over each event
+    type's hourly mean series — the level+trend extension of
+    ``events_ewma_hourly`` that a drifting signal needs (single
+    smoothing lags a trending series forever; Holt tracks it), plus
+    the one-step-ahead forecast every capacity monitor reads.
+
+    Determinism: the same contract as the EWMA fold — exact-decimal
+    hourly means divided once, then a SEQUENTIAL left fold with a
+    (level, trend) struct accumulator: seed (x₀, 0); step
+    ``l' = (x + l + t)/2;  t' = (t + (l' − l))/2``.  Spark's
+    ``aggregate`` (null-seeded struct) and DuckDB's
+    ``list_transform``+``list_reduce`` (first element as seed) execute
+    the identical IEEE op sequence in the identical order — bitwise
+    equality, no tolerance; α = β = ½ keeps every step dyadic.
+
+    Scale: the fold runs over the per-type ROLLUP series (calendar-
+    bounded, thousands of elements at most), never raw events; the
+    hourly aggregation map-side combines.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b"), "value"
+    )
+    hourly = ev.groupBy("event_type", "b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sdec"),
+    )
+    series = (
+        hourly.withColumn("mean", F.expr("cast(sdec as double) / n"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(b, mean))),"
+                " s -> s.mean)"
+            ).alias("xs"),
+        )
+    )
+    fold = (
+        "aggregate(xs,"
+        " named_struct('l', cast(null as double),"
+        "              't', cast(0.0 as double)),"
+        " (acc, x) -> if(acc.l is null,"
+        "   named_struct('l', x, 't', cast(0.0 as double)),"
+        "   named_struct("
+        "     'l', (x + acc.l + acc.t) / 2.0,"
+        "     't', (acc.t + ((x + acc.l + acc.t) / 2.0 - acc.l)) / 2.0)))"
+    )
+    return series.withColumn("hs", F.expr(fold)).select(
+        "event_type",
+        "n_buckets",
+        fl4(F.col("hs.l")).alias("holt_level"),
+        fl4(F.col("hs.t")).alias("holt_trend"),
+        fl4(F.expr("hs.l + hs.t")).alias("forecast_next"),
+    )
+
+
 def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across every FK relationship in the
     schema: child rows whose foreign key has no parent — the
@@ -1044,6 +1101,7 @@ QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "orders_pareto_abc": orders_pareto_abc,
     "events_ewma_hourly": events_ewma_hourly,
+    "events_holt_linear": events_holt_linear,
     "audit_fk_orphans": audit_fk_orphans,
     "customer_rfm_segments": customer_rfm_segments,
     "events_markov_transitions": events_markov_transitions,
@@ -1388,6 +1446,49 @@ ORACLES = {
                floor(list_reduce(xs, (acc, x) -> (acc + x) / 2.0)
                      * 10000 + 0.5) / 10000.0 AS ewma_level
         FROM series
+    """,
+    # NOTE: the fold is replayed with a RECURSIVE CTE, not list_reduce
+    # — DuckDB 1.0's list_reduce with a STRUCT accumulator is not
+    # referentially transparent (from the second step on, the 't'
+    # field expression observes the NEW 'l' instead of acc.l; verified
+    # with [2,4,3,5] → (4.28125, .4140625) vs the textbook 4.3125).
+    # Plain recursive-step expressions evaluate correctly and replay
+    # Spark's exact IEEE op sequence.
+    "events_holt_linear": """
+        WITH RECURSIVE hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS b,
+                   count(*)::BIGINT AS n,
+                   sum(value::DECIMAL(18,4)) AS sdec
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        pts AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY b)::BIGINT AS i,
+                   sdec::DOUBLE / n AS x
+            FROM hourly
+        ),
+        rec AS (
+            SELECT event_type, i, x AS l, 0.0::DOUBLE AS t
+            FROM pts WHERE i = 1
+            UNION ALL
+            SELECT p.event_type, p.i,
+                   (p.x + r.l + r.t) / 2.0,
+                   (r.t + ((p.x + r.l + r.t) / 2.0 - r.l)) / 2.0
+            FROM rec r JOIN pts p
+              ON p.event_type = r.event_type AND p.i = r.i + 1
+        ),
+        nb AS (
+            SELECT event_type, max(i)::BIGINT AS n_buckets
+            FROM pts GROUP BY event_type
+        )
+        SELECT r.event_type, nb.n_buckets,
+               floor(r.l * 10000 + 0.5) / 10000.0 AS holt_level,
+               floor(r.t * 10000 + 0.5) / 10000.0 AS holt_trend,
+               floor((r.l + r.t) * 10000 + 0.5) / 10000.0
+                   AS forecast_next
+        FROM rec r JOIN nb
+          ON r.event_type = nb.event_type AND r.i = nb.n_buckets
     """,
     "audit_fk_orphans": """
         SELECT 'orders.custkey->customer' AS relationship,

@@ -1892,3 +1892,58 @@ def test_acf_hourly_known_series_and_truncation(spark):
     assert got[("ghost", 2)]["acf_ppm"] is None
     # every type shares the dense observed hour axis
     assert {r["n_hours"] for r in out} == {3}
+
+
+def test_holt_linear_matches_python_fold(spark, sf_dir):
+    """Holt double-exponential smoothing == the textbook Python fold
+    over the same hourly mean series (identical IEEE op sequence →
+    bitwise equality before the shared floor-rounding), and the
+    level+trend pair beats plain EWMA on trend tracking by
+    construction (trend column exists and is finite)."""
+    import math
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"""
+            SELECT event_type,
+                   sum(value::DECIMAL(18,4))::DOUBLE / count(*) AS x
+            FROM read_parquet('{sf_dir}/events.parquet')
+            GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, date_trunc('hour', ts)
+            """
+        )
+        .fetchall()
+    )
+    series: dict[str, list[float]] = {}
+    for etype, x in rows:
+        series.setdefault(etype, []).append(x)
+
+    def fl4(v: float) -> float:
+        return math.floor(v * 10000 + 0.5) / 10000.0
+
+    expect = {}
+    for etype, xs in series.items():
+        l, t = xs[0], 0.0
+        for x in xs[1:]:
+            ln = (x + l + t) / 2.0
+            t = (t + (ln - l)) / 2.0
+            l = ln
+        expect[etype] = (len(xs), fl4(l), fl4(t), fl4(l + t))
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_holt_linear,
+    )
+
+    got = {
+        r["event_type"]: (
+            r["n_buckets"],
+            r["holt_level"],
+            r["holt_trend"],
+            r["forecast_next"],
+        )
+        for r in events_holt_linear(spark, sf_dir).collect()
+    }
+    assert got == expect
