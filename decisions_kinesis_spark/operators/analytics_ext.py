@@ -230,11 +230,18 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the same contract as the EWMA fold — exact-decimal
     hourly means divided once, then a SEQUENTIAL left fold with a
     (level, trend) struct accumulator: seed (x₀, 0); step
-    ``l' = (x + l + t)/2;  t' = (t + (l' − l))/2``.  Spark's
-    ``aggregate`` (null-seeded struct) and DuckDB's
-    ``list_transform``+``list_reduce`` (first element as seed) execute
-    the identical IEEE op sequence in the identical order — bitwise
+    ``l' = (x + l + t)/2;  t' = (t + (l' − l))/2``.  Spark runs it as
+    a null-seeded ``aggregate``; the DuckDB oracle replays the SAME
+    recursion step with a RECURSIVE CTE — NOT ``list_reduce``, whose
+    struct-accumulator form is not referentially transparent in
+    DuckDB 1.0 (see the NOTE at the oracle) — so both engines execute
+    the identical IEEE op sequence in the identical order: bitwise
     equality, no tolerance; α = β = ½ keeps every step dyadic.
+    NULL-mean buckets (an hour whose every value is NULL) are SKIPPED
+    on both sides before the fold — otherwise Spark's null-seed
+    sentinel would silently RE-seed mid-series while the oracle's
+    recursion propagates NULL (disjoint failure modes for the same
+    input).
 
     Scale: the fold runs over the per-type ROLLUP series (calendar-
     bounded, thousands of elements at most), never raw events; the
@@ -249,6 +256,7 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = (
         hourly.withColumn("mean", F.expr("cast(sdec as double) / n"))
+        .where(F.col("mean").isNotNull())
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_buckets"),
@@ -1467,6 +1475,7 @@ ORACLES = {
                                       ORDER BY b)::BIGINT AS i,
                    sdec::DOUBLE / n AS x
             FROM hourly
+            WHERE sdec IS NOT NULL  -- NULL-mean buckets skipped (both sides)
         ),
         rec AS (
             SELECT event_type, i, x AS l, 0.0::DOUBLE AS t

@@ -1947,3 +1947,47 @@ def test_holt_linear_matches_python_fold(spark, sf_dir):
         for r in events_holt_linear(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_holt_linear_null_mean_bucket_skipped_both_engines(spark, tmp_path):
+    """An hour whose every value is NULL (mean = NULL) is SKIPPED by
+    the fold on BOTH engine sides — Spark must not re-seed mid-series
+    via its null-seed sentinel, and the DuckDB oracle must not
+    propagate NULL to the end (the disjoint-failure-mode pair the
+    docstring documents)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        ORACLES,
+        events_holt_linear,
+    )
+
+    h = [dt.datetime(2026, 2, 1, hh, 30, 0) for hh in range(4)]
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a"] * 4),
+            "ts": pa.array(h, pa.timestamp("us")),
+            "value": pa.array([2.0, None, 4.0, 3.0], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    rows = events_holt_linear(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # fold over [2, 4, 3] (NULL hour skipped): (2,0) -> (3,.5) -> (3.25,.375)
+    assert r["n_buckets"] == 3
+    assert (r["holt_level"], r["holt_trend"]) == (3.25, 0.375)
+    assert r["forecast_next"] == 3.625
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet')"
+    )
+    oracle = con.execute(ORACLES["events_holt_linear"]).fetchall()
+    assert oracle == [("a", 3, 3.25, 0.375, 3.625)]
