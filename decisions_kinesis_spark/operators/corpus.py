@@ -33,6 +33,7 @@ from decisions_kinesis_spark.operators.textops import (
     _STOP_SQL,
     _TOKS,
 )
+from decisions_kinesis_spark.functions.ordering import range_prefix
 from decisions_kinesis_spark.sources.tables import load_table
 
 #: floor-based 4dp round — identical IEEE op sequence in both engines
@@ -479,6 +480,73 @@ def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("pos"),
         "doc_id",
         "hv",
+    )
+
+
+_CURR_BUCKETS = 10  # difficulty deciles; must stay < _CURR_STRIDE
+_CURR_STRIDE = 16  # key stride embedding (within, bucket) lexicographic
+
+
+def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering — the easy→hard schedule with STRATIFIED
+    INTERLEAVING that curriculum-learning pipelines feed the trainer:
+    docs are deciled by length (the shared difficulty proxy; shorter =
+    easier), ranked within their decile, and given a single
+    ``curriculum_key`` whose ascending order visits buckets
+    round-robin (rank 1 of every decile, then rank 2 of every decile,
+    …) so every training window mixes difficulties instead of
+    front-loading one stratum.
+
+    Determinism: decile cuts use the exact-percentile contract
+    (bitwise ``percentile``/``quantile_cont``); bucket assignment is
+    strict ``>`` comparisons against the broadcast cuts; ranks order
+    by (bucket, n_chars, doc_id) — unique doc_id breaks every tie.
+    ``curriculum_key = (within−1)·16 + bucket`` is an order embedding
+    of (within, bucket) lexicographic (collision-free while buckets ≤
+    16 — asserted by the module constants).
+
+    Scale: the global rank uses the range-partitioned prefix pattern
+    (``functions/ordering.range_prefix``) — NO single-partition
+    window; within-bucket ranks are derived from the global positions
+    by subtracting each bucket's first position (a 10-row broadcast),
+    so the per-bucket window a naive formulation needs (10 giant
+    partitions at corpus scale) never appears.
+    """
+    assert _CURR_BUCKETS <= _CURR_STRIDE
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    cuts = docs.agg(
+        *[
+            F.expr(
+                f"percentile(n_chars, cast({i} as double)/{_CURR_BUCKETS})"
+            ).alias(f"c{i}")
+            for i in range(1, _CURR_BUCKETS)
+        ]
+    )
+    bucket_expr = " + ".join(
+        f"cast(n_chars > c{i} as int)" for i in range(1, _CURR_BUCKETS)
+    )
+    b = docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_chars", F.expr(f"1 + {bucket_expr}").alias("bucket")
+    )
+    part, off, _total, _ = range_prefix(
+        b, ["bucket", "n_chars", "doc_id"], 32
+    )
+    w = Window.partitionBy("_pid").orderBy("bucket", "n_chars", "doc_id")
+    pos = part.join(F.broadcast(off), "_pid").select(
+        "doc_id",
+        "n_chars",
+        "bucket",
+        (F.row_number().over(w) + F.col("_row_off")).alias("pos"),
+    )
+    mins = pos.groupBy("bucket").agg(F.min("pos").alias("mn"))
+    return pos.join(F.broadcast(mins), "bucket").select(
+        "doc_id",
+        "n_chars",
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("pos") - F.col("mn") + 1).cast("bigint").alias("within_rank"),
+        (
+            (F.col("pos") - F.col("mn")) * _CURR_STRIDE + F.col("bucket")
+        ).cast("bigint").alias("curriculum_key"),
     )
 
 
@@ -1660,6 +1728,7 @@ QUERIES = {
     "lm_perplexity_buckets": lm_perplexity_buckets,
     "dedup_exact_substring": dedup_exact_substring,
     "train_shuffle_shards": train_shuffle_shards,
+    "train_curriculum_order": train_curriculum_order,
     "bpe_pair_counts": bpe_pair_counts,
     "tokenize_bpe_greedy": tokenize_bpe_greedy,
     "bpe_merges_iterative": bpe_merges_iterative,
@@ -1910,6 +1979,35 @@ ORACLES = {
                                          ORDER BY hv ASC, doc_id ASC) AS pos,
                doc_id, hv
         FROM s
+    """,
+    "train_curriculum_order": f"""
+        WITH cuts AS (
+            SELECT {", ".join(
+                f"quantile_cont(n_chars, {i}.0/{_CURR_BUCKETS}) AS c{i}"
+                for i in range(1, _CURR_BUCKETS)
+            )}
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, n_chars,
+                   1 + {" + ".join(
+                       f"(n_chars > c{i})::INT"
+                       for i in range(1, _CURR_BUCKETS)
+                   )} AS bucket
+            FROM documents, cuts
+        ),
+        r AS (
+            SELECT doc_id, n_chars, bucket,
+                   row_number() OVER (ORDER BY bucket, n_chars, doc_id)
+                       AS pos
+            FROM b
+        ),
+        m AS (SELECT bucket, min(pos) AS mn FROM r GROUP BY 1)
+        SELECT r.doc_id, r.n_chars, r.bucket::INT AS bucket,
+               (r.pos - m.mn + 1)::BIGINT AS within_rank,
+               ((r.pos - m.mn) * {_CURR_STRIDE} + r.bucket)::BIGINT
+                   AS curriculum_key
+        FROM r JOIN m USING (bucket)
     """,
     "bpe_pair_counts": f"""
         WITH toks AS (

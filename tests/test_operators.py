@@ -1991,3 +1991,40 @@ def test_holt_linear_null_mean_bucket_skipped_both_engines(spark, tmp_path):
     )
     oracle = con.execute(ORACLES["events_holt_linear"]).fetchall()
     assert oracle == [("a", 3, 3.25, 0.375, 3.625)]
+
+
+def test_curriculum_order_interleaves_deciles(spark, sf_dir):
+    """Curriculum contract: keys are unique (a total order), ascending
+    key order visits buckets round-robin (the first |buckets| keys are
+    the rank-1 doc of each non-empty bucket), within-ranks are
+    contiguous from 1 per bucket, and deciles are balanced."""
+    from collections import Counter
+
+    from decisions_kinesis_spark.operators.corpus import (
+        train_curriculum_order,
+    )
+
+    rows = train_curriculum_order(spark, sf_dir).collect()
+    keys = [r["curriculum_key"] for r in rows]
+    assert len(keys) == len(set(keys))
+    by_key = sorted(rows, key=lambda r: r["curriculum_key"])
+    n_buckets = len({r["bucket"] for r in rows})
+    head = by_key[:n_buckets]
+    assert {r["bucket"] for r in head} == {r["bucket"] for r in rows}
+    assert all(r["within_rank"] == 1 for r in head)
+    per_bucket = Counter(r["bucket"] for r in rows)
+    for bkt, n in per_bucket.items():
+        ranks = sorted(
+            r["within_rank"] for r in rows if r["bucket"] == bkt
+        )
+        assert ranks == list(range(1, n + 1))
+    # deciles balanced: every bucket within 3x of the mean (ties at
+    # cut values can shift mass between adjacent buckets)
+    mean = len(rows) / len(per_bucket)
+    assert all(n <= 3 * mean for n in per_bucket.values())
+    # harder docs really are longer: bucket means are non-decreasing
+    tot = Counter()
+    for r in rows:
+        tot[r["bucket"]] += r["n_chars"]
+    means = [tot[b] / per_bucket[b] for b in sorted(per_bucket)]
+    assert means == sorted(means)
