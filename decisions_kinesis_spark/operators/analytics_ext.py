@@ -907,11 +907,22 @@ def acf_hourly(
     densified against the declared ``types`` ∪ observed axis and the
     observed hour span — split out so tests can inject synthetic
     series (known-ACF ramps, absent types, alternating signs)."""
-    counts = ev.groupBy("event_type", "b").agg(F.count("*").alias("c"))
-    span = ev.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    # span and the observed-type leg derive from the ROLLUP frame, not
+    # the raw events — counts covers every observed (type, hour), so
+    # the semantics are identical and the raw table is scanned exactly
+    # once (at 100 TB the event scan IS the query's cost; everything
+    # downstream is calendar × taxonomy sized).  The rollup is pinned
+    # (|taxonomy × calendar|-bounded — the LSH-shingle materialization
+    # class, SCALE.md) because three consumers read it.
+    counts = (
+        ev.groupBy("event_type", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    span = counts.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
     type_axis = (
         spark.createDataFrame([(t,) for t in types], "event_type string")
-        .union(ev.select("event_type").distinct())
+        .union(counts.select("event_type").distinct())
         .distinct()
     )
     hours = span.select(
