@@ -483,7 +483,7 @@ def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CURR_BUCKETS = 10  # difficulty deciles; must stay < _CURR_STRIDE
+_CURR_BUCKETS = 10  # difficulty deciles; must stay <= _CURR_STRIDE
 _CURR_STRIDE = 16  # key stride embedding (within, bucket) lexicographic
 
 
@@ -538,7 +538,23 @@ def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         (F.row_number().over(w) + F.col("_row_off")).alias("pos"),
     )
-    mins = pos.groupBy("bucket").agg(F.min("pos").alias("mn"))
+    # each bucket's first global position = 1 + rows in earlier
+    # buckets, derived from the PINNED frame's 10-row bucket counts
+    # (bounded unpartitioned window — the calendar-frame class), so
+    # the ranking-window subtree above `part` is never evaluated a
+    # second time just to take min(pos)
+    woff = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mins = (
+        part.groupBy("bucket")
+        .agg(F.count("*").alias("bn"))
+        .select(
+            "bucket",
+            (F.coalesce(F.sum("bn").over(woff), F.lit(0)) + 1).alias("mn"),
+        )
+    )
     return pos.join(F.broadcast(mins), "bucket").select(
         "doc_id",
         "n_chars",

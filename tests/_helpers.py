@@ -83,3 +83,19 @@ def acf_from_state(state: dict, types, max_lag: int) -> dict:
                     den,
                 )
     return out
+
+
+def stage_file(df, src_dir: str, name: str, mtime: float) -> None:
+    """Write a single-file parquet micro-batch into a stream source
+    dir with a controlled mtime (shared by every streaming
+    equivalence-proof test)."""
+    import os
+    import shutil
+
+    tmp = os.path.join(src_dir, f"_tmp_{name}")
+    df.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dest = os.path.join(src_dir, name)
+    shutil.move(os.path.join(tmp, part), dest)
+    shutil.rmtree(tmp)
+    os.utime(dest, (mtime, mtime))

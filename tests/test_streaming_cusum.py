@@ -17,7 +17,6 @@ identity formulation.
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 from pyspark.sql import functions as F
@@ -28,14 +27,7 @@ from decisions_kinesis_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
-def _stage_file(df, src_dir: str, name: str, mtime: float) -> None:
-    tmp = os.path.join(src_dir, f"_tmp_{name}")
-    df.coalesce(1).write.parquet(tmp)
-    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    dest = os.path.join(src_dir, name)
-    shutil.move(os.path.join(tmp, part), dest)
-    shutil.rmtree(tmp)
-    os.utime(dest, (mtime, mtime))
+from _helpers import stage_file as _stage_file
 
 
 def test_streaming_cusum_maintenance_matches_batch(spark, tmp_path):

@@ -16,7 +16,6 @@ collected through the stream must EXACTLY equal the batch
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 from pyspark.sql import functions as F
@@ -27,14 +26,7 @@ from decisions_kinesis_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
-def _stage_file(df, src_dir: str, name: str, mtime: float) -> None:
-    tmp = os.path.join(src_dir, f"_tmp_{name}")
-    df.coalesce(1).write.parquet(tmp)
-    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    dest = os.path.join(src_dir, name)
-    shutil.move(os.path.join(tmp, part), dest)
-    shutil.rmtree(tmp)
-    os.utime(dest, (mtime, mtime))
+from _helpers import stage_file as _stage_file
 
 
 def test_streaming_decontamination_matches_batch(spark, tmp_path):

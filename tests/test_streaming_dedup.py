@@ -10,7 +10,6 @@ never re-deduplicated.  Composes the batch LSH machinery
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 from pyspark.sql import functions as F
@@ -31,15 +30,7 @@ _TEXT_D = (
 )
 
 
-def _stage_file(df, src_dir: str, name: str, mtime: float) -> None:
-    """Write a single-file parquet micro-batch into the stream dir."""
-    tmp = os.path.join(src_dir, f"_tmp_{name}")
-    df.coalesce(1).write.parquet(tmp)
-    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    dest = os.path.join(src_dir, name)
-    shutil.move(os.path.join(tmp, part), dest)
-    shutil.rmtree(tmp)
-    os.utime(dest, (mtime, mtime))
+from _helpers import stage_file as _stage_file
 
 
 def test_streaming_incremental_near_dup_detection(spark, tmp_path):

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import time
 from decimal import Decimal
 
@@ -35,14 +34,7 @@ from decisions_kinesis_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
-def _stage_file(df, src_dir: str, name: str, mtime: float) -> None:
-    tmp = os.path.join(src_dir, f"_tmp_{name}")
-    df.coalesce(1).write.parquet(tmp)
-    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    dest = os.path.join(src_dir, name)
-    shutil.move(os.path.join(tmp, part), dest)
-    shutil.rmtree(tmp)
-    os.utime(dest, (mtime, mtime))
+from _helpers import stage_file as _stage_file
 
 
 def test_streaming_holt_maintenance_matches_batch(spark, tmp_path):
@@ -59,7 +51,10 @@ def test_streaming_holt_maintenance_matches_batch(spark, tmp_path):
             now - 120 + 60 * i,
         )
 
-    # accumulated state: {(type, hour) -> [n, decimal_sum]}
+    # accumulated state: {(type, hour) -> [n_rows, decimal_sum_or_None]}
+    # — the sum stays None until a non-NULL value arrives, so a bucket
+    # whose every value is NULL is representable and can be SKIPPED at
+    # derive time exactly like the batch query's NULL-mean filter
     state: dict = {}
     epochs = {"n": 0}
 
@@ -77,9 +72,10 @@ def test_streaming_holt_maintenance_matches_batch(spark, tmp_path):
         )
         for r in part:
             key = (r["event_type"], r["b"])
-            n, s = state.get(key, (0, Decimal(0)))
-            sdec = r["sdec"] if r["sdec"] is not None else Decimal(0)
-            state[key] = (n + r["n"], s + sdec)
+            n, s = state.get(key, (0, None))
+            if r["sdec"] is not None:
+                s = (s if s is not None else Decimal(0)) + r["sdec"]
+            state[key] = (n + r["n"], s)
 
     q = (
         spark.readStream.schema(
@@ -96,11 +92,14 @@ def test_streaming_holt_maintenance_matches_batch(spark, tmp_path):
     assert epochs["n"] == 3
 
     # derive Holt from the ACCUMULATED state: hourly means in bucket
-    # order (NULL-mean buckets would be skipped; none exist here —
-    # asserted), textbook fold, shared floor-rounding
+    # order, SKIPPING NULL-mean buckets (sum still None — the batch
+    # query's .where(mean IS NOT NULL) contract), textbook fold,
+    # shared floor-rounding
     series: dict[str, list[tuple]] = {}
     for (etype, b), (n, s) in state.items():
         assert n > 0
+        if s is None:
+            continue  # all-NULL hour: batch skips it too
         series.setdefault(etype, []).append((b, float(s) / n))
 
     def fl4(v: float) -> float:
