@@ -900,13 +900,15 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_hourly(spark, ev, _EVENT_TYPES, _ACF_MAX_LAG)
 
 
-def acf_hourly(
-    spark: SparkSession, ev: DataFrame, types, max_lag: int
-) -> DataFrame:
-    """Frame-level ACF core over (event_type, b) hour-bucket rows,
-    densified against the declared ``types`` ∪ observed axis and the
-    observed hour span — split out so tests can inject synthetic
-    series (known-ACF ramps, absent types, alternating signs)."""
+def _hourly_centered(
+    spark: SparkSession, ev: DataFrame, types
+) -> tuple[DataFrame, DataFrame]:
+    """Shared construction for the correlation family (ACF, CCF):
+    densify (event_type, b) hour-bucket rows against the declared
+    ``types`` ∪ observed axis over the observed span and n-scale-
+    center the counts.  Returns ``(d, den)`` where ``d`` carries
+    (event_type, t, d = n·c − S) as DECIMAL(38,0) and ``den`` carries
+    per-type (den = Σd², n_hours)."""
     # span and the observed-type leg derive from the ROLLUP frame, not
     # the raw events — counts covers every observed (type, hour), so
     # the semantics are identical and the raw table is scanned exactly
@@ -950,6 +952,20 @@ def acf_hourly(
         "t",
         F.expr("cast(nh as decimal(38,0)) * c - s").alias("d"),
     )
+    den = d.groupBy("event_type").agg(
+        F.sum(F.expr("d * d")).alias("den"), F.count("*").alias("n_hours")
+    )
+    return d, den
+
+
+def acf_hourly(
+    spark: SparkSession, ev: DataFrame, types, max_lag: int
+) -> DataFrame:
+    """Frame-level ACF core over (event_type, b) hour-bucket rows,
+    densified against the declared ``types`` ∪ observed axis and the
+    observed hour span — split out so tests can inject synthetic
+    series (known-ACF ramps, absent types, alternating signs)."""
+    d, den = _hourly_centered(spark, ev, types)
     probes = d.select(
         "event_type",
         "d",
@@ -968,9 +984,6 @@ def acf_hourly(
         .groupBy("event_type", "k")
         .agg(F.sum(F.expr("d * d_prev")).alias("num"))
     )
-    den = d.groupBy("event_type").agg(
-        F.sum(F.expr("d * d")).alias("den"), F.count("*").alias("n_hours")
-    )
     return num.join(F.broadcast(den), "event_type").select(
         "event_type",
         F.col("k").cast("int").alias("lag"),
@@ -979,6 +992,93 @@ def acf_hourly(
             "cast(case when den = 0 then null"
             " else num * 1000000 div den end as bigint)"
         ).alias("acf_ppm"),
+    )
+
+
+_CCF_MAX_LAG = 12
+
+
+def events_ccf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-correlation between every ordered pair of event types'
+    dense hourly count series at lags 0..12 — the LEAD-LAG detector
+    completing the correlation pair (ACF = self-periodicity, THIS =
+    which signal anticipates which: a 'view' → 'purchase' peak at
+    lag 2 says views lead purchases by two hours, the funnel-latency
+    signal a monitoring stack wants).
+
+    Estimator: for ordered (lead a, lag b) and lag k,
+    ``r_k = Σ_t d_a(t−k)·d_b(t) / √(Σd_a²·Σd_b²)`` with the shared
+    n-scale-centered ``d`` series (``_hourly_centered``).  The square
+    root is irrational, so the output is the SIGNED SQUARED
+    correlation in ppm — ``sign(num)·num²·10⁶ div (den_a·den_b)`` —
+    every factor an exact DECIMAL(38,0) integer (the OLS-r² pattern
+    plus a sign; both engines truncate toward zero).  Cauchy-Schwarz
+    gives ``num² ≤ den_a·den_b``, so the ratio is ≤ 10⁶ and the
+    ×10⁶ product is bounded by ``den_a·den_b·10⁶ < 10³⁸`` ⇔
+    ``Σd² < 10¹⁶`` per type — ~10⁵ events/hour/type at the 11-year
+    calendar cap (tighter than ACF's bound because of the squared
+    numerator; documented, chi2-style).  A constant series (den 0 —
+    incl. declared-but-absent types) yields NULL, not a division
+    error.
+
+    Scale: the pair probe is a |types|²-bounded equi-join on the hour
+    index of calendar-sized frames — rollup arithmetic end to end;
+    the raw event table is scanned once (shared pinned rollup).
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+    )
+    return ccf_hourly(spark, ev, _EVENT_TYPES, _CCF_MAX_LAG)
+
+
+def ccf_hourly(
+    spark: SparkSession, ev: DataFrame, types, max_lag: int
+) -> DataFrame:
+    """Frame-level CCF core (see ``events_ccf_hourly``), split out for
+    synthetic-series tests."""
+    d, den = _hourly_centered(spark, ev, types)
+    lagged = d.select(
+        F.col("event_type").alias("type_lag"),
+        F.col("d").alias("db"),
+        F.explode(F.expr(f"sequence(0, {int(max_lag)})")).alias("k"),
+        F.col("t"),
+    ).withColumn("tp", F.expr("t - k"))
+    num = (
+        lagged.join(
+            d.select(
+                F.col("event_type").alias("type_lead"),
+                F.col("t").alias("tp"),
+                F.col("d").alias("da"),
+            ),
+            "tp",
+        )
+        .where(F.col("type_lead") != F.col("type_lag"))
+        .groupBy("type_lead", "type_lag", "k")
+        .agg(F.sum(F.expr("da * db")).alias("num"))
+    )
+    dena = den.select(
+        F.col("event_type").alias("type_lead"),
+        F.col("den").alias("den_a"),
+        "n_hours",
+    )
+    denb = den.select(
+        F.col("event_type").alias("type_lag"), F.col("den").alias("den_b")
+    )
+    return (
+        num.join(F.broadcast(dena), "type_lead")
+        .join(F.broadcast(denb), "type_lag")
+        .select(
+            "type_lead",
+            "type_lag",
+            F.col("k").cast("int").alias("lag"),
+            "n_hours",
+            F.expr(
+                "cast(case when den_a * den_b = 0 then null"
+                " else (case when num < 0 then -1 else 1 end)"
+                " * ((num * num * 1000000) div (den_a * den_b))"
+                " end as bigint)"
+            ).alias("ccf2_signed_ppm"),
+        )
     )
 
 
@@ -1135,6 +1235,7 @@ QUERIES = {
     "docs_language_mix_drift": docs_language_mix_drift,
     "events_chi2_ab_types": events_chi2_ab_types,
     "events_acf_hourly": events_acf_hourly,
+    "events_ccf_hourly": events_ccf_hourly,
 }
 
 
@@ -1615,7 +1716,10 @@ ORACLES["events_chi2_ab_types"] = f"""
     FROM per
 """
 
-ORACLES["events_acf_hourly"] = f"""
+#: Shared DuckDB CTE prefix for the correlation family — the oracle
+#: mirror of ``_hourly_centered`` (dense grid → n-scale-centered dd
+#: frame + per-type den/n_hours).
+_CORR_DUCK_CTES = f"""
     WITH ev AS (
         SELECT event_type, date_trunc('hour', ts) AS b FROM events
     ),
@@ -1652,6 +1756,13 @@ ORACLES["events_acf_hourly"] = f"""
                (st.nh::HUGEINT * de.c - st.s) AS d
         FROM dense de JOIN stats st USING (event_type)
     ),
+    den AS (
+        SELECT event_type, sum(d * d) AS den, count(*)::BIGINT AS n_hours
+        FROM dd GROUP BY 1
+    )"""
+
+ORACLES["events_acf_hourly"] = f"""
+    {_CORR_DUCK_CTES},
     probes AS (
         SELECT event_type, d, l.k, t - l.k AS tp
         FROM dd, unnest(generate_series(1, {_ACF_MAX_LAG})) AS l(k)
@@ -1661,13 +1772,32 @@ ORACLES["events_acf_hourly"] = f"""
         FROM probes p JOIN dd d2
           ON d2.event_type = p.event_type AND d2.t = p.tp
         GROUP BY 1, 2
-    ),
-    den AS (
-        SELECT event_type, sum(d * d) AS den, count(*)::BIGINT AS n_hours
-        FROM dd GROUP BY 1
     )
     SELECT n.event_type, n.k::INT AS lag, de.n_hours,
            (CASE WHEN de.den = 0 THEN NULL
                  ELSE n.num * 1000000 // de.den END)::BIGINT AS acf_ppm
     FROM num n JOIN den de USING (event_type)
+"""
+
+ORACLES["events_ccf_hourly"] = f"""
+    {_CORR_DUCK_CTES},
+    lagged AS (
+        SELECT event_type AS type_lag, d AS db, l.k, t - l.k AS tp
+        FROM dd, unnest(generate_series(0, {_CCF_MAX_LAG})) AS l(k)
+    ),
+    num AS (
+        SELECT d2.event_type AS type_lead, lg.type_lag, lg.k,
+               sum(d2.d * lg.db) AS num
+        FROM lagged lg JOIN dd d2 ON d2.t = lg.tp
+        WHERE d2.event_type <> lg.type_lag
+        GROUP BY 1, 2, 3
+    )
+    SELECT n.type_lead, n.type_lag, n.k::INT AS lag, da.n_hours,
+           (CASE WHEN da.den * db.den = 0 THEN NULL
+                 ELSE (CASE WHEN n.num < 0 THEN -1 ELSE 1 END)
+                      * ((n.num * n.num * 1000000) // (da.den * db.den))
+            END)::BIGINT AS ccf2_signed_ppm
+    FROM num n
+    JOIN den da ON da.event_type = n.type_lead
+    JOIN den db ON db.event_type = n.type_lag
 """
