@@ -119,6 +119,13 @@ def pagerank(pairs: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nn = degs.count()
+    if nn == 0:
+        # empty graph (empty input, or a filter that ate every edge):
+        # a well-typed empty result, not a ZeroDivisionError from the
+        # teleport constant (found by tools/empty_sweep.py)
+        return degs.select(
+            "node", F.lit(None).cast("bigint").alias("r"), "deg"
+        )
     tp = (15 * _PR_SCALE) // (100 * nn)
     ranks = degs.select("node", F.lit(_PR_SCALE // nn).alias("r"))
     for _ in range(iters):

@@ -2063,3 +2063,16 @@ def test_ccf_hourly_lead_lag_asymmetry(spark):
         v for (a, b, _k), v in got.items() if "ghost" in (a, b)
     }
     assert ghost_vals == {None}
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """An empty edge frame (empty corpus, or a filter that removed
+    every co-purchase) yields a well-typed EMPTY result — not a
+    ZeroDivisionError from the teleport constant (the one crash the
+    empty-input sweep over all registered queries found)."""
+    from decisions_kinesis_spark.operators.graphs import pagerank
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    out = pagerank(empty)
+    assert out.columns == ["node", "r", "deg"]
+    assert out.count() == 0
