@@ -1008,18 +1008,19 @@ def events_ccf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Estimator: for ordered (lead a, lag b) and lag k,
     ``r_k = Σ_t d_a(t−k)·d_b(t) / √(Σd_a²·Σd_b²)`` with the shared
-    n-scale-centered ``d`` series (``_hourly_centered``).  The square
-    root is irrational, so the output is the SIGNED SQUARED
-    correlation in ppm — ``sign(num)·num²·10⁶ div (den_a·den_b)`` —
-    every factor an exact DECIMAL(38,0) integer (the OLS-r² pattern
-    plus a sign; both engines truncate toward zero).  Cauchy-Schwarz
-    gives ``num² ≤ den_a·den_b``, so the ratio is ≤ 10⁶ and the
-    ×10⁶ product is bounded by ``den_a·den_b·10⁶ < 10³⁸`` ⇔
-    ``Σd² < 10¹⁶`` per type — ~10⁵ events/hour/type at the 11-year
-    calendar cap (tighter than ACF's bound because of the squared
-    numerator; documented, chi2-style).  A constant series (den 0 —
-    incl. declared-but-absent types) yields NULL, not a division
-    error.
+    n-scale-centered ``d`` series (``_hourly_centered``).  The sums
+    (num, den_a, den_b) are EXACT DECIMAL(38,0) integers; the final
+    scalar is then computed in doubles — decimal→double casts, the
+    product, ``sqrt``, the division, and ``floor(x·10⁶ + 0.5)`` are
+    each CORRECTLY-ROUNDED IEEE-754 ops executed in the same order on
+    both engines, so the ppm output matches bitwise (the EWMA
+    "identical op sequence" contract; sqrt being irrational is
+    irrelevant — both engines round it identically).  No overflow
+    envelope: nothing squares the numerator (the earlier
+    ``num²·10⁶`` form hit DECIMAL(38) at ~3 events/hour of deviation
+    over the full calendar cap — review finding).  A constant series
+    (den 0 — incl. declared-but-absent types) yields NULL, not a
+    division error.
 
     Scale: the pair probe is a |types|²-bounded equi-join on the hour
     index of calendar-sized frames — rollup arithmetic end to end;
@@ -1073,11 +1074,12 @@ def ccf_hourly(
             F.col("k").cast("int").alias("lag"),
             "n_hours",
             F.expr(
-                "cast(case when den_a * den_b = 0 then null"
-                " else (case when num < 0 then -1 else 1 end)"
-                " * ((num * num * 1000000) div (den_a * den_b))"
+                "cast(case when den_a = 0 or den_b = 0 then null"
+                " else floor(cast(num as double)"
+                " / sqrt(cast(den_a as double) * cast(den_b as double))"
+                " * 1000000 + 0.5d)"
                 " end as bigint)"
-            ).alias("ccf2_signed_ppm"),
+            ).alias("ccf_r_ppm"),
         )
     )
 
@@ -1793,10 +1795,11 @@ ORACLES["events_ccf_hourly"] = f"""
         GROUP BY 1, 2, 3
     )
     SELECT n.type_lead, n.type_lag, n.k::INT AS lag, da.n_hours,
-           (CASE WHEN da.den * db.den = 0 THEN NULL
-                 ELSE (CASE WHEN n.num < 0 THEN -1 ELSE 1 END)
-                      * ((n.num * n.num * 1000000) // (da.den * db.den))
-            END)::BIGINT AS ccf2_signed_ppm
+           (CASE WHEN da.den = 0 OR db.den = 0 THEN NULL
+                 ELSE floor(n.num::DOUBLE
+                            / sqrt(da.den::DOUBLE * db.den::DOUBLE)
+                            * 1000000 + 0.5)
+            END)::BIGINT AS ccf_r_ppm
     FROM num n
     JOIN den da ON da.event_type = n.type_lead
     JOIN den db ON db.event_type = n.type_lag

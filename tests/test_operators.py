@@ -2031,10 +2031,11 @@ def test_curriculum_order_interleaves_deciles(spark, sf_dir):
 
 
 def test_ccf_hourly_lead_lag_asymmetry(spark):
-    """CCF core on hand-computed series: exact signed-squared ppm
-    values, the lead-lag ASYMMETRY (skew leading alt at lag 1 is the
-    strong positive; alt leading skew is not), NULL rows for pairs
-    involving a constant (absent) series, and no self-pairs."""
+    """CCF core on hand-computed series: exact r-ppm values
+    (num / sqrt(den_a·den_b), correctly-rounded double path), the
+    lead-lag ASYMMETRY (skew leading alt at lag 1 is the strong
+    positive; alt leading skew is not), NULL rows for pairs involving
+    a constant (absent) series, and no self-pairs."""
     import datetime as dt
 
     from decisions_kinesis_spark.operators.analytics_ext import ccf_hourly
@@ -2047,17 +2048,18 @@ def test_ccf_hourly_lead_lag_asymmetry(spark):
     ev = spark.createDataFrame(rows, "event_type string, b timestamp")
     out = ccf_hourly(spark, ev, ("alt", "skew", "ghost"), 2).collect()
     got = {
-        (r["type_lead"], r["type_lag"], r["lag"]): r["ccf2_signed_ppm"]
+        (r["type_lead"], r["type_lag"], r["lag"]): r["ccf_r_ppm"]
         for r in out
     }
     assert not any(a == b for (a, b, _k) in got)
-    # d_alt=[-2,4,-2] (den 24), d_skew=[2,-1,-1] (den 6); den_a*den_b=144
-    assert got[("alt", "skew", 0)] == -250000  # num=-6 -> -36e6/144
-    assert got[("alt", "skew", 1)] == -27777  # num=-2
-    assert got[("alt", "skew", 2)] == 27777  # num=+2
-    assert got[("skew", "alt", 0)] == -250000  # symmetric at lag 0
-    assert got[("skew", "alt", 1)] == 694444  # num=+10: skew LEADS alt
-    assert got[("skew", "alt", 2)] == -111111  # num=-4
+    # d_alt=[-2,4,-2] (den 24), d_skew=[2,-1,-1] (den 6);
+    # sqrt(24*6)=12; r_ppm = floor(num/12*1e6 + 0.5)
+    assert got[("alt", "skew", 0)] == -500000  # num=-6 -> r=-1/2
+    assert got[("alt", "skew", 1)] == -166667  # num=-2 -> -1/6
+    assert got[("alt", "skew", 2)] == 166667  # num=+2 -> +1/6
+    assert got[("skew", "alt", 0)] == -500000  # symmetric at lag 0
+    assert got[("skew", "alt", 1)] == 833333  # num=+10: skew LEADS alt
+    assert got[("skew", "alt", 2)] == -333333  # num=-4 -> -1/3
     # constant (absent) series: every pair involving ghost is NULL
     ghost_vals = {
         v for (a, b, _k), v in got.items() if "ghost" in (a, b)
