@@ -99,3 +99,54 @@ def stage_file(df, src_dir: str, name: str, mtime: float) -> None:
     shutil.move(os.path.join(tmp, part), dest)
     shutil.rmtree(tmp)
     os.utime(dest, (mtime, mtime))
+
+
+def ccf_from_state(state: dict, types, max_lag: int) -> dict:
+    """Independent CCF derivation from accumulated (type, hour) → n
+    state: the same densified n-scale-centered series as
+    ``acf_from_state``, then for every ORDERED pair (lead, lag) and
+    k, ``floor(num/√(den_a·den_b)·10⁶ + 0.5)`` replayed with the
+    engines' exact double op sequence (int→float casts, product,
+    sqrt, division, floor — each correctly rounded)."""
+    import datetime as dt
+    import math
+
+    hours = sorted({b for (_t, b) in state})
+    if not hours:
+        return {}
+    span = [hours[0]]
+    while span[-1] < hours[-1]:
+        span.append(span[-1] + dt.timedelta(hours=1))
+    axis = sorted(set(types) | {t for (t, _b) in state})
+    d: dict = {}
+    den: dict = {}
+    for t in axis:
+        cs = [state.get((t, b), 0) for b in span]
+        n = len(cs)
+        s = sum(cs)
+        d[t] = [n * c - s for c in cs]
+        den[t] = sum(x * x for x in d[t])
+    out: dict = {}
+    n = len(span)
+    for a in axis:
+        for b in axis:
+            if a == b:
+                continue
+            for k in range(0, max_lag + 1):
+                if n <= k:
+                    continue
+                if den[a] == 0 or den[b] == 0:
+                    out[(a, b, k)] = None
+                    continue
+                num = sum(
+                    d[a][i - k] * d[b][i] for i in range(k, n)
+                )
+                out[(a, b, k)] = int(
+                    math.floor(
+                        float(num)
+                        / math.sqrt(float(den[a]) * float(den[b]))
+                        * 1000000
+                        + 0.5
+                    )
+                )
+    return out

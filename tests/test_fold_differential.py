@@ -291,3 +291,43 @@ def test_acf_hourly_matches_python_reference(spark, series):
         for r in acf_hourly(spark, ev, types, max_lag).collect()
     }
     assert got == expect, (series, got, expect)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    series=st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.lists(st.integers(0, 5), min_size=1, max_size=8),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_ccf_hourly_matches_python_reference(spark, series):
+    """CCF DataFrame formulation == the shared Python reference on
+    random short series — the correctly-rounded double path
+    (int→float, product, sqrt, division, floor) must agree with
+    Python's identical op sequence exactly, including NULLs for
+    constant series and the densification-span contract."""
+    import datetime as dt
+
+    from _helpers import ccf_from_state
+    from decisions_kinesis_spark.operators.analytics_ext import ccf_hourly
+
+    h0 = dt.datetime(2026, 3, 1, 0, 0, 0)
+    rows = []
+    state = {}
+    for t, cs in series.items():
+        for i, c in enumerate(cs):
+            if c > 0:
+                b = h0 + dt.timedelta(hours=i)
+                state[(t, b)] = c
+                rows.extend([(t, b)] * c)
+    types = ("a", "ghost")
+    max_lag = 3
+    expect = ccf_from_state(state, types, max_lag)
+    ev = spark.createDataFrame(rows, "event_type string, b timestamp")
+    got = {
+        (r["type_lead"], r["type_lag"], r["lag"]): r["ccf_r_ppm"]
+        for r in ccf_hourly(spark, ev, types, max_lag).collect()
+    }
+    assert got == expect, (series, got, expect)

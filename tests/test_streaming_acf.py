@@ -87,3 +87,19 @@ def test_streaming_acf_maintenance_matches_batch(spark, tmp_path):
     }
     assert batch  # non-vacuous: sf0.001 spans far more than 24 hours
     assert got == batch
+
+    # The SAME accumulated count state also maintains the CCF — the
+    # whole correlation family is derivable from one streaming rollup
+    from _helpers import ccf_from_state
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        _CCF_MAX_LAG,
+        events_ccf_hourly,
+    )
+
+    got_ccf = ccf_from_state(state, _EVENT_TYPES, _CCF_MAX_LAG)
+    batch_ccf = {
+        (r["type_lead"], r["type_lag"], r["lag"]): r["ccf_r_ppm"]
+        for r in events_ccf_hourly(spark, SF).collect()
+    }
+    assert batch_ccf
+    assert got_ccf == batch_ccf
