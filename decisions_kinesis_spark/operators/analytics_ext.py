@@ -677,6 +677,72 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the warehouse classic next to
+    retention (``events_cohort_retention`` counts who comes back;
+    THIS accumulates what they spend): customers are cohorted by
+    FIRST-order month, and each (cohort, month-age) cell carries the
+    active-customer count, the cohort's revenue that month, the
+    running cumulative revenue, and cumulative LTV per cohort member
+    — the payback-curve table every growth dashboard plots.
+
+    Determinism: months are exact integers (``year·12 + month − 1``,
+    no float months_between); money is the shared ×10⁴ per-row
+    quantization summed in DECIMAL(38,0) (corpus-wide cumulative sums
+    outgrow bigint — the Pareto lesson); LTV-per-customer is integer
+    ``div`` by the FULL cohort size (not that month's actives).
+
+    Scale: first-order months reduce per customer map-side; the one
+    fact-sized join keys on ``o_custkey`` (the natural key the
+    q-series already co-partitions on); the cumulative window runs
+    per cohort over ≤|calendar months| rows of the |months²|-bounded
+    cell frame — never a data-proportional partition.
+    """
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").alias(
+            "m"
+        ),
+        F.expr(
+            "cast(floor(o_totalprice * 10000 + 0.5) as bigint)"
+        ).alias("rev"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = first.groupBy("m0").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("age_months"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum(F.expr("cast(rev as decimal(38,0))")).alias(
+                "rev_x10000"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_rev_x10000", F.sum("rev_x10000").over(w))
+        .join(F.broadcast(sizes), "m0")
+        .select(
+            F.expr("make_date(m0 div 12, m0 % 12 + 1, 1)").alias(
+                "cohort_month"
+            ),
+            F.col("age_months").cast("int").alias("age_months"),
+            "n_active",
+            "cohort_size",
+            "rev_x10000",
+            "cum_rev_x10000",
+            F.expr(
+                "cast(cum_rev_x10000 div cohort_size as bigint)"
+            ).alias("ltv_per_cust_x10000"),
+        )
+    )
+
+
 def events_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares TREND detection per event type: exact-integer OLS
     of the ×10⁴-quantized hourly mean against the bucket index —
@@ -1229,6 +1295,7 @@ QUERIES = {
     "events_top_paths": events_top_paths,
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "orders_scd2_ship_history": orders_scd2_ship_history,
+    "orders_cohort_ltv": orders_cohort_ltv,
     "events_hourly_trend_ols": events_hourly_trend_ols,
     "orders_open_backlog_daily": orders_open_backlog_daily,
     "events_cusum_change": events_cusum_change,
@@ -1717,6 +1784,41 @@ ORACLES["events_chi2_ab_types"] = f"""
                AS chi2_total_x1e6
     FROM per
 """
+
+ORACLES["orders_cohort_ltv"] = """
+    WITH o AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+               floor(o_totalprice * 10000 + 0.5)::BIGINT AS rev
+        FROM orders
+    ),
+    fst AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+    sizes AS (
+        SELECT m0, count(*)::BIGINT AS cohort_size FROM fst GROUP BY 1
+    ),
+    cells AS (
+        SELECT f.m0, (o.m - f.m0) AS age_months,
+               count(DISTINCT o.o_custkey)::BIGINT AS n_active,
+               sum(rev::HUGEINT) AS rev_x10000
+        FROM o JOIN fst f USING (o_custkey)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT m0, age_months, n_active, rev_x10000,
+               sum(rev_x10000) OVER (
+                   PARTITION BY m0 ORDER BY age_months
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_rev_x10000
+        FROM cells
+    )
+    SELECT make_date(c.m0 // 12, c.m0 % 12 + 1, 1) AS cohort_month,
+           c.age_months::INT AS age_months, c.n_active, s.cohort_size,
+           c.rev_x10000, c.cum_rev_x10000,
+           (c.cum_rev_x10000 // s.cohort_size)::BIGINT
+               AS ltv_per_cust_x10000
+    FROM cum c JOIN sizes s USING (m0)
+"""
+
 
 #: Shared DuckDB CTE prefix for the correlation family — the oracle
 #: mirror of ``_hourly_centered`` (dense grid → n-scale-centered dd

@@ -2078,3 +2078,35 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(empty)
     assert out.columns == ["node", "r", "deg"]
     assert out.count() == 0
+
+
+def test_cohort_ltv_curve_invariants(spark, sf_dir):
+    """LTV contract: every cohort has an age-0 cell (the first order
+    IS in the cohort month), cumulative revenue is nondecreasing in
+    age, actives never exceed the cohort size, and the per-customer
+    LTV is the truncated division of the cumulative by the FULL
+    cohort size."""
+    from collections import defaultdict
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        orders_cohort_ltv,
+    )
+
+    rows = orders_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_month"]].append(r)
+        assert r["n_active"] <= r["cohort_size"]
+        assert (
+            r["ltv_per_cust_x10000"]
+            == int(r["cum_rev_x10000"]) // int(r["cohort_size"])
+        )
+    for _c, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_months"])
+        assert rs[0]["age_months"] == 0
+        cums = [int(r["cum_rev_x10000"]) for r in rs]
+        assert cums == sorted(cums)
+        # age-0 actives == customers whose first order defines the
+        # cohort -- every member orders in month 0 by construction
+        assert rs[0]["n_active"] == rs[0]["cohort_size"]
