@@ -677,6 +677,65 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the single-number
+    inequality/concentration summary (0 = everyone spends the same,
+    →1 = one whale) that sits beside Pareto/ABC's cut table; the
+    whale-risk KPI a marketplace health dashboard tracks.
+
+    Exact arithmetic end to end: per-customer revenue is the shared
+    ×10⁴ quantization; with ranks i = 1..n ascending by
+    (revenue, custkey) the estimator is
+    ``G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx)`` — every term an exact
+    DECIMAL(38,0) integer, output in ppm via the truncating div both
+    engines share (ties between equal revenues don't affect Σi·x_i,
+    so ANY deterministic tie order yields the same G).  Bound:
+    ``Σi·x_i·10⁶ < 10³⁸`` — at 10⁹ customers that allows ~10²³ in
+    scaled revenue, unreachable.  Empty input → 0 rows (no customers,
+    no inequality), not a division error.
+
+    Scale: ranks come from the DISTRIBUTED range-partitioned prefix
+    pattern (``functions/ordering.range_prefix``) — no
+    single-partition window anywhere; the moment sums reduce
+    map-side to ONE row.
+    """
+    rev = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            "o_custkey",
+            F.expr(
+                "cast(floor(o_totalprice * 10000 + 0.5) as bigint)"
+            ).alias("r"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("r").alias("rev_scaled"))
+    )
+    part, off_df, _n, _tot = range_prefix(
+        rev, [F.col("rev_scaled"), F.col("o_custkey")], 32
+    )
+    ranked = part.join(F.broadcast(off_df), "_pid").select(
+        (F.row_number().over(
+            Window.partitionBy("_pid").orderBy("rev_scaled", "o_custkey")
+        ) + F.col("_row_off")).alias("i"),
+        "rev_scaled",
+    )
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.expr("cast(rev_scaled as decimal(38,0))")).alias(
+            "total_rev_x10000"
+        ),
+        F.expr(
+            "cast(case when sum(cast(rev_scaled as decimal(38,0))) = 0"
+            " then null else"
+            " (2 * sum(cast(i as decimal(38,0)) * rev_scaled)"
+            "  - (count(*) + 1) * sum(cast(rev_scaled as decimal(38,0))))"
+            " * 1000000"
+            " div (count(*) * sum(cast(rev_scaled as decimal(38,0))))"
+            " end as bigint)"
+        ).alias("gini_ppm"),
+    ).where(F.col("n_customers") > 0)
+
+
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curve — the warehouse classic next to
     retention (``events_cohort_retention`` counts who comes back;
@@ -1296,6 +1355,7 @@ QUERIES = {
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "orders_scd2_ship_history": orders_scd2_ship_history,
     "orders_cohort_ltv": orders_cohort_ltv,
+    "customer_revenue_gini": customer_revenue_gini,
     "events_hourly_trend_ols": events_hourly_trend_ols,
     "orders_open_backlog_daily": orders_open_backlog_daily,
     "events_cusum_change": events_cusum_change,
@@ -1783,6 +1843,29 @@ ORACLES["events_chi2_ab_types"] = f"""
            (SELECT sum(chi2_cell_x1e6) FROM per)::BIGINT
                AS chi2_total_x1e6
     FROM per
+"""
+
+ORACLES["customer_revenue_gini"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(floor(o_totalprice * 10000 + 0.5)::BIGINT)
+                   AS rev_scaled
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY rev_scaled, o_custkey) AS i,
+               rev_scaled
+        FROM rev
+    )
+    SELECT count(*)::BIGINT AS n_customers,
+           sum(rev_scaled::HUGEINT) AS total_rev_x10000,
+           (CASE WHEN sum(rev_scaled::HUGEINT) = 0 THEN NULL ELSE
+            (2 * sum(i::HUGEINT * rev_scaled)
+             - (count(*) + 1) * sum(rev_scaled::HUGEINT)) * 1000000
+            // (count(*) * sum(rev_scaled::HUGEINT)) END)::BIGINT
+               AS gini_ppm
+    FROM ranked
+    HAVING count(*) > 0
 """
 
 ORACLES["orders_cohort_ltv"] = """

