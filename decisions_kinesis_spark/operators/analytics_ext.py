@@ -43,6 +43,12 @@ from decisions_kinesis_spark.operators.textops import _BIGHASH, _DUCK_BIGHASH
 from decisions_kinesis_spark.functions.rounding import fl4
 from decisions_kinesis_spark.sources.tables import load_table
 
+#: Shared x10^4 money quantization for o_totalprice (one spelling per
+#: engine -- six call sites; editing one without the others silently
+#: desynchronizes a query from its oracle).
+_MONEY_X10000 = "cast(floor(o_totalprice * 10000 + 0.5) as bigint)"
+_DUCK_MONEY_X10000 = "floor(o_totalprice * 10000 + 0.5)::BIGINT"
+
 
 def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (1%/99%-clipped) statistics per event_type: the
@@ -357,9 +363,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir).select(
         "o_custkey",
         "o_orderdate",
-        F.expr(
-            "cast(floor(o_totalprice * 10000 + 0.5) as bigint)"
-        ).alias("rev"),
+        F.expr(_MONEY_X10000).alias("rev"),
     )
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_dt"),
@@ -703,9 +707,7 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "orders", sf_dir)
         .select(
             "o_custkey",
-            F.expr(
-                "cast(floor(o_totalprice * 10000 + 0.5) as bigint)"
-            ).alias("r"),
+            F.expr(_MONEY_X10000).alias("r"),
         )
         .groupBy("o_custkey")
         .agg(F.sum("r").alias("rev_scaled"))
@@ -719,21 +721,23 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) + F.col("_row_off")).alias("i"),
         "rev_scaled",
     )
-    return ranked.agg(
+    # moments stage first (OLS pattern) so each sum has ONE spelling
+    mom = ranked.agg(
         F.count("*").alias("n_customers"),
         F.sum(F.expr("cast(rev_scaled as decimal(38,0))")).alias(
             "total_rev_x10000"
         ),
+        F.sum(F.expr("cast(i as decimal(38,0)) * rev_scaled")).alias("s1"),
+    )
+    return mom.where(F.col("n_customers") > 0).select(
+        "n_customers",
+        "total_rev_x10000",
         F.expr(
-            "cast(case when sum(cast(rev_scaled as decimal(38,0))) = 0"
-            " then null else"
-            " (2 * sum(cast(i as decimal(38,0)) * rev_scaled)"
-            "  - (count(*) + 1) * sum(cast(rev_scaled as decimal(38,0))))"
-            " * 1000000"
-            " div (count(*) * sum(cast(rev_scaled as decimal(38,0))))"
-            " end as bigint)"
+            "cast(case when total_rev_x10000 = 0 then null else"
+            " (2 * s1 - (n_customers + 1) * total_rev_x10000) * 1000000"
+            " div (n_customers * total_rev_x10000) end as bigint)"
         ).alias("gini_ppm"),
-    ).where(F.col("n_customers") > 0)
+    )
 
 
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,9 +766,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").alias(
             "m"
         ),
-        F.expr(
-            "cast(floor(o_totalprice * 10000 + 0.5) as bigint)"
-        ).alias("rev"),
+        F.expr(_MONEY_X10000).alias("rev"),
     )
     first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
     sizes = first.groupBy("m0").agg(F.count("*").alias("cohort_size"))
@@ -1615,10 +1617,10 @@ ORACLES = {
                max(s) >= 3 * any_value(tgt) AS breached
         FROM dev GROUP BY event_type
     """,
-    "customer_rfm_segments": """
+    "customer_rfm_segments": f"""
         WITH o AS (
             SELECT o_custkey, o_orderdate,
-                   floor(o_totalprice * 10000 + 0.5)::BIGINT AS rev
+                   {_DUCK_MONEY_X10000} AS rev
             FROM orders
         ),
         per AS (
@@ -1845,10 +1847,10 @@ ORACLES["events_chi2_ab_types"] = f"""
     FROM per
 """
 
-ORACLES["customer_revenue_gini"] = """
+ORACLES["customer_revenue_gini"] = f"""
     WITH rev AS (
         SELECT o_custkey,
-               sum(floor(o_totalprice * 10000 + 0.5)::BIGINT)
+               sum({_DUCK_MONEY_X10000})
                    AS rev_scaled
         FROM orders GROUP BY 1
     ),
@@ -1856,23 +1858,26 @@ ORACLES["customer_revenue_gini"] = """
         SELECT row_number() OVER (ORDER BY rev_scaled, o_custkey) AS i,
                rev_scaled
         FROM rev
+    ),
+    mom AS (
+        SELECT count(*)::BIGINT AS n_customers,
+               sum(rev_scaled::HUGEINT) AS total_rev_x10000,
+               sum(i::HUGEINT * rev_scaled) AS s1
+        FROM ranked
     )
-    SELECT count(*)::BIGINT AS n_customers,
-           sum(rev_scaled::HUGEINT) AS total_rev_x10000,
-           (CASE WHEN sum(rev_scaled::HUGEINT) = 0 THEN NULL ELSE
-            (2 * sum(i::HUGEINT * rev_scaled)
-             - (count(*) + 1) * sum(rev_scaled::HUGEINT)) * 1000000
-            // (count(*) * sum(rev_scaled::HUGEINT)) END)::BIGINT
-               AS gini_ppm
-    FROM ranked
-    HAVING count(*) > 0
+    SELECT n_customers, total_rev_x10000,
+           (CASE WHEN total_rev_x10000 = 0 THEN NULL ELSE
+            (2 * s1 - (n_customers + 1) * total_rev_x10000) * 1000000
+            // (n_customers * total_rev_x10000) END)::BIGINT AS gini_ppm
+    FROM mom
+    WHERE n_customers > 0
 """
 
-ORACLES["orders_cohort_ltv"] = """
+ORACLES["orders_cohort_ltv"] = f"""
     WITH o AS (
         SELECT o_custkey,
                year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
-               floor(o_totalprice * 10000 + 0.5)::BIGINT AS rev
+               {_DUCK_MONEY_X10000} AS rev
         FROM orders
     ),
     fst AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
