@@ -1475,6 +1475,222 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D = 4  # sketch depth (independent salted hash rows)
+_CMS_W = 2048  # sketch width (cells per row) — state is d·w cells TOTAL
+_CMS_TOPK = 20
+
+
+def _cms_cell_spark(d: int, col: str) -> str:
+    """Spark SQL: count-min cell index for salt row ``d`` — the shared
+    56-bit md5-prefix hash discipline (``_KMV_HASH_SPARK``), reduced
+    mod the sketch width."""
+    return (
+        f"cast(conv(substring(md5(concat('{d}:', cast({col} as string))),"
+        f" 1, 14), 16, 10) as bigint) % {_CMS_W}"
+    )
+
+
+def _cms_cell_duck(d: int, col: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{d}:' || {col}::VARCHAR), 1, 14))::BIGINT"
+        f" % {_CMS_W})"
+    )
+
+
+def freq_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (Cormode & Muthukrishnan 2005) with
+    exact calibration — the FREQUENCY member of the mergeable-sketch
+    family next to KMV's distinct counting (``agg_kmv_distinct``): cell
+    ``(d, h_d(x) mod w)`` accumulates every occurrence of ``x`` under
+    depth-``d``'s salted hash, and the point estimate is the MIN over
+    the ``d`` cells — an overestimate by construction (collisions only
+    ever add), never an underestimate.  Per top-``{K}``-by-exact-count
+    customer: exact order count, the CMS estimate, and the signed
+    overcount in ppm (always ≥ 0 — the one-sided error bound is the
+    checkable contract).  Deterministic md5-derived hashes make the
+    sketch VALUE itself oracle-able, the ``agg_kmv_distinct``
+    discipline.
+
+    Scale: the sketch build is ONE map-side-combining aggregation whose
+    key space is bounded at d·w = {DW} cells regardless of data volume
+    — at 100 TB the shuffle moves ≤ d·w rows per map partition, and
+    cells MERGE BY ADDITION, so per-partition / per-day sketches roll
+    up associatively (the streaming dual is proven exact in
+    tests/test_streaming_cms.py).  Heavy-hitter selection is a
+    distributed TakeOrderedAndProject (no global window), and the probe
+    join ships the bounded sketch to the ≤ K·d probe rows broadcast.
+    """
+    ords = load_table(spark, "orders", sf_dir).select("o_custkey")
+    depth_cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_cell_spark(d, "o_custkey")).alias("cell"),
+                )
+                for d in range(_CMS_D)
+            ]
+        )
+    ).alias("x")
+    cells = (
+        ords.select(depth_cells)
+        .select("x.d", "x.cell")
+        .groupBy("d", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        ords.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("o_custkey"))
+        .limit(_CMS_TOPK)
+    )
+    probes = top.select("o_custkey", "n_exact", depth_cells).select(
+        "o_custkey", "n_exact", "x.d", "x.cell"
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("o_custkey", "n_exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "o_custkey",
+        "n_exact",
+        "cms_estimate",
+        F.expr("((cms_estimate - n_exact) * 1000000) div n_exact").alias(
+            "overcount_ppm"
+        ),
+    )
+
+
+freq_countmin_topk.__doc__ = freq_countmin_topk.__doc__.format(
+    K=_CMS_TOPK, DW=_CMS_D * _CMS_W
+)
+
+_BLOOM_K = 3  # hash functions per key
+_BLOOM_M = 16384  # filter bits — 256 64-bit words broadcast to every task
+
+
+def _bloom_pos_spark(i: int, col: str) -> str:
+    """Spark SQL: bloom bit position for hash ``i`` — same 56-bit
+    md5-prefix discipline, reduced mod the filter size."""
+    return (
+        f"cast(conv(substring(md5(concat('{i}:', cast({col} as string))),"
+        f" 1, 14), 16, 10) as bigint) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_duck(i: int, col: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{i}:' || {col}::VARCHAR), 1, 14))::BIGINT"
+        f" % {_BLOOM_M})"
+    )
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (Bloom 1970) made explicit and
+    engine-replayable — the MEMBERSHIP member of the sketch family, and
+    the mechanism behind Spark's own runtime row-group pruning
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``): the dim-side
+    key set (suppliers in region EUROPE) folds to an m-bit filter; a
+    fact row is prefilter-PASSED when all k salted bit positions are
+    set.  No false negatives by construction (every true match passes);
+    the report quantifies the false-positive cost per returnflag —
+    n_rows, bloom-passed, exact semi-join matches, false positives, and
+    the FP rate in ppm over true non-members — the calibration row that
+    justifies shipping an O(m)-bit filter instead of the key set when
+    the dim side is too big to broadcast as a hash table.
+
+    Scale: the filter build aggregates the dim keys' bit positions to
+    ≤ m/64 = {W} words (map-side-combining ``bit_or``), folds them to a
+    ONE-ROW ``map<word, bits>``, and broadcasts that single row to
+    every task — state is O(m) bits independent of both table sizes.
+    Membership is k pure-JVM bit probes per fact row (codegen; no join,
+    no shuffle on the fact side); the exact-match comparison joins the
+    broadcast dim key set.  At 100 TB the fact side streams through a
+    narrow map with a constant-size filter in hand — the textbook
+    runtime-filter topology.
+    """
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
+    )
+    dim = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_pos_spark(i, "s_suppkey"))
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    words = pos.groupBy(F.expr("cast(p div 64 as int)").alias("w")).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))"
+        ).alias("bits")
+    )
+    bitset = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bm")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_returnflag"
+    )
+    member = F.lit(True)
+    for i in range(_BLOOM_K):
+        p = _bloom_pos_spark(i, "l_suppkey")
+        member = member & F.expr(
+            f"(shiftright(coalesce(try_element_at(bm,"
+            f" cast(({p}) div 64 as int)), cast(0 as bigint)),"
+            f" cast(({p}) % 64 as int)) & 1) = 1"
+        )
+    fact = (
+        li.crossJoin(F.broadcast(bitset))
+        .withColumn("pass_bloom", member)
+        .join(
+            F.broadcast(dim),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+    )
+    agg = fact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("pass_bloom"), 1)).alias("n_pass_bloom"),
+        F.count(F.when(F.col("s_suppkey").isNotNull(), 1)).alias(
+            "n_true_match"
+        ),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "n_pass_bloom",
+        "n_true_match",
+        (F.col("n_pass_bloom") - F.col("n_true_match")).alias("n_false_pos"),
+        F.expr(
+            "case when n_rows - n_true_match = 0 then cast(0 as bigint)"
+            " else ((n_pass_bloom - n_true_match) * 1000000)"
+            "      div (n_rows - n_true_match) end"
+        ).alias("fp_ppm"),
+    )
+
+
+join_bloom_prefilter.__doc__ = join_bloom_prefilter.__doc__.format(
+    W=_BLOOM_M // 64
+)
+
+
 def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution / record linkage: resolve DIRTY records
     (supplier names with a deterministic one-character deletion — the
@@ -1607,6 +1823,8 @@ QUERIES = {
     "agg_count_distinct": agg_count_distinct,
     "agg_kmv_distinct": agg_kmv_distinct,
     "agg_kmv_set_ops": agg_kmv_set_ops,
+    "freq_countmin_topk": freq_countmin_topk,
+    "join_bloom_prefilter": join_bloom_prefilter,
     "fuzzy_match_suppliers": fuzzy_match_suppliers,
     "cdc_upsert_orders": cdc_upsert_orders,
     "agg_pivot_event_counts": agg_pivot_event_counts,
@@ -2381,6 +2599,83 @@ ORACLES["agg_kmv_set_ops"] = f"""
     SELECT fa AS flag_a, fb AS flag_b, union_exact, union_est,
            inter_exact, (n_both * union_est) // k_actual AS inter_est
     FROM est
+"""
+
+# Count-min: cell counts are exact sums under deterministic salted
+# hashes and the estimate is a min over d cells — fully replayable.
+ORACLES["freq_countmin_topk"] = f"""
+    WITH cells AS (
+        SELECT d, cell, count(*)::BIGINT AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {d} AS d, {_cms_cell_duck(d, 'o_custkey')} AS cell"
+                " FROM orders"
+                for d in range(_CMS_D)
+            )}
+        ) GROUP BY d, cell
+    ),
+    top AS (
+        SELECT o_custkey, count(*)::BIGINT AS n_exact
+        FROM orders GROUP BY o_custkey
+        ORDER BY n_exact DESC, o_custkey LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT o_custkey, n_exact, {d} AS d,"
+            f" {_cms_cell_duck(d, 'o_custkey')} AS cell FROM top"
+            for d in range(_CMS_D)
+        )}
+    ),
+    est AS (
+        SELECT p.o_custkey, p.n_exact, min(c.cnt)::BIGINT AS cms_estimate
+        FROM probes p JOIN cells c ON c.d = p.d AND c.cell = p.cell
+        GROUP BY p.o_custkey, p.n_exact
+    )
+    SELECT o_custkey, n_exact, cms_estimate,
+           ((cms_estimate - n_exact) * 1000000) // n_exact AS overcount_ppm
+    FROM est
+"""
+
+# Bloom prefilter: membership == all k positions in the dim-side
+# position SET (identical to the bitmap probe), so false positives
+# replay exactly under the deterministic salted hashes.
+ORACLES["join_bloom_prefilter"] = f"""
+    WITH dim AS (
+        SELECT s_suppkey FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    pos AS (
+        SELECT DISTINCT p FROM (
+            {" UNION ALL ".join(
+                f"SELECT {_bloom_pos_duck(i, 's_suppkey')} AS p FROM dim"
+                for i in range(_BLOOM_K)
+            )}
+        )
+    ),
+    fact AS (
+        SELECT l_returnflag,
+               ({" AND ".join(
+                   f"{_bloom_pos_duck(i, 'l_suppkey')} IN"
+                   " (SELECT p FROM pos)"
+                   for i in range(_BLOOM_K)
+               )}) AS pass_bloom,
+               l_suppkey IN (SELECT s_suppkey FROM dim) AS is_true
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_rows,
+           count(*) FILTER (WHERE pass_bloom)::BIGINT AS n_pass_bloom,
+           count(*) FILTER (WHERE is_true)::BIGINT AS n_true_match,
+           (count(*) FILTER (WHERE pass_bloom)
+            - count(*) FILTER (WHERE is_true))::BIGINT AS n_false_pos,
+           CASE WHEN count(*) - count(*) FILTER (WHERE is_true) = 0
+                THEN 0::BIGINT
+                ELSE ((count(*) FILTER (WHERE pass_bloom)
+                       - count(*) FILTER (WHERE is_true)) * 1000000)
+                     // (count(*) - count(*) FILTER (WHERE is_true))
+           END AS fp_ppm
+    FROM fact GROUP BY l_returnflag
 """
 
 # Fuzzy match: same levenshtein DP distance in both engines; argmin
