@@ -1480,20 +1480,31 @@ _CMS_W = 2048  # sketch width (cells per row) — state is d·w cells TOTAL
 _CMS_TOPK = 20
 
 
-def _cms_cell_spark(d: int, col: str) -> str:
-    """Spark SQL: count-min cell index for salt row ``d`` — the shared
-    56-bit md5-prefix hash discipline (``_KMV_HASH_SPARK``), reduced
-    mod the sketch width."""
+def _cms_digest_spark(col: str) -> str:
+    """Spark SQL: ONE md5 digest per key — the d depth rows slice
+    disjoint 8-hex-char (32-bit) ranges of it instead of hashing d
+    times (measured: the salted-md5-per-depth form spent ~4× the md5
+    budget for identical independence, since the 128 digest bits cover
+    all 4×32 slice bits)."""
+    return f"md5(cast({col} as string))"
+
+
+def _cms_digest_duck(col: str) -> str:
+    return f"md5({col}::VARCHAR)"
+
+
+def _cms_cell_spark(d: int, dg: str) -> str:
+    """Spark SQL: depth-``d`` cell index from a digest column/expr —
+    hex slice [1+8d, 8] reduced mod the sketch width."""
     return (
-        f"cast(conv(substring(md5(concat('{d}:', cast({col} as string))),"
-        f" 1, 14), 16, 10) as bigint) % {_CMS_W}"
+        f"cast(conv(substring({dg}, {1 + 8 * d}, 8), 16, 10) as bigint)"
+        f" % {_CMS_W}"
     )
 
 
-def _cms_cell_duck(d: int, col: str) -> str:
+def _cms_cell_duck(d: int, dg: str) -> str:
     return (
-        f"(('0x' || substr(md5('{d}:' || {col}::VARCHAR), 1, 14))::BIGINT"
-        f" % {_CMS_W})"
+        f"(('0x' || substr({dg}, {1 + 8 * d}, 8))::BIGINT % {_CMS_W})"
     )
 
 
@@ -1526,14 +1537,15 @@ def freq_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 F.struct(
                     F.lit(d).alias("d"),
-                    F.expr(_cms_cell_spark(d, "o_custkey")).alias("cell"),
+                    F.expr(_cms_cell_spark(d, "dg")).alias("cell"),
                 )
                 for d in range(_CMS_D)
             ]
         )
     ).alias("x")
     cells = (
-        ords.select(depth_cells)
+        ords.select(F.expr(_cms_digest_spark("o_custkey")).alias("dg"))
+        .select(depth_cells)
         .select("x.d", "x.cell")
         .groupBy("d", "cell")
         .agg(F.count("*").alias("cnt"))
@@ -1544,7 +1556,11 @@ def freq_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_exact"), F.asc("o_custkey"))
         .limit(_CMS_TOPK)
     )
-    probes = top.select("o_custkey", "n_exact", depth_cells).select(
+    probes = top.select(
+        "o_custkey",
+        "n_exact",
+        F.expr(_cms_digest_spark("o_custkey")).alias("dg"),
+    ).select("o_custkey", "n_exact", depth_cells).select(
         "o_custkey", "n_exact", "x.d", "x.cell"
     )
     est = (
@@ -1570,19 +1586,20 @@ _BLOOM_K = 3  # hash functions per key
 _BLOOM_M = 16384  # filter bits — 256 64-bit words broadcast to every task
 
 
-def _bloom_pos_spark(i: int, col: str) -> str:
-    """Spark SQL: bloom bit position for hash ``i`` — same 56-bit
-    md5-prefix discipline, reduced mod the filter size."""
+def _bloom_pos_spark(i: int, dg: str) -> str:
+    """Spark SQL: bloom bit position ``i`` from a digest column/expr —
+    hex slice [1+10i, 10] (40 bits) of the single per-key md5, reduced
+    mod the filter size (the ``_cms_digest_spark`` discipline: one
+    md5, k disjoint slices)."""
     return (
-        f"cast(conv(substring(md5(concat('{i}:', cast({col} as string))),"
-        f" 1, 14), 16, 10) as bigint) % {_BLOOM_M}"
+        f"cast(conv(substring({dg}, {1 + 10 * i}, 10), 16, 10) as bigint)"
+        f" % {_BLOOM_M}"
     )
 
 
-def _bloom_pos_duck(i: int, col: str) -> str:
+def _bloom_pos_duck(i: int, dg: str) -> str:
     return (
-        f"(('0x' || substr(md5('{i}:' || {col}::VARCHAR), 1, 14))::BIGINT"
-        f" % {_BLOOM_M})"
+        f"(('0x' || substr({dg}, {1 + 10 * i}, 10))::BIGINT % {_BLOOM_M})"
     )
 
 
@@ -1628,12 +1645,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     pos = dim.select(
+        F.expr(_cms_digest_spark("s_suppkey")).alias("dg")
+    ).select(
         F.explode(
             F.array(
-                *[
-                    F.expr(_bloom_pos_spark(i, "s_suppkey"))
-                    for i in range(_BLOOM_K)
-                ]
+                *[F.expr(_bloom_pos_spark(i, "dg")) for i in range(_BLOOM_K)]
             )
         ).alias("p")
     ).distinct()
@@ -1645,16 +1661,25 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitset = words.agg(
         F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bm")
     )
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_suppkey", "l_returnflag"
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_suppkey", "l_returnflag")
+        .withColumn("dg", F.expr(_cms_digest_spark("l_suppkey")))
+        .select(
+            "l_suppkey",
+            "l_returnflag",
+            *[
+                F.expr(_bloom_pos_spark(i, "dg")).alias(f"p{i}")
+                for i in range(_BLOOM_K)
+            ],
+        )
     )
     member = F.lit(True)
     for i in range(_BLOOM_K):
-        p = _bloom_pos_spark(i, "l_suppkey")
         member = member & F.expr(
             f"(shiftright(coalesce(try_element_at(bm,"
-            f" cast(({p}) div 64 as int)), cast(0 as bigint)),"
-            f" cast(({p}) % 64 as int)) & 1) = 1"
+            f" cast(p{i} div 64 as int)), cast(0 as bigint)),"
+            f" cast(p{i} % 64 as int)) & 1) = 1"
         )
     fact = (
         li.crossJoin(F.broadcast(bitset))
@@ -2604,24 +2629,28 @@ ORACLES["agg_kmv_set_ops"] = f"""
 # Count-min: cell counts are exact sums under deterministic salted
 # hashes and the estimate is a min over d cells — fully replayable.
 ORACLES["freq_countmin_topk"] = f"""
-    WITH cells AS (
+    WITH dgs AS (
+        SELECT {_cms_digest_duck('o_custkey')} AS dg FROM orders
+    ),
+    cells AS (
         SELECT d, cell, count(*)::BIGINT AS cnt FROM (
             {" UNION ALL ".join(
-                f"SELECT {d} AS d, {_cms_cell_duck(d, 'o_custkey')} AS cell"
-                " FROM orders"
+                f"SELECT {d} AS d, {_cms_cell_duck(d, 'dg')} AS cell"
+                " FROM dgs"
                 for d in range(_CMS_D)
             )}
         ) GROUP BY d, cell
     ),
     top AS (
-        SELECT o_custkey, count(*)::BIGINT AS n_exact
+        SELECT o_custkey, count(*)::BIGINT AS n_exact,
+               {_cms_digest_duck('o_custkey')} AS dg
         FROM orders GROUP BY o_custkey
         ORDER BY n_exact DESC, o_custkey LIMIT {_CMS_TOPK}
     ),
     probes AS (
         {" UNION ALL ".join(
             f"SELECT o_custkey, n_exact, {d} AS d,"
-            f" {_cms_cell_duck(d, 'o_custkey')} AS cell FROM top"
+            f" {_cms_cell_duck(d, 'dg')} AS cell FROM top"
             for d in range(_CMS_D)
         )}
     ),
@@ -2645,10 +2674,13 @@ ORACLES["join_bloom_prefilter"] = f"""
         JOIN region r ON n.n_regionkey = r.r_regionkey
         WHERE r.r_name = 'EUROPE'
     ),
+    dimdg AS (
+        SELECT {_cms_digest_duck('s_suppkey')} AS dg FROM dim
+    ),
     pos AS (
         SELECT DISTINCT p FROM (
             {" UNION ALL ".join(
-                f"SELECT {_bloom_pos_duck(i, 's_suppkey')} AS p FROM dim"
+                f"SELECT {_bloom_pos_duck(i, 'dg')} AS p FROM dimdg"
                 for i in range(_BLOOM_K)
             )}
         )
@@ -2656,12 +2688,14 @@ ORACLES["join_bloom_prefilter"] = f"""
     fact AS (
         SELECT l_returnflag,
                ({" AND ".join(
-                   f"{_bloom_pos_duck(i, 'l_suppkey')} IN"
+                   f"{_bloom_pos_duck(i, 'dg')} IN"
                    " (SELECT p FROM pos)"
                    for i in range(_BLOOM_K)
                )}) AS pass_bloom,
                l_suppkey IN (SELECT s_suppkey FROM dim) AS is_true
-        FROM lineitem
+        FROM (SELECT l_returnflag, l_suppkey,
+                     {_cms_digest_duck('l_suppkey')} AS dg
+              FROM lineitem)
     )
     SELECT l_returnflag,
            count(*)::BIGINT AS n_rows,

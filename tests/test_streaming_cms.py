@@ -28,6 +28,7 @@ from decisions_kinesis_spark.operators.relational import (
     _CMS_D,
     _CMS_TOPK,
     _cms_cell_spark,
+    _cms_digest_spark,
     freq_countmin_topk,
 )
 from decisions_kinesis_spark.sources.tables import load_table
@@ -60,14 +61,17 @@ def test_streaming_cms_cell_merge_matches_batch(spark, tmp_path):
         epochs["n"] += 1
         part = (
             batch_df.select(
+                F.expr(_cms_digest_spark("o_custkey")).alias("dg")
+            )
+            .select(
                 F.explode(
                     F.array(
                         *[
                             F.struct(
                                 F.lit(d).alias("d"),
-                                F.expr(
-                                    _cms_cell_spark(d, "o_custkey")
-                                ).alias("cell"),
+                                F.expr(_cms_cell_spark(d, "dg")).alias(
+                                    "cell"
+                                ),
                             )
                             for d in range(_CMS_D)
                         ]
@@ -110,9 +114,12 @@ def test_streaming_cms_cell_merge_matches_batch(spark, tmp_path):
             [(k,) for k, _n in top], "o_custkey bigint"
         )
         .select(
+            "o_custkey", F.expr(_cms_digest_spark("o_custkey")).alias("dg")
+        )
+        .select(
             "o_custkey",
             *[
-                F.expr(_cms_cell_spark(d, "o_custkey")).alias(f"c{d}")
+                F.expr(_cms_cell_spark(d, "dg")).alias(f"c{d}")
                 for d in range(_CMS_D)
             ],
         )
