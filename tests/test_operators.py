@@ -2154,3 +2154,76 @@ def test_gini_known_values_and_range(spark, tmp_path, sf_dir):
     real = customer_revenue_gini(spark, sf_dir).collect()[0]
     assert 0 <= real["gini_ppm"] < 1_000_000
     assert real["n_customers"] > 0
+
+
+def test_sketch_digest_slices_match_python_md5(spark):
+    """Differential: the Spark conv-substring digest-slice cell/bit
+    positions (CMS + bloom) equal an independent hashlib/md5 Python
+    reference on adversarial keys — the cross-engine hash contract both
+    oracles rely on (both engines slice the SAME hex digest, so any
+    divergence is a conv/substr indexing bug, not a hash question)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from decisions_kinesis_spark.operators.relational import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _CMS_D,
+        _CMS_W,
+        _bloom_pos_spark,
+        _cms_cell_spark,
+        _cms_digest_spark,
+    )
+
+    keys = [0, 1, -1, 7, 63, 64, 9_999_999_999, -123456789]
+    df = (
+        spark.createDataFrame([(k,) for k in keys], "k bigint")
+        .select("k", F.expr(_cms_digest_spark("k")).alias("dg"))
+        .select(
+            "k",
+            *[
+                F.expr(_cms_cell_spark(d, "dg")).alias(f"c{d}")
+                for d in range(_CMS_D)
+            ],
+            *[
+                F.expr(_bloom_pos_spark(i, "dg")).alias(f"b{i}")
+                for i in range(_BLOOM_K)
+            ],
+        )
+    )
+    got = {r["k"]: r for r in df.collect()}
+    for k in keys:
+        dg = hashlib.md5(str(k).encode()).hexdigest()
+        for d in range(_CMS_D):
+            want = int(dg[8 * d : 8 * d + 8], 16) % _CMS_W
+            assert got[k][f"c{d}"] == want, (k, d)
+        for i in range(_BLOOM_K):
+            want = int(dg[10 * i : 10 * i + 10], 16) % _BLOOM_M
+            assert got[k][f"b{i}"] == want, (k, i)
+
+
+def test_bloom_prefilter_no_false_negatives_and_cms_overestimates(
+    spark, sf_dir
+):
+    """The two one-sided sketch error contracts on real data: bloom
+    passes every true match (no false negatives — n_pass ≥ n_true and
+    n_false_pos ≥ 0 per group), and every CMS estimate is ≥ its exact
+    count (collisions only add)."""
+    from decisions_kinesis_spark.operators.relational import (
+        freq_countmin_topk,
+        join_bloom_prefilter,
+    )
+
+    bloom = join_bloom_prefilter(spark, sf_dir).collect()
+    assert bloom
+    for r in bloom:
+        assert r["n_pass_bloom"] >= r["n_true_match"] >= 0
+        assert r["n_false_pos"] == r["n_pass_bloom"] - r["n_true_match"]
+        assert r["fp_ppm"] >= 0
+
+    cms = freq_countmin_topk(spark, sf_dir).collect()
+    assert len(cms) > 0
+    for r in cms:
+        assert r["cms_estimate"] >= r["n_exact"] > 0
+        assert r["overcount_ppm"] >= 0
