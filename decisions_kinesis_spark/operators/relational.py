@@ -1715,6 +1715,135 @@ join_bloom_prefilter.__doc__ = join_bloom_prefilter.__doc__.format(
     W=_BLOOM_M // 64
 )
 
+_QS_K = 256  # sample size per group (bottom-k by hash rank)
+#: x10^4 money quantization (the analytics_ext._MONEY_X10000 spelling,
+#: here for l_extendedprice) — selections and error ppm stay exact
+#: bigint on both engines.
+_QS_PQ_SPARK = "cast(floor(l_extendedprice * 10000 + 0.5) as bigint)"
+_QS_PQ_DUCK = "floor(l_extendedprice * 10000 + 0.5)::BIGINT"
+#: per-row hash rank over the UNIQUE (orderkey, linenumber) key — the
+#: 56-bit md5-prefix discipline; hv ties (negligible, but possible)
+#: break on the value so both engines select identically.
+_QS_HV_SPARK = (
+    "cast(conv(substring(md5(concat(cast(l_orderkey as string), ':',"
+    " cast(l_linenumber as string))), 1, 14), 16, 10) as bigint)"
+)
+_QS_HV_DUCK = (
+    "('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||"
+    " l_linenumber::VARCHAR), 1, 14))::BIGINT"
+)
+
+
+def quantile_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantile estimation from a MERGEABLE bottom-k
+    hash-rank sample — the QUANTILE member of the sketch family
+    (KMV = distinct, CMS = frequency, Bloom = membership): the k rows
+    with the smallest deterministic per-row hash are a uniform random
+    sample of the group (the hash is the randomness), and two samples
+    merge by keeping the k smallest of their union — the KMV union
+    rule applied to payload-carrying rows, which is how per-partition
+    samples roll up to corpus-wide quantiles at 100 TB without a
+    global sort.  Per returnflag: exact and sample discrete quantiles
+    (median, p90) of the x10^4-quantized price, and the signed sample
+    error in ppm.  Everything is selection + integer arithmetic over
+    deterministic hashes, so the sample quantiles themselves are
+    oracle-exact (the ``agg_kmv_distinct`` contract).
+
+    Discrete-quantile definition shared by both engines and both
+    paths: over the 1-indexed value-sorted multiset, position
+    ``t_q = ((n-1)·q_num) div q_den + 1``; the quantile is the
+    smallest value whose cumulative count reaches t_q.
+
+    Scale: the sample side is a WindowGroupLimit bottom-k — each map
+    partition forwards at most k rows per group (the ``window_topk``
+    discipline), and the per-group sorted array is ≤ k elements
+    (bounded collect_list by construction).  The exact side — the
+    expensive path the sample replaces at scale — aggregates to
+    distinct quantized values first (domain-bounded: the x10^4 money
+    grid), then one cumulative window per group over that bounded
+    frame; group count and target positions ride a broadcast
+    |groups|-row join.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.expr(_QS_PQ_SPARK).alias("pq"),
+        F.expr(_QS_HV_SPARK).alias("hv"),
+    )
+    vc = li.groupBy("l_returnflag", "pq").agg(F.count("*").alias("cnt"))
+    cum = vc.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("l_returnflag")
+            .orderBy("pq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tpos = (
+        vc.groupBy("l_returnflag")
+        .agg(F.sum("cnt").alias("n_rows"))
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.expr("((n_rows - 1) * 5) div 10 + 1").alias("t50"),
+            F.expr("((n_rows - 1) * 9) div 10 + 1").alias("t90"),
+        )
+    )
+    exact = (
+        cum.join(F.broadcast(tpos), "l_returnflag")
+        .groupBy("l_returnflag", "n_rows")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("t50"), F.col("pq"))).alias(
+                "exact_median_q"
+            ),
+            F.min(F.when(F.col("cum") >= F.col("t90"), F.col("pq"))).alias(
+                "exact_p90_q"
+            ),
+        )
+    )
+    samp = (
+        li.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("l_returnflag").orderBy("hv", "pq")
+            ),
+        )
+        .filter(F.col("rk") <= _QS_K)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sort_array(F.collect_list("pq")).alias("vals"),
+            F.count("*").alias("k_actual"),
+        )
+        .select(
+            "l_returnflag",
+            F.expr(
+                "element_at(vals, cast(((k_actual - 1) * 5) div 10 + 1"
+                " as int))"
+            ).alias("sample_median_q"),
+            F.expr(
+                "element_at(vals, cast(((k_actual - 1) * 9) div 10 + 1"
+                " as int))"
+            ).alias("sample_p90_q"),
+        )
+    )
+    return exact.join(samp, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "exact_median_q",
+        "sample_median_q",
+        F.expr(
+            "case when exact_median_q = 0 then cast(0 as bigint)"
+            " else ((sample_median_q - exact_median_q) * 1000000)"
+            "      div exact_median_q end"
+        ).alias("med_err_ppm"),
+        "exact_p90_q",
+        "sample_p90_q",
+        F.expr(
+            "case when exact_p90_q = 0 then cast(0 as bigint)"
+            " else ((sample_p90_q - exact_p90_q) * 1000000)"
+            "      div exact_p90_q end"
+        ).alias("p90_err_ppm"),
+    )
+
 
 def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution / record linkage: resolve DIRTY records
@@ -1850,6 +1979,7 @@ QUERIES = {
     "agg_kmv_set_ops": agg_kmv_set_ops,
     "freq_countmin_topk": freq_countmin_topk,
     "join_bloom_prefilter": join_bloom_prefilter,
+    "quantile_bottomk_sample": quantile_bottomk_sample,
     "fuzzy_match_suppliers": fuzzy_match_suppliers,
     "cdc_upsert_orders": cdc_upsert_orders,
     "agg_pivot_event_counts": agg_pivot_event_counts,
@@ -2710,6 +2840,66 @@ ORACLES["join_bloom_prefilter"] = f"""
                      // (count(*) - count(*) FILTER (WHERE is_true))
            END AS fp_ppm
     FROM fact GROUP BY l_returnflag
+"""
+
+# Bottom-k quantile sample: selection + integer arithmetic over
+# deterministic hashes and the shared x10^4 money grid — exact replay.
+ORACLES["quantile_bottomk_sample"] = f"""
+    WITH li AS (
+        SELECT l_returnflag, {_QS_PQ_DUCK} AS pq, {_QS_HV_DUCK} AS hv
+        FROM lineitem
+    ),
+    vc AS (
+        SELECT l_returnflag, pq, count(*)::BIGINT AS cnt
+        FROM li GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, pq,
+               sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY pq
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)::BIGINT AS cum
+        FROM vc
+    ),
+    tpos AS (
+        SELECT l_returnflag, sum(cnt)::BIGINT AS n_rows,
+               ((sum(cnt)::BIGINT - 1) * 5) // 10 + 1 AS t50,
+               ((sum(cnt)::BIGINT - 1) * 9) // 10 + 1 AS t90
+        FROM vc GROUP BY 1
+    ),
+    exact AS (
+        SELECT c.l_returnflag, t.n_rows,
+               min(CASE WHEN cum >= t50 THEN pq END)::BIGINT
+                   AS exact_median_q,
+               min(CASE WHEN cum >= t90 THEN pq END)::BIGINT AS exact_p90_q
+        FROM cum c JOIN tpos t ON c.l_returnflag = t.l_returnflag
+        GROUP BY 1, 2
+    ),
+    samp AS (
+        SELECT l_returnflag, pq FROM (
+            SELECT l_returnflag, pq,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY hv, pq) AS rk
+            FROM li)
+        WHERE rk <= {_QS_K}
+    ),
+    sq AS (
+        SELECT l_returnflag,
+               vals[((k_actual - 1) * 5) // 10 + 1]::BIGINT
+                   AS sample_median_q,
+               vals[((k_actual - 1) * 9) // 10 + 1]::BIGINT AS sample_p90_q
+        FROM (SELECT l_returnflag, list_sort(list(pq)) AS vals,
+                     count(*)::BIGINT AS k_actual
+              FROM samp GROUP BY 1)
+    )
+    SELECT e.l_returnflag, e.n_rows, e.exact_median_q, s.sample_median_q,
+           CASE WHEN e.exact_median_q = 0 THEN 0::BIGINT
+                ELSE ((s.sample_median_q - e.exact_median_q) * 1000000)
+                     // e.exact_median_q END AS med_err_ppm,
+           e.exact_p90_q, s.sample_p90_q,
+           CASE WHEN e.exact_p90_q = 0 THEN 0::BIGINT
+                ELSE ((s.sample_p90_q - e.exact_p90_q) * 1000000)
+                     // e.exact_p90_q END AS p90_err_ppm
+    FROM exact e JOIN sq s ON s.l_returnflag = e.l_returnflag
 """
 
 # Fuzzy match: same levenshtein DP distance in both engines; argmin
