@@ -360,7 +360,12 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer, same trade ``text_length_quantiles`` documents) joined
     back as a 1-row broadcast; bucketing is a scan-side comparison.
     """
-    sc = lm_interpolated_score(spark, sf_dir)
+    # the score frame feeds BOTH the boundary aggregation and the
+    # bucketing join — materialize it once (|docs|-row bounded
+    # checkpoint, the LSH shingle-frame discipline) instead of running
+    # the full explode+join score pipeline twice (measured 2.8 → 1.6 s
+    # at sf0.1)
+    sc = lm_interpolated_score(spark, sf_dir).localCheckpoint(eager=True)
     bounds = sc.agg(
         F.round(
             F.expr("percentile(lm_interp_scaled, cast(1 as double)/3)"), 4
