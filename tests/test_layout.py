@@ -133,3 +133,71 @@ def test_checkpoint_reset_restarts_from_initial(spark, sf_dir):
         assert reset_checkpoint(f"{tmp}/nonexistent") is False
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_tables_join_with_fewer_exchanges_same_result(
+    spark, tmp_path, sf_dir
+):
+    """Bucketed-table co-located join — the layout technique that
+    deletes the shuffle from every repeated join/agg on the bucket key
+    at 100 TB: write orders and lineitem ``bucketBy(8, orderkey)``
+    (+ sortBy), join the bucketed tables with a merge-join hint, and
+    assert (a) the physical plan carries exactly TWO fewer Exchange
+    operators than the identical plain-parquet join — the two join-key
+    shuffles are gone; only the downstream group-by exchange remains —
+    and (b) the results are identical row-for-row.  bucketBy requires
+    the session catalog (in-memory here; metadata lives for the
+    session, files under tmp_path), which is why this technique is
+    test-demonstrated rather than registered as a driver query: a
+    plain driver session in a foreign cwd would litter its metastore.
+    """
+    from pyspark.sql import functions as F
+
+    from decisions_kinesis_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity"
+    )
+    for df, name, key in (
+        (orders, "dks_test_orders_b", "o_orderkey"),
+        (li, "dks_test_lineitem_b", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    try:
+        bo = spark.table("dks_test_orders_b")
+        bl = spark.table("dks_test_lineitem_b")
+
+        def agg(lhs, rhs):
+            return (
+                lhs.hint("merge")
+                .join(rhs, lhs.l_orderkey == rhs.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.count("*").alias("n_items"),
+                    F.sum(
+                        F.col("l_quantity").cast("decimal(18,4)")
+                    ).alias("sum_qty"),
+                )
+            )
+
+        bucketed, plain = agg(bl, bo), agg(li, orders)
+        n_ex = lambda df: df._jdf.queryExecution().executedPlan().toString().count("Exchange")  # noqa: E731
+        assert n_ex(bucketed) == n_ex(plain) - 2, (
+            n_ex(bucketed), n_ex(plain)
+        )
+        key = lambda r: r["o_orderpriority"]  # noqa: E731
+        assert sorted(map(tuple, bucketed.collect()), key=lambda t: t[0]) \
+            == sorted(map(tuple, plain.collect()), key=lambda t: t[0])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dks_test_orders_b")
+        spark.sql("DROP TABLE IF EXISTS dks_test_lineitem_b")
