@@ -2227,3 +2227,46 @@ def test_bloom_prefilter_no_false_negatives_and_cms_overestimates(
     for r in cms:
         assert r["cms_estimate"] >= r["n_exact"] > 0
         assert r["overcount_ppm"] >= 0
+
+
+def test_quantile_bottomk_known_values_and_small_group_exactness(
+    spark, tmp_path
+):
+    """Disc-quantile rule on a hand-built group: values 1..10 → median
+    at 1-indexed position ((10-1)*5) div 10 + 1 = 5 (value 5), p90 at
+    position 9 (value 9); and any group with n ≤ k samples ITSELF, so
+    sample quantiles equal exact quantiles with zero error — the
+    small-set exactness contract shared with KMV's k_actual < k rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.relational import (
+        quantile_bottomk_sample,
+    )
+
+    d = tmp_path / "fix"
+    d.mkdir()
+    n = 10
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["A"] * n),
+                "l_extendedprice": pa.array(
+                    [float(i) for i in range(1, n + 1)], pa.float64()
+                ),
+                "l_orderkey": pa.array(range(1, n + 1), pa.int64()),
+                "l_linenumber": pa.array([1] * n, pa.int32()),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    rows = quantile_bottomk_sample(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_rows"] == n
+    assert r["exact_median_q"] == 5 * 10000
+    assert r["exact_p90_q"] == 9 * 10000
+    # n <= k: the sample IS the group — zero sampling error
+    assert r["sample_median_q"] == r["exact_median_q"]
+    assert r["sample_p90_q"] == r["exact_p90_q"]
+    assert r["med_err_ppm"] == 0 and r["p90_err_ppm"] == 0
