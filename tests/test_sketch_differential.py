@@ -1,0 +1,182 @@
+"""Hypothesis differentials for the round-7 sketch family: the full
+``quantile_bottomk_sample`` and ``freq_countmin_topk`` pipelines are
+checked against independent pure-Python references (hashlib md5,
+arbitrary-precision ints) over randomized inputs — engine-independent
+ground truth, the ``test_fold_differential`` pattern lifted from
+expression level to whole-query level.
+
+Each example writes a tiny parquet fixture and runs the real query, so
+example counts stay small; the deterministic >k case exercises the
+actual bottom-k sampling path (hypothesis examples stay below k, where
+the sample is the whole group).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from _helpers import tdiv
+from decisions_kinesis_spark.operators.relational import (
+    _CMS_D,
+    _CMS_TOPK,
+    _CMS_W,
+    _QS_K,
+    freq_countmin_topk,
+    quantile_bottomk_sample,
+)
+
+_prices = st.floats(
+    min_value=0.01, max_value=99999.99, allow_nan=False, allow_infinity=False
+)
+
+
+def _quantize(p: float) -> int:
+    return int(math.floor(p * 10000 + 0.5))
+
+
+def _hv(orderkey: int, linenumber: int) -> int:
+    dg = hashlib.md5(f"{orderkey}:{linenumber}".encode()).hexdigest()
+    return int(dg[:14], 16)
+
+
+def _disc(sorted_vals: list[int], num: int) -> int:
+    return sorted_vals[((len(sorted_vals) - 1) * num) // 10]
+
+
+def _py_quantile_reference(rows):
+    """rows: [(flag, orderkey, linenumber, price)] → {flag: output}."""
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for flag, ok, ln, price in rows:
+        groups.setdefault(flag, []).append((_hv(ok, ln), _quantize(price)))
+    out = {}
+    for flag, pairs in groups.items():
+        full = sorted(pq_ for _hv_, pq_ in pairs)
+        samp = sorted(pq_ for _hv_, pq_ in sorted(pairs)[:_QS_K])
+        em, e9 = _disc(full, 5), _disc(full, 9)
+        sm, s9 = _disc(samp, 5), _disc(samp, 9)
+        out[flag] = (
+            len(full),
+            em,
+            sm,
+            0 if em == 0 else tdiv((sm - em) * 1_000_000, em),
+            e9,
+            s9,
+            0 if e9 == 0 else tdiv((s9 - e9) * 1_000_000, e9),
+        )
+    return out
+
+
+def _write_lineitem(tmpdir, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array([r[0] for r in rows]),
+                "l_orderkey": pa.array(
+                    [r[1] for r in rows], pa.int64()
+                ),
+                "l_linenumber": pa.array([r[2] for r in rows], pa.int32()),
+                "l_extendedprice": pa.array(
+                    [r[3] for r in rows], pa.float64()
+                ),
+            }
+        ),
+        str(tmpdir / "lineitem.parquet"),
+    )
+    return str(tmpdir)
+
+
+def _collect_quantile(spark, d):
+    return {
+        r["l_returnflag"]: (
+            r["n_rows"],
+            r["exact_median_q"],
+            r["sample_median_q"],
+            r["med_err_ppm"],
+            r["exact_p90_q"],
+            r["sample_p90_q"],
+            r["p90_err_ppm"],
+        )
+        for r in quantile_bottomk_sample(spark, d).collect()
+    }
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    prices=st.lists(
+        st.tuples(st.sampled_from("AB"), _prices), min_size=1, max_size=30
+    )
+)
+def test_quantile_sample_matches_python_reference(
+    spark, tmp_path_factory, prices
+):
+    rows = [
+        (flag, i + 1, 1, price) for i, (flag, price) in enumerate(prices)
+    ]
+    d = _write_lineitem(tmp_path_factory.mktemp("qfix"), rows)
+    assert _collect_quantile(spark, d) == _py_quantile_reference(rows)
+
+
+def test_quantile_sample_beyond_k_matches_python_reference(
+    spark, tmp_path
+):
+    """600 rows in one group (> k=256): the bottom-k hash-rank
+    SELECTION itself — not just the disc rule — must match the
+    reference row-for-row."""
+    rows = [
+        ("A", i + 1, (i % 7) + 1, float((i * 37) % 9000) / 10 + 0.01)
+        for i in range(600)
+    ]
+    d = _write_lineitem(tmp_path, rows)
+    got = _collect_quantile(spark, d)
+    want = _py_quantile_reference(rows)
+    assert got == want
+    # the sampling path genuinely engaged (sample != whole group)
+    assert want["A"][0] == 600 > _QS_K
+
+
+def _py_cms_reference(custkeys):
+    cells: dict[tuple[int, int], int] = {}
+    exact: dict[int, int] = {}
+    for k in custkeys:
+        exact[k] = exact.get(k, 0) + 1
+        dg = hashlib.md5(str(k).encode()).hexdigest()
+        for d in range(_CMS_D):
+            cell = int(dg[8 * d : 8 * d + 8], 16) % _CMS_W
+            cells[(d, cell)] = cells.get((d, cell), 0) + 1
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:_CMS_TOPK]
+    out = {}
+    for k, n in top:
+        dg = hashlib.md5(str(k).encode()).hexdigest()
+        est = min(
+            cells[(d, int(dg[8 * d : 8 * d + 8], 16) % _CMS_W)]
+            for d in range(_CMS_D)
+        )
+        out[k] = (n, est, ((est - n) * 1_000_000) // n)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    custkeys=st.lists(
+        st.integers(min_value=1, max_value=12), min_size=1, max_size=40
+    )
+)
+def test_countmin_matches_python_reference(
+    spark, tmp_path_factory, custkeys
+):
+    d = tmp_path_factory.mktemp("cfix")
+    pq.write_table(
+        pa.table({"o_custkey": pa.array(custkeys, pa.int64())}),
+        str(d / "orders.parquet"),
+    )
+    got = {
+        r["o_custkey"]: (r["n_exact"], r["cms_estimate"], r["overcount_ppm"])
+        for r in freq_countmin_topk(spark, str(d)).collect()
+    }
+    assert got == _py_cms_reference(custkeys)
