@@ -180,3 +180,94 @@ def test_countmin_matches_python_reference(
         for r in freq_countmin_topk(spark, str(d)).collect()
     }
     assert got == _py_cms_reference(custkeys)
+
+
+def test_bloom_prefilter_matches_python_reference(spark, tmp_path):
+    """Deterministic whole-query differential for the Bloom prefilter:
+    a constructed 4-table fixture (2 member suppliers in EUROPE, 60
+    non-member fact keys) replayed by a pure-Python filter — bit
+    positions, membership, false positives and fp_ppm must all match
+    exactly."""
+    from decisions_kinesis_spark.operators.relational import (
+        _BLOOM_K,
+        _BLOOM_M,
+        join_bloom_prefilter,
+    )
+
+    d = tmp_path
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int64()),
+                "r_name": pa.array(["EUROPE", "ASIA"]),
+            }
+        ),
+        str(d / "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_regionkey": pa.array([0, 1], pa.int64()),
+            }
+        ),
+        str(d / "nation.parquet"),
+    )
+    # suppliers 1, 2 are EUROPE members; 3, 4 are not
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "s_nationkey": pa.array([0, 0, 1, 1], pa.int64()),
+            }
+        ),
+        str(d / "supplier.parquet"),
+    )
+    fact_keys = [1, 2] * 5 + list(range(100, 160))  # members + 60 others
+    pq.write_table(
+        pa.table(
+            {
+                "l_suppkey": pa.array(fact_keys, pa.int64()),
+                "l_returnflag": pa.array(
+                    ["A" if k % 2 else "R" for k in fact_keys]
+                ),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+
+    def positions(key: int) -> list[int]:
+        dg = hashlib.md5(str(key).encode()).hexdigest()
+        return [
+            int(dg[10 * i : 10 * i + 10], 16) % _BLOOM_M
+            for i in range(_BLOOM_K)
+        ]
+
+    members = {1, 2}
+    bits = {p for k in members for p in positions(k)}
+    ref: dict[str, list[int]] = {}
+    for k in fact_keys:
+        flag = "A" if k % 2 else "R"
+        g = ref.setdefault(flag, [0, 0, 0])
+        g[0] += 1
+        passed = all(p in bits for p in positions(k))
+        g[1] += int(passed)
+        g[2] += int(k in members)
+        assert passed or k not in members  # no false negatives
+    want = {}
+    for flag, (n, p, t) in ref.items():
+        fp = p - t
+        want[flag] = (
+            n, p, t, fp, 0 if n - t == 0 else (fp * 1_000_000) // (n - t)
+        )
+    got = {
+        r["l_returnflag"]: (
+            r["n_rows"],
+            r["n_pass_bloom"],
+            r["n_true_match"],
+            r["n_false_pos"],
+            r["fp_ppm"],
+        )
+        for r in join_bloom_prefilter(spark, str(d)).collect()
+    }
+    assert got == want
