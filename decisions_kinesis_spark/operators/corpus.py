@@ -239,7 +239,16 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BIGHASH.format(e="b.gb")).alias("gb"),
         F.expr(_BIGHASH.format(e="b.gu")).alias("gu"),
     )
-    doc_tf = bi.groupBy("doc_id", "gb", "gu").agg(F.count("*").alias("tf"))
+    # doc_tf feeds BOTH corpus-count aggregations AND the scoring join —
+    # materialize the type-collapsed frame once (the LSH shingle-frame
+    # discipline) instead of replaying scan+tokenize+explode+hash for
+    # each consumer (alternating same-process A/B at sf0.1: 1.83 →
+    # 1.49 s min-of-3; no ReusedExchange appears in the plain plan)
+    doc_tf = (
+        bi.groupBy("doc_id", "gb", "gu")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     cnt_bi = doc_tf.groupBy("gb").agg(F.sum("tf").alias("c_bi"))
     cnt_uni = doc_tf.groupBy("gu").agg(F.sum("tf").alias("c_uni"))
     scored = (
@@ -292,7 +301,13 @@ def lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = toks.select(F.explode("toks").alias("t")).select(
         F.expr(_BIGHASH.format(e="t")).alias("gv")
     )
-    cnt_tok = tok.groupBy("gv").agg(F.count("*").alias("c_tok"))
+    # vocabulary-sized unigram counts feed the grand total AND the
+    # scoring join — one materialization, not two unigram explodes
+    cnt_tok = (
+        tok.groupBy("gv")
+        .agg(F.count("*").alias("c_tok"))
+        .localCheckpoint(eager=True)
+    )
     total = cnt_tok.groupBy().agg(F.sum("c_tok").alias("n_total"))
     bi = toks.filter(F.size("toks") >= 2).select(
         "doc_id",
@@ -312,8 +327,11 @@ def lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BIGHASH.format(e="b.gu")).alias("gu"),
         F.expr(_BIGHASH.format(e="b.gv")).alias("gv"),
     )
-    doc_tf = bi.groupBy("doc_id", "gb", "gu", "gv").agg(
-        F.count("*").alias("tf")
+    # same three-consumer shape as lm_bigram_score — materialize once
+    doc_tf = (
+        bi.groupBy("doc_id", "gb", "gu", "gv")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     cnt_bi = doc_tf.groupBy("gb").agg(F.sum("tf").alias("c_bi"))
     cnt_uni = doc_tf.groupBy("gu").agg(F.sum("tf").alias("c_uni"))
@@ -1402,8 +1420,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr(f"({_BIGHASH.format(e='f')}) % {_DSIR_BUCKETS}").alias("b"),
     )
-    doc_tf = feats.groupBy("doc_id", "lang", "b").agg(
-        F.count("*").alias("tf")
+    # doc_tf feeds both distribution frames AND the scoring join —
+    # materialize once (the lm_bigram_score three-consumer discipline)
+    doc_tf = (
+        feats.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     cnt_raw = doc_tf.groupBy("b").agg(F.sum("tf").alias("c_raw"))
     cnt_tgt = (
