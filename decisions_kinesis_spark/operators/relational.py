@@ -1513,9 +1513,10 @@ def freq_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact calibration — the FREQUENCY member of the mergeable-sketch
     family next to KMV's distinct counting (``agg_kmv_distinct``): cell
     ``(d, h_d(x) mod w)`` accumulates every occurrence of ``x`` under
-    depth-``d``'s salted hash, and the point estimate is the MIN over
-    the ``d`` cells — an overestimate by construction (collisions only
-    ever add), never an underestimate.  Per top-``{K}``-by-exact-count
+    depth-``d``'s hash (a disjoint 32-bit slice of the per-key md5
+    digest), and the point estimate is the MIN over the ``d`` cells —
+    an overestimate by construction (collisions only ever add), never
+    an underestimate.  Per top-``{K}``-by-exact-count
     customer: exact order count, the CMS estimate, and the signed
     overcount in ppm (always ≥ 0 — the one-sided error bound is the
     checkable contract).  Deterministic md5-derived hashes make the
