@@ -1475,6 +1475,87 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: KMV hash for the customer axis (the ``_KMV_HASH_SPARK`` idiom on
+#: o_custkey) — shared by the monthly-rollup query and its oracle.
+_KMV_CUST_SPARK = (
+    "cast(conv(substring(md5(cast(o_custkey as string)), 1, 14),"
+    " 16, 10) as bigint)"
+)
+_KMV_CUST_DUCK = "('0x' || substr(md5(o_custkey::VARCHAR), 1, 14))::BIGINT"
+
+
+def agg_kmv_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV rollup ACROSS A PARTITION AXIS in pure SQL — the 100 TB
+    ingest topology made oracle-checkable: per order-month, the
+    k-minimum-hash sketch of distinct ordering customers (the artifact
+    a production pipeline computes per ingest day and STORES); per
+    year, the yearly estimate derived two ways — directly from the raw
+    rows, and by MERGING the stored month sketches (k smallest of the
+    union of per-month k-min sets).  The two are equal BY CONSTRUCTION
+    (any of the year's k smallest hashes is smaller than k others
+    globally, hence within its own month's k smallest — so month
+    sketches retain every global candidate), and the query exposes
+    that associativity as an oracle-checked ``assoc_ok`` column plus
+    both estimates value-for-value next to the exact distinct count.
+
+    Scale: the merge path reads |months|·k sketch rows, NOT the
+    corpus — at 100 TB yearly/overall distinct counts come from
+    stored per-partition sketches without re-scanning history (the
+    driver-state streaming dual is proof #10,
+    tests/test_streaming_kmv.py; THIS query is the same merge inside
+    one declarative plan).  Both k-min cuts are WindowGroupLimit
+    partial top-k; everything else is map-side-combining aggregation.
+    """
+    ords = load_table(spark, "orders", sf_dir).select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_custkey",
+    )
+    h = ords.select(
+        "yr", "mo", F.expr(_KMV_CUST_SPARK).alias("hv")
+    ).distinct()
+    wm = Window.partitionBy("yr", "mo").orderBy(F.asc("hv"))
+    month_k = (
+        h.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("yr", "mo", "hv")
+    )
+    wy = Window.partitionBy("yr").orderBy(F.asc("hv"))
+    est = F.expr(_KMV_EST_SPARK)
+    merged = (
+        month_k.select("yr", "hv")
+        .distinct()
+        .withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("yr")
+        .agg(F.max("hv").alias("vk"), F.count("*").alias("k_actual"))
+        .select("yr", est.alias("merged_est"))
+    )
+    direct = (
+        h.select("yr", "hv")
+        .distinct()
+        .withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("yr")
+        .agg(F.max("hv").alias("vk"), F.count("*").alias("k_actual"))
+        .select("yr", est.alias("direct_est"))
+    )
+    exact = ords.groupBy("yr").agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    )
+    return (
+        exact.join(direct, "yr")
+        .join(merged, "yr")
+        .select(
+            "yr",
+            "n_exact",
+            "direct_est",
+            "merged_est",
+            (F.col("direct_est") == F.col("merged_est")).alias("assoc_ok"),
+        )
+    )
+
+
 _CMS_D = 4  # sketch depth (independent salted hash rows)
 _CMS_W = 2048  # sketch width (cells per row) — state is d·w cells TOTAL
 _CMS_TOPK = 20
@@ -1978,6 +2059,7 @@ QUERIES = {
     "agg_count_distinct": agg_count_distinct,
     "agg_kmv_distinct": agg_kmv_distinct,
     "agg_kmv_set_ops": agg_kmv_set_ops,
+    "agg_kmv_monthly_rollup": agg_kmv_monthly_rollup,
     "freq_countmin_topk": freq_countmin_topk,
     "join_bloom_prefilter": join_bloom_prefilter,
     "quantile_bottomk_sample": quantile_bottomk_sample,
@@ -2755,6 +2837,60 @@ ORACLES["agg_kmv_set_ops"] = f"""
     SELECT fa AS flag_a, fb AS flag_b, union_exact, union_est,
            inter_exact, (n_both * union_est) // k_actual AS inter_est
     FROM est
+"""
+
+# KMV monthly rollup: both estimation paths are pure functions of the
+# deterministic hashes; the associativity equality replays exactly.
+ORACLES["agg_kmv_monthly_rollup"] = f"""
+    WITH ords AS (
+        SELECT year(o_orderdate)::BIGINT AS yr,
+               month(o_orderdate)::BIGINT AS mo, o_custkey
+        FROM orders
+    ),
+    h AS (
+        SELECT DISTINCT yr, mo, {_KMV_CUST_DUCK} AS hv FROM ords
+    ),
+    month_k AS (
+        SELECT yr, mo, hv FROM (
+            SELECT *, row_number() OVER (PARTITION BY yr, mo
+                          ORDER BY hv ASC) AS rk FROM h)
+        WHERE rk <= {_KMV_K}
+    ),
+    merged AS (
+        SELECT yr, max(hv)::BIGINT AS vk, count(*)::BIGINT AS k_actual
+        FROM (
+            SELECT yr, hv FROM (
+                SELECT yr, hv, row_number() OVER (PARTITION BY yr
+                              ORDER BY hv ASC) AS rk
+                FROM (SELECT DISTINCT yr, hv FROM month_k))
+            WHERE rk <= {_KMV_K})
+        GROUP BY yr
+    ),
+    direct AS (
+        SELECT yr, max(hv)::BIGINT AS vk, count(*)::BIGINT AS k_actual
+        FROM (
+            SELECT yr, hv FROM (
+                SELECT yr, hv, row_number() OVER (PARTITION BY yr
+                              ORDER BY hv ASC) AS rk
+                FROM (SELECT DISTINCT yr, hv FROM h))
+            WHERE rk <= {_KMV_K})
+        GROUP BY yr
+    ),
+    exact AS (
+        SELECT yr, count(DISTINCT o_custkey)::BIGINT AS n_exact
+        FROM ords GROUP BY yr
+    ),
+    ests AS (
+        SELECT e.yr, e.n_exact,
+               (SELECT {_KMV_EST_DUCK} FROM direct
+                WHERE direct.yr = e.yr) AS direct_est,
+               (SELECT {_KMV_EST_DUCK} FROM merged
+                WHERE merged.yr = e.yr) AS merged_est
+        FROM exact e
+    )
+    SELECT yr, n_exact, direct_est, merged_est,
+           direct_est = merged_est AS assoc_ok
+    FROM ests
 """
 
 # Count-min: cell counts are exact sums under deterministic salted

@@ -2270,3 +2270,23 @@ def test_quantile_bottomk_known_values_and_small_group_exactness(
     assert r["sample_median_q"] == r["exact_median_q"]
     assert r["sample_p90_q"] == r["exact_p90_q"]
     assert r["med_err_ppm"] == 0 and r["p90_err_ppm"] == 0
+
+
+def test_kmv_monthly_rollup_associativity_holds(spark, sf_dir):
+    """The rollup query's own invariant on real data: the
+    merged-from-month-sketches estimate equals the direct yearly
+    sketch for EVERY year (k-min union associativity), and both k-min
+    cuts compile to WindowGroupLimit partial top-k."""
+    from decisions_kinesis_spark.operators.relational import (
+        agg_kmv_monthly_rollup,
+    )
+
+    df = agg_kmv_monthly_rollup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["assoc_ok"] is True
+        assert r["direct_est"] == r["merged_est"]
+        assert r["n_exact"] > 0
