@@ -381,8 +381,9 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the score frame feeds BOTH the boundary aggregation and the
     # bucketing join — materialize it once (|docs|-row bounded
     # checkpoint, the LSH shingle-frame discipline) instead of running
-    # the full explode+join score pipeline twice (measured 2.8 → 1.6 s
-    # at sf0.1)
+    # the full explode+join score pipeline twice (measured 2.8 → 2.1 s
+    # at sf0.1, compounding with the doc_tf/cnt_tok materializations
+    # inside the score pipeline itself)
     sc = lm_interpolated_score(spark, sf_dir).localCheckpoint(eager=True)
     bounds = sc.agg(
         F.round(
