@@ -1797,6 +1797,242 @@ join_bloom_prefilter.__doc__ = join_bloom_prefilter.__doc__.format(
     W=_BLOOM_M // 64
 )
 
+_CMS_ROLL_TOPK = 5  # heavy hitters probed per year
+
+
+def freq_cms_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min rollup ACROSS A PARTITION AXIS in pure SQL — the
+    frequency-sketch sibling of ``agg_kmv_monthly_rollup``: per
+    order-month, the d×w cell table of customer-order counts (the
+    artifact a production pipeline computes per ingest day and
+    STORES); per year, the cell table derived two ways — directly from
+    the raw rows, and by MERGING the stored month sketches cellwise
+    (count-min cells merge BY ADDITION — Cormode & Muthukrishnan 2005
+    §4.1).  The two are equal cell-for-cell by associativity of sum,
+    and the query exposes that as an oracle-checked ``cells_ok``
+    column; the merged sketch then answers per-year heavy-hitter
+    point estimates (top-{K} customers by exact yearly count) with the
+    one-sided overcount contract (``overcount_ppm`` ≥ 0 always).
+
+    Scale: the merge path reads |months|·d·w bounded sketch rows, NOT
+    the corpus — at 100 TB yearly frequency estimates come from stored
+    per-partition sketches without re-scanning history (the
+    driver-state streaming dual is tests/test_streaming_cms.py; THIS
+    is the same cellwise-sum merge inside one declarative plan).  Both
+    cell builds are map-side-combining aggregations over a key space
+    bounded at d·w cells per group; the equality audit joins two
+    bounded cell tables; heavy-hitter selection is a per-year
+    WindowGroupLimit top-k; the probe join ships ≤ years·K·d rows
+    against the bounded merged cells.
+    """
+    ords = load_table(spark, "orders", sf_dir).select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_custkey",
+    )
+    depth_cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.expr(_cms_cell_spark(d, "dg")).alias("cell"),
+                )
+                for d in range(_CMS_D)
+            ]
+        )
+    ).alias("x")
+    exploded = (
+        ords.select(
+            "yr", "mo", F.expr(_cms_digest_spark("o_custkey")).alias("dg")
+        )
+        .select("yr", "mo", depth_cells)
+        .select("yr", "mo", "x.d", "x.cell")
+    )
+    monthly = exploded.groupBy("yr", "mo", "d", "cell").agg(
+        F.count("*").alias("cnt")
+    )
+    merged = monthly.groupBy("yr", "d", "cell").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    direct = exploded.groupBy("yr", "d", "cell").agg(
+        F.count("*").alias("cnt")
+    )
+    m = merged.alias("m")
+    dd = direct.alias("dd")
+    cells_ok = (
+        m.join(dd, ["yr", "d", "cell"], "full_outer")
+        .groupBy("yr")
+        .agg(
+            F.bool_and(
+                F.col("m.cnt").isNotNull()
+                & F.col("dd.cnt").isNotNull()
+                & (F.col("m.cnt") == F.col("dd.cnt"))
+            ).alias("cells_ok")
+        )
+    )
+    wy = Window.partitionBy("yr").orderBy(
+        F.desc("n_exact"), F.asc("o_custkey")
+    )
+    top = (
+        ords.groupBy("yr", "o_custkey")
+        .agg(F.count("*").alias("n_exact"))
+        .withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= _CMS_ROLL_TOPK)
+        .drop("rk")
+    )
+    probes = (
+        top.withColumn("dg", F.expr(_cms_digest_spark("o_custkey")))
+        .select("yr", "o_custkey", "n_exact", depth_cells)
+        .select("yr", "o_custkey", "n_exact", "x.d", "x.cell")
+    )
+    est = (
+        probes.join(F.broadcast(merged), ["yr", "d", "cell"])
+        .groupBy("yr", "o_custkey", "n_exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.join(F.broadcast(cells_ok), "yr").select(
+        "yr",
+        "o_custkey",
+        "n_exact",
+        "cms_estimate",
+        F.expr("((cms_estimate - n_exact) * 1000000) div n_exact").alias(
+            "overcount_ppm"
+        ),
+        "cells_ok",
+    )
+
+
+freq_cms_monthly_rollup.__doc__ = freq_cms_monthly_rollup.__doc__.format(
+    K=_CMS_ROLL_TOPK
+)
+
+
+def agg_bloom_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter rollup ACROSS A PARTITION AXIS in pure SQL — the
+    membership member of the rollup trio (KMV distinct / CMS frequency
+    / Bloom membership): per order-month, the set-bit positions of the
+    month's ordering customers (the stored per-ingest-day artifact);
+    per year, the bit set derived two ways — directly from the raw
+    rows, and by OR-MERGING the stored month filters (Bloom filters
+    over the same (m, k) merge by bitwise OR — set union distributes
+    over the hash).  Bit-for-bit equality is exposed as the
+    oracle-checked ``bits_ok`` column; the merged filter is then
+    probed with EVERY customer per year — true members all pass (no
+    false negatives by construction) and the false-positive cost over
+    true non-members is reported in ppm, per year.
+
+    Scale: the merge path reads |months|·(≤m) bounded bit rows, NOT
+    the corpus — at 100 TB "did this key appear in month X..Y" runs
+    against stored per-partition filters without re-scanning history
+    (the driver-state streaming dual is the OR-merge proof in
+    tests/test_streaming_bloom.py; THIS is the same merge inside one
+    declarative plan).  Bit builds are distinct-aggregations bounded
+    at m positions per group; the probe is an equi-join of the
+    customers' k position rows against the ≤ years·m merged bit rows
+    (broadcastable at any data scale — the filter is O(m) bits by
+    construction); membership = all k positions matched.
+    """
+    ords = load_table(spark, "orders", sf_dir).select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_custkey",
+    )
+    pos_arr = F.explode(
+        F.array(
+            *[F.expr(_bloom_pos_spark(i, "dg")) for i in range(_BLOOM_K)]
+        )
+    ).alias("p")
+    month_bits = (
+        ords.select(
+            "yr", "mo", F.expr(_cms_digest_spark("o_custkey")).alias("dg")
+        )
+        .select("yr", "mo", pos_arr)
+        .distinct()
+    )
+    merged = month_bits.select("yr", "p").distinct()
+    direct = (
+        ords.select(
+            "yr", F.expr(_cms_digest_spark("o_custkey")).alias("dg")
+        )
+        .select("yr", pos_arr)
+        .distinct()
+    )
+    m = merged.alias("m").withColumn("mhit", F.lit(1))
+    dd = direct.alias("dd").withColumn("dhit", F.lit(1))
+    bits = (
+        m.join(dd, ["yr", "p"], "full_outer")
+        .groupBy("yr")
+        .agg(
+            F.count(F.when(F.col("mhit").isNotNull(), 1)).alias(
+                "n_bits_set"
+            ),
+            F.bool_and(
+                F.col("mhit").isNotNull() & F.col("dhit").isNotNull()
+            ).alias("bits_ok"),
+        )
+    )
+    cust_pos = (
+        load_table(spark, "customer", sf_dir)
+        .select(
+            "c_custkey", F.expr(_cms_digest_spark("c_custkey")).alias("dg")
+        )
+        .select(
+            "c_custkey",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos_spark(i, "dg"))
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("i", "p"),
+        )
+    )
+    years = ords.select("yr").distinct()
+    passed = (
+        cust_pos.crossJoin(F.broadcast(years))
+        .join(merged.withColumn("hit", F.lit(1)), ["yr", "p"], "left")
+        .groupBy("yr", "c_custkey")
+        .agg(
+            F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_hit")
+        )
+        .groupBy("yr")
+        .agg(
+            F.count("*").alias("n_probed"),
+            F.count(F.when(F.col("n_hit") == _BLOOM_K, 1)).alias(
+                "n_pass_bloom"
+            ),
+        )
+    )
+    members = (
+        ords.select("yr", "o_custkey")
+        .distinct()
+        .groupBy("yr")
+        .agg(F.count("*").alias("n_true_member"))
+    )
+    return (
+        bits.join(passed, "yr")
+        .join(members, "yr")
+        .select(
+            "yr",
+            "n_bits_set",
+            "n_probed",
+            "n_pass_bloom",
+            "n_true_member",
+            (F.col("n_pass_bloom") - F.col("n_true_member")).alias(
+                "n_false_pos"
+            ),
+            F.expr(
+                "case when n_probed - n_true_member = 0"
+                " then cast(0 as bigint)"
+                " else ((n_pass_bloom - n_true_member) * 1000000)"
+                "      div (n_probed - n_true_member) end"
+            ).alias("fp_ppm"),
+            "bits_ok",
+        )
+    )
+
+
 _QS_K = 256  # sample size per group (bottom-k by hash rank)
 #: x10^4 money quantization (the analytics_ext._MONEY_X10000 spelling,
 #: here for l_extendedprice) — selections and error ppm stay exact
@@ -2061,7 +2297,9 @@ QUERIES = {
     "agg_kmv_set_ops": agg_kmv_set_ops,
     "agg_kmv_monthly_rollup": agg_kmv_monthly_rollup,
     "freq_countmin_topk": freq_countmin_topk,
+    "freq_cms_monthly_rollup": freq_cms_monthly_rollup,
     "join_bloom_prefilter": join_bloom_prefilter,
+    "agg_bloom_monthly_rollup": agg_bloom_monthly_rollup,
     "quantile_bottomk_sample": quantile_bottomk_sample,
     "fuzzy_match_suppliers": fuzzy_match_suppliers,
     "cdc_upsert_orders": cdc_upsert_orders,
@@ -2977,6 +3215,151 @@ ORACLES["join_bloom_prefilter"] = f"""
                      // (count(*) - count(*) FILTER (WHERE is_true))
            END AS fp_ppm
     FROM fact GROUP BY l_returnflag
+"""
+
+# Count-min rollup: month cells merge to year cells by addition —
+# exact equality under deterministic hashes, fully replayable.
+ORACLES["freq_cms_monthly_rollup"] = f"""
+    WITH ords AS (
+        SELECT year(o_orderdate)::BIGINT AS yr,
+               month(o_orderdate)::BIGINT AS mo, o_custkey
+        FROM orders
+    ),
+    exploded AS (
+        {" UNION ALL ".join(
+            f"SELECT yr, mo, {d} AS d, {_cms_cell_duck(d, 'dg')} AS cell"
+            " FROM (SELECT yr, mo,"
+            f" {_cms_digest_duck('o_custkey')} AS dg FROM ords)"
+            for d in range(_CMS_D)
+        )}
+    ),
+    monthly AS (
+        SELECT yr, mo, d, cell, count(*)::BIGINT AS cnt
+        FROM exploded GROUP BY yr, mo, d, cell
+    ),
+    merged AS (
+        SELECT yr, d, cell, sum(cnt)::BIGINT AS cnt
+        FROM monthly GROUP BY yr, d, cell
+    ),
+    direct AS (
+        SELECT yr, d, cell, count(*)::BIGINT AS cnt
+        FROM exploded GROUP BY yr, d, cell
+    ),
+    cellsok AS (
+        SELECT coalesce(m.yr, dd.yr) AS yr,
+               bool_and(m.cnt IS NOT NULL AND dd.cnt IS NOT NULL
+                        AND m.cnt = dd.cnt) AS cells_ok
+        FROM merged m FULL OUTER JOIN direct dd
+          ON m.yr = dd.yr AND m.d = dd.d AND m.cell = dd.cell
+        GROUP BY coalesce(m.yr, dd.yr)
+    ),
+    top AS (
+        SELECT yr, o_custkey, n_exact FROM (
+            SELECT yr, o_custkey, count(*)::BIGINT AS n_exact,
+                   row_number() OVER (PARTITION BY yr
+                       ORDER BY count(*) DESC, o_custkey ASC) AS rk
+            FROM ords GROUP BY yr, o_custkey)
+        WHERE rk <= {_CMS_ROLL_TOPK}
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT yr, o_custkey, n_exact, {d} AS d,"
+            f" {_cms_cell_duck(d, 'dg')} AS cell"
+            " FROM (SELECT yr, o_custkey, n_exact,"
+            f" {_cms_digest_duck('o_custkey')} AS dg FROM top)"
+            for d in range(_CMS_D)
+        )}
+    ),
+    est AS (
+        SELECT p.yr, p.o_custkey, p.n_exact,
+               min(c.cnt)::BIGINT AS cms_estimate
+        FROM probes p JOIN merged c
+          ON c.yr = p.yr AND c.d = p.d AND c.cell = p.cell
+        GROUP BY p.yr, p.o_custkey, p.n_exact
+    )
+    SELECT e.yr, e.o_custkey, e.n_exact, e.cms_estimate,
+           ((e.cms_estimate - e.n_exact) * 1000000) // e.n_exact
+               AS overcount_ppm,
+           k.cells_ok
+    FROM est e JOIN cellsok k ON k.yr = e.yr
+"""
+
+# Bloom rollup: month bit sets OR-merge to the year bit set (set
+# union distributes over the hash) — bit-exact, fully replayable.
+ORACLES["agg_bloom_monthly_rollup"] = f"""
+    WITH ords AS (
+        SELECT year(o_orderdate)::BIGINT AS yr,
+               month(o_orderdate)::BIGINT AS mo, o_custkey
+        FROM orders
+    ),
+    month_bits AS (
+        SELECT DISTINCT yr, mo, p FROM (
+            {" UNION ALL ".join(
+                f"SELECT yr, mo, {_bloom_pos_duck(i, 'dg')} AS p"
+                " FROM (SELECT yr, mo,"
+                f" {_cms_digest_duck('o_custkey')} AS dg FROM ords)"
+                for i in range(_BLOOM_K)
+            )}
+        )
+    ),
+    merged AS (
+        SELECT DISTINCT yr, p FROM month_bits
+    ),
+    direct AS (
+        SELECT DISTINCT yr, p FROM (
+            {" UNION ALL ".join(
+                f"SELECT yr, {_bloom_pos_duck(i, 'dg')} AS p"
+                " FROM (SELECT yr,"
+                f" {_cms_digest_duck('o_custkey')} AS dg FROM ords)"
+                for i in range(_BLOOM_K)
+            )}
+        )
+    ),
+    bits AS (
+        SELECT coalesce(m.yr, dd.yr) AS yr,
+               count(*) FILTER (WHERE m.p IS NOT NULL)::BIGINT
+                   AS n_bits_set,
+               bool_and(m.p IS NOT NULL AND dd.p IS NOT NULL) AS bits_ok
+        FROM merged m FULL OUTER JOIN direct dd
+          ON m.yr = dd.yr AND m.p = dd.p
+        GROUP BY coalesce(m.yr, dd.yr)
+    ),
+    cust_pos AS (
+        {" UNION ALL ".join(
+            f"SELECT c_custkey, {i} AS i, {_bloom_pos_duck(i, 'dg')} AS p"
+            " FROM (SELECT c_custkey,"
+            f" {_cms_digest_duck('c_custkey')} AS dg FROM customer)"
+            for i in range(_BLOOM_K)
+        )}
+    ),
+    probe AS (
+        SELECT y.yr, cp.c_custkey,
+               count(*) FILTER (WHERE mg.p IS NOT NULL)::BIGINT AS n_hit
+        FROM cust_pos cp
+        CROSS JOIN (SELECT DISTINCT yr FROM ords) y
+        LEFT JOIN merged mg ON mg.yr = y.yr AND mg.p = cp.p
+        GROUP BY y.yr, cp.c_custkey
+    ),
+    passed AS (
+        SELECT yr, count(*)::BIGINT AS n_probed,
+               count(*) FILTER (WHERE n_hit = {_BLOOM_K})::BIGINT
+                   AS n_pass_bloom
+        FROM probe GROUP BY yr
+    ),
+    members AS (
+        SELECT yr, count(DISTINCT o_custkey)::BIGINT AS n_true_member
+        FROM ords GROUP BY yr
+    )
+    SELECT b.yr, b.n_bits_set, p.n_probed, p.n_pass_bloom,
+           m.n_true_member,
+           (p.n_pass_bloom - m.n_true_member)::BIGINT AS n_false_pos,
+           CASE WHEN p.n_probed - m.n_true_member = 0 THEN 0::BIGINT
+                ELSE ((p.n_pass_bloom - m.n_true_member) * 1000000)
+                     // (p.n_probed - m.n_true_member)
+           END AS fp_ppm,
+           b.bits_ok
+    FROM bits b JOIN passed p ON p.yr = b.yr
+    JOIN members m ON m.yr = b.yr
 """
 
 # Bottom-k quantile sample: selection + integer arithmetic over

@@ -2290,3 +2290,48 @@ def test_kmv_monthly_rollup_associativity_holds(spark, sf_dir):
         assert r["assoc_ok"] is True
         assert r["direct_est"] == r["merged_est"]
         assert r["n_exact"] > 0
+
+
+def test_cms_monthly_rollup_merge_is_exact(spark, sf_dir):
+    """Count-min rollup invariants on real data: the cellwise-sum
+    merge of month sketches equals the direct yearly cell table for
+    EVERY year (``cells_ok``), estimates keep the one-sided overcount
+    contract, and heavy-hitter selection compiles to a
+    WindowGroupLimit partial top-k."""
+    from decisions_kinesis_spark.operators.relational import (
+        _CMS_ROLL_TOPK,
+        freq_cms_monthly_rollup,
+    )
+
+    df = freq_cms_monthly_rollup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = df.collect()
+    assert rows
+    per_yr = {}
+    for r in rows:
+        assert r["cells_ok"] is True
+        assert r["cms_estimate"] >= r["n_exact"] > 0
+        assert r["overcount_ppm"] >= 0
+        per_yr[r["yr"]] = per_yr.get(r["yr"], 0) + 1
+    assert all(n <= _CMS_ROLL_TOPK for n in per_yr.values())
+
+
+def test_bloom_monthly_rollup_or_merge_is_exact(spark, sf_dir):
+    """Bloom rollup invariants on real data: OR-merged month bit sets
+    equal the direct yearly bit set for EVERY year (``bits_ok``), no
+    false negatives (every true member passes the merged filter), and
+    the bit count never exceeds the filter size."""
+    from decisions_kinesis_spark.operators.relational import (
+        _BLOOM_M,
+        agg_bloom_monthly_rollup,
+    )
+
+    rows = agg_bloom_monthly_rollup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["bits_ok"] is True
+        assert 0 < r["n_bits_set"] <= _BLOOM_M
+        assert r["n_pass_bloom"] >= r["n_true_member"] > 0
+        assert r["n_false_pos"] >= 0
+        assert r["n_probed"] >= r["n_pass_bloom"]
