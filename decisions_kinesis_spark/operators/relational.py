@@ -655,6 +655,48 @@ _SQL_CTE_CORRELATED = """
 """
 
 
+def sql_recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: ``WITH RECURSIVE`` (new in Spark 4.x) — transitive
+    ancestor closure over the implicit decimal-digit part hierarchy
+    (parent(p) = p div 10, a forest with roots 1..9), then a subtree
+    rollup: for every ancestor below 100, the count and total retail
+    value (cents-exact) of its PROPER descendants and the deepest
+    relative depth.  Exercises genuine iterative fixpoint in pure SQL
+    — the closure is not expressible with joins of any fixed arity,
+    since depth grows with the key range.
+
+    Scale: recursion depth is O(log10 max_partkey) — 7 narrow
+    iterations at a 10M-part catalog, each a projection + filter over
+    the frontier (no join in the recursive step); every part emits
+    ≤ depth ancestor rows, so the closure is a bounded ~depth× row
+    expansion feeding one map-side-combining aggregation.  Spark
+    executes the CTE as an iterative UnionLoop over narrow frames;
+    the 100 TB posture is identical to any bounded explode.
+    """
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
+    return spark.sql(_SQL_RECURSIVE_SUBTREE)
+
+
+#: cents-exact retail price (money-quantization discipline)
+_P_CENTS_SPARK = "cast(floor(p_retailprice * 100 + 0.5) as bigint)"
+_P_CENTS_DUCK = "floor(p_retailprice * 100 + 0.5)::BIGINT"
+
+_SQL_RECURSIVE_SUBTREE = f"""
+    WITH RECURSIVE anc(partkey, cents, ancestor, depth) AS (
+        SELECT p_partkey, {_P_CENTS_SPARK}, p_partkey div 10, 1
+        FROM part WHERE p_partkey >= 10
+        UNION ALL
+        SELECT partkey, cents, ancestor div 10, depth + 1
+        FROM anc WHERE ancestor >= 10
+    )
+    SELECT ancestor, count(*) AS n_descendants,
+           sum(cents) AS subtree_cents,
+           max(depth) AS max_depth
+    FROM anc WHERE ancestor < 100
+    GROUP BY ancestor
+"""
+
+
 def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalar library #2: arithmetic, boundaries, parts."""
     orders = load_table(spark, "orders", sf_dir)
@@ -2350,6 +2392,7 @@ QUERIES = {
     "window_rows_frame_stats": window_rows_frame_stats,
     "agg_array_collect": agg_array_collect,
     "sql_cte_correlated": sql_cte_correlated,
+    "sql_recursive_subtree_rollup": sql_recursive_subtree_rollup,
     "scalar_date_suite": scalar_date_suite,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "json_typed_extraction": json_typed_extraction,
@@ -2907,6 +2950,22 @@ ORACLES = {
         GROUP BY l_returnflag
     """,
     "sql_cte_correlated": _SQL_CTE_CORRELATED,
+    # WITH RECURSIVE is portable; only integer division differs
+    # (Spark `div`, DuckDB `//`) — plus BIGINT output pinning.
+    "sql_recursive_subtree_rollup": f"""
+        WITH RECURSIVE anc(partkey, cents, ancestor, depth) AS (
+            SELECT p_partkey, {_P_CENTS_DUCK}, p_partkey // 10, 1
+            FROM part WHERE p_partkey >= 10
+            UNION ALL
+            SELECT partkey, cents, ancestor // 10, depth + 1
+            FROM anc WHERE ancestor >= 10
+        )
+        SELECT ancestor, count(*)::BIGINT AS n_descendants,
+               sum(cents)::BIGINT AS subtree_cents,
+               max(depth)::BIGINT AS max_depth
+        FROM anc WHERE ancestor < 100
+        GROUP BY ancestor
+    """,
     "scalar_date_suite": """
         SELECT o_orderkey,
                o_orderdate::DATE + 30 AS plus_30d,

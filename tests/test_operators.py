@@ -2292,7 +2292,36 @@ def test_kmv_monthly_rollup_associativity_holds(spark, sf_dir):
         assert r["n_exact"] > 0
 
 
-def test_cms_monthly_rollup_merge_is_exact(spark, sf_dir):
+def test_recursive_subtree_rollup_closure(spark, sf_dir):
+    """``WITH RECURSIVE`` ancestor closure invariants on real data:
+    the plan contains Spark's iterative UnionLoop node; every part
+    ≥ 10 is counted exactly once under each of its root's rows (so the
+    per-root descendant counts partition the non-root parts); depth is
+    bounded by the decimal key length."""
+    import math
+
+    from decisions_kinesis_spark.operators.relational import (
+        sql_recursive_subtree_rollup,
+    )
+
+    df = sql_recursive_subtree_rollup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan
+    rows = {r["ancestor"]: r for r in df.collect()}
+    assert rows and all(1 <= a < 100 for a in rows)
+    parts = (
+        load_table(spark, "part", sf_dir)
+        .selectExpr("p_partkey")
+        .collect()
+    )
+    keys = [r["p_partkey"] for r in parts]
+    n_nonroot = sum(1 for k in keys if k >= 10)
+    root_total = sum(
+        r["n_descendants"] for a, r in rows.items() if a < 10
+    )
+    assert root_total == n_nonroot
+    max_digits = len(str(max(keys)))
+    assert all(r["max_depth"] <= max_digits - 1 for r in rows.values())
     """Count-min rollup invariants on real data: the cellwise-sum
     merge of month sketches equals the direct yearly cell table for
     EVERY year (``cells_ok``), estimates keep the one-sided overcount
