@@ -2205,6 +2205,79 @@ def quantile_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WPS_D = 100  # inclusion-probability denominator: p_i = w_i / D
+#: per-row inclusion hash — the 56-bit md5-prefix discipline with a
+#: DISTINCT salt (':wps') so selection is independent of the
+#: quantile-sample rank hash and the shuffle/shard hash.
+_WPS_HV_SPARK = (
+    "cast(conv(substring(md5(concat(cast(l_orderkey as string), ':',"
+    " cast(l_linenumber as string), ':wps')), 1, 14), 16, 10) as bigint)"
+)
+_WPS_HV_DUCK = (
+    "('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||"
+    " l_linenumber::VARCHAR || ':wps'), 1, 14))::BIGINT"
+)
+
+
+def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Poisson (Bernoulli-per-row) sampling with a
+    Horvitz–Thompson total estimator — the size-biased sampling
+    primitive behind importance-weighted corpus subsampling and
+    sampling-based aggregation: row i enters the sample independently
+    with probability p_i = w_i/{D} proportional to its weight
+    (w = l_quantity, integer 1..50), decided by a deterministic salted
+    56-bit md5 hash mod {D} < w — reproducible across runs, engines,
+    and partitionings, no RNG.  Per returnflag: population size and
+    exact ×10⁴-quantized price total next to the sample size and
+    the floor-HT estimate Σ (q_i · {D}) div w_i over sampled rows
+    (floor division keeps the estimator integer-exact and hash-stable
+    on both engines; the ≤1-unit-per-row floor bias is absorbed by the
+    reported signed ``err_ppm``).  High-weight rows are selected
+    preferentially yet unbiasedly reweighted — the estimator is the
+    checkable contract.
+
+    Scale: inclusion is a scan-side hash compare (zero shuffle, no
+    sample materialization); both totals come from ONE
+    map-side-combining aggregation pass.  At 100 TB this is the
+    query-the-sample-estimate-the-population path: the sample is
+    |rows|·E[p] in expectation, and the estimator's variance falls out
+    of per-group counts without a second scan.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.expr("cast(l_quantity as bigint)").alias("w"),
+        F.expr(_QS_PQ_SPARK).alias("qv"),
+        (F.expr(_WPS_HV_SPARK) % _WPS_D).alias("hv"),
+    )
+    rows = li.withColumn("sampled", F.col("hv") < F.col("w"))
+    return rows.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("sampled"), 1)).alias("n_sampled"),
+        F.sum("qv").alias("exact_q"),
+        F.sum(
+            F.when(
+                F.col("sampled"),
+                F.expr(f"(qv * {_WPS_D}) div w"),
+            ).otherwise(F.lit(0))
+        ).alias("ht_q"),
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        "n_sampled",
+        "exact_q",
+        "ht_q",
+        F.expr(
+            "case when exact_q = 0 then cast(0 as bigint)"
+            " else ((ht_q - exact_q) * 1000000) div exact_q end"
+        ).alias("err_ppm"),
+    )
+
+
+sample_weighted_poisson.__doc__ = sample_weighted_poisson.__doc__.format(
+    D=_WPS_D
+)
+
+
 def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution / record linkage: resolve DIRTY records
     (supplier names with a deterministic one-character deletion — the
@@ -2343,6 +2416,7 @@ QUERIES = {
     "join_bloom_prefilter": join_bloom_prefilter,
     "agg_bloom_monthly_rollup": agg_bloom_monthly_rollup,
     "quantile_bottomk_sample": quantile_bottomk_sample,
+    "sample_weighted_poisson": sample_weighted_poisson,
     "fuzzy_match_suppliers": fuzzy_match_suppliers,
     "cdc_upsert_orders": cdc_upsert_orders,
     "agg_pivot_event_counts": agg_pivot_event_counts,
@@ -3274,6 +3348,30 @@ ORACLES["join_bloom_prefilter"] = f"""
                      // (count(*) - count(*) FILTER (WHERE is_true))
            END AS fp_ppm
     FROM fact GROUP BY l_returnflag
+"""
+
+# Weighted Poisson sample + floor-HT estimator: inclusion and the
+# estimator are pure integer arithmetic under the deterministic
+# salted hash — fully replayable.
+ORACLES["sample_weighted_poisson"] = f"""
+    WITH rows_ AS (
+        SELECT l_returnflag, l_quantity::BIGINT AS w,
+               {_QS_PQ_DUCK} AS qv,
+               ({_WPS_HV_DUCK} % {_WPS_D}) < l_quantity::BIGINT AS sampled
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_rows,
+           count(*) FILTER (WHERE sampled)::BIGINT AS n_sampled,
+           sum(qv)::BIGINT AS exact_q,
+           coalesce(sum((qv * {_WPS_D}) // w) FILTER (WHERE sampled),
+                    0)::BIGINT AS ht_q,
+           (CASE WHEN sum(qv) = 0 THEN 0
+                 ELSE ((coalesce(sum((qv * {_WPS_D}) // w)
+                                 FILTER (WHERE sampled), 0)
+                        - sum(qv)) * 1000000) // sum(qv)
+            END)::BIGINT AS err_ppm
+    FROM rows_ GROUP BY l_returnflag
 """
 
 # Count-min rollup: month cells merge to year cells by addition —

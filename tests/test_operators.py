@@ -2292,6 +2292,26 @@ def test_kmv_monthly_rollup_associativity_holds(spark, sf_dir):
         assert r["n_exact"] > 0
 
 
+def test_weighted_poisson_ht_estimator(spark, sf_dir):
+    """Weighted Poisson sampling invariants on real data: the sampled
+    fraction tracks the mean inclusion probability (E[p] ≈ avg(w)/D ≈
+    25.5% for uniform 1..50 quantities) and the Horvitz–Thompson
+    estimate lands within 10% of the exact total for every returnflag
+    group — the unbiasedness contract at realistic sample sizes."""
+    from decisions_kinesis_spark.operators.relational import (
+        sample_weighted_poisson,
+    )
+
+    rows = sample_weighted_poisson(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_sampled"] < r["n_rows"]
+        frac = r["n_sampled"] / r["n_rows"]
+        assert 0.10 < frac < 0.45
+        assert r["exact_q"] > 0 and r["ht_q"] > 0
+        assert abs(r["err_ppm"]) < 100_000
+
+
 def test_recursive_subtree_rollup_closure(spark, sf_dir):
     """``WITH RECURSIVE`` ancestor closure invariants on real data:
     the plan contains Spark's iterative UnionLoop node; every part
