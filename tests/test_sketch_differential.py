@@ -271,3 +271,92 @@ def test_bloom_prefilter_matches_python_reference(spark, tmp_path):
         for r in join_bloom_prefilter(spark, str(d)).collect()
     }
     assert got == want
+
+
+def _wps_hv(orderkey: int, linenumber: int) -> int:
+    dg = hashlib.md5(f"{orderkey}:{linenumber}:wps".encode()).hexdigest()
+    return int(dg[:14], 16)
+
+
+def _py_weighted_poisson_reference(rows):
+    """rows: [(flag, orderkey, linenumber, qty, price)] → per-flag
+    (n_rows, n_sampled, exact_q, ht_q, err_ppm) under the same salted
+    hash, inclusion rule, and floor-HT arithmetic."""
+    out: dict[str, list[int]] = {}
+    for flag, ok, ln, qty, price in rows:
+        n, s, ex, ht = out.setdefault(flag, [0, 0, 0, 0])
+        qv = _quantize(price)
+        sampled = (_wps_hv(ok, ln) % 100) < qty
+        out[flag] = [
+            n + 1,
+            s + (1 if sampled else 0),
+            ex + qv,
+            ht + ((qv * 100) // qty if sampled else 0),
+        ]
+    return {
+        flag: (
+            n,
+            s,
+            ex,
+            ht,
+            0 if ex == 0 else tdiv((ht - ex) * 1_000_000, ex),
+        )
+        for flag, (n, s, ex, ht) in out.items()
+    }
+
+
+def _write_lineitem_qty(tmpdir, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array([r[0] for r in rows]),
+                "l_orderkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[2] for r in rows], pa.int32()),
+                "l_quantity": pa.array(
+                    [float(r[3]) for r in rows], pa.float64()
+                ),
+                "l_extendedprice": pa.array(
+                    [r[4] for r in rows], pa.float64()
+                ),
+            }
+        ),
+        str(tmpdir / "lineitem.parquet"),
+    )
+    return str(tmpdir)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.sampled_from("AB"),
+            st.integers(min_value=1, max_value=50),
+            _prices,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_poisson_matches_python_reference(
+    spark, tmp_path_factory, items
+):
+    from decisions_kinesis_spark.operators.relational import (
+        sample_weighted_poisson,
+    )
+
+    rows = [
+        (flag, i + 1, (i % 7) + 1, qty, price)
+        for i, (flag, qty, price) in enumerate(items)
+    ]
+    d = _write_lineitem_qty(tmp_path_factory.mktemp("wfix"), rows)
+    got = {
+        r["l_returnflag"]: (
+            r["n_rows"],
+            r["n_sampled"],
+            r["exact_q"],
+            r["ht_q"],
+            r["err_ppm"],
+        )
+        for r in sample_weighted_poisson(spark, d).collect()
+    }
+    assert got == _py_weighted_poisson_reference(rows)
