@@ -1345,8 +1345,55 @@ def events_chi2_ab_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted (time-weighted) averaging over IRREGULARLY
+    sampled event streams — the TWAP/`time_weight` aggregate of
+    financial and hypertable engines: within each user's time-ordered
+    stream, an event's value HOLDS until the user's next event; each
+    holding interval is attributed to the type of the event that
+    opened it, and per event type the report compares the
+    duration-weighted mean against the naive per-interval mean (the
+    two diverge exactly when values correlate with holding time —
+    the sampling-bias the weighted form corrects).  All arithmetic is
+    engine-exact: µs durations as bigint, values ×10⁴-quantized,
+    weighted sums in decimal(38,0), truncating division on both
+    engines.
+
+    Scale: ONE shuffle on user_id for the lead() window (linear pass
+    per user partition — the sessionize topology), then one
+    map-side-combining aggregation on the |types|-key axis.  No
+    windows without partitions, no data-proportional state.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint)").alias("vq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "event_type",
+        "vq",
+        (F.lead("us").over(w) - F.col("us")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dur").alias("hold_us"),
+        F.expr(
+            "cast(case when sum(dur) = 0 then 0 else"
+            " sum(cast(vq as decimal(38,0)) * dur) div sum(dur)"
+            " end as bigint)"
+        ).alias("twap_x10000"),
+        F.expr(
+            "cast(sum(cast(vq as decimal(38,0))) div count(*) as bigint)"
+        ).alias("mean_x10000"),
+    )
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
+    "events_twap_by_type": events_twap_by_type,
     "orders_pareto_abc": orders_pareto_abc,
     "events_ewma_hourly": events_ewma_hourly,
     "events_holt_linear": events_holt_linear,
@@ -1813,6 +1860,30 @@ ORACLES = {
 
 
 _CHI2_DUCK_H = _DUCK_BIGHASH.format(e="user_id::VARCHAR")
+# TWAP: µs durations, ×10⁴ value quantization, HUGEINT weighted sums,
+# truncating division — fully integer-exact on both engines.
+ORACLES["events_twap_by_type"] = """
+    WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+               floor(value * 10000 + 0.5)::BIGINT AS vq
+        FROM events
+    ),
+    seq AS (
+        SELECT event_type, vq,
+               lead(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) - us AS dur
+        FROM e
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_intervals,
+           sum(dur)::BIGINT AS hold_us,
+           (CASE WHEN sum(dur) = 0 THEN 0
+                 ELSE sum(vq::HUGEINT * dur) // sum(dur)
+            END)::BIGINT AS twap_x10000,
+           (sum(vq) // count(*))::BIGINT AS mean_x10000
+    FROM seq WHERE dur IS NOT NULL GROUP BY event_type
+"""
+
 ORACLES["events_chi2_ab_types"] = f"""
     WITH ev AS (
         SELECT CASE WHEN {_CHI2_DUCK_H} % 2 = 0 THEN 'A' ELSE 'B' END

@@ -2292,6 +2292,71 @@ def test_kmv_monthly_rollup_associativity_holds(spark, sf_dir):
         assert r["n_exact"] > 0
 
 
+def test_twap_hand_computed_fixture_both_engines(spark, tmp_path):
+    """Hand-computed duration-weighted means on a tiny stream, checked
+    on BOTH engine sides: user 1 holds A for 10 s then B for 30 s;
+    user 2 holds A for 5 s — type A's TWAP is (10000·10e6 + 50000·5e6)
+    div 15e6 = 23333 (truncated) while its naive mean is 30000: the
+    divergence the weighted form exists to correct."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        ORACLES,
+        events_twap_by_type,
+    )
+
+    t0 = dt.datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        (1, 1, "A", t0, 1.0),
+        (2, 1, "B", t0 + dt.timedelta(seconds=10), 3.0),
+        (3, 1, "A", t0 + dt.timedelta(seconds=40), 2.0),
+        (4, 2, "A", t0, 5.0),
+        (5, 2, "A", t0 + dt.timedelta(seconds=5), 7.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    want = {
+        "A": (2, 15_000_000, 23333, 30000),
+        "B": (1, 30_000_000, 30000, 30000),
+    }
+    got = {
+        r["event_type"]: (
+            r["n_intervals"],
+            r["hold_us"],
+            r["twap_x10000"],
+            r["mean_x10000"],
+        )
+        for r in events_twap_by_type(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet')"
+    )
+    duck = {
+        t: (n, h, tw, mn)
+        for t, n, h, tw, mn in con.execute(
+            ORACLES["events_twap_by_type"]
+        ).fetchall()
+    }
+    assert duck == want
+
+
 def test_weighted_poisson_ht_estimator(spark, sf_dir):
     """Weighted Poisson sampling invariants on real data: the sampled
     fraction tracks the mean inclusion probability (E[p] ≈ avg(w)/D ≈
