@@ -2267,8 +2267,12 @@ def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_q",
         "ht_q",
         F.expr(
+            # decimal(38,0) difference: (ht-exact)·1e6 overflows bigint
+            # once group totals pass ~9.2e12 quantized units (hit at
+            # the 20× replica smoke; certain at production scale)
             "case when exact_q = 0 then cast(0 as bigint)"
-            " else ((ht_q - exact_q) * 1000000) div exact_q end"
+            " else cast((cast(ht_q as decimal(38,0)) - exact_q)"
+            " * 1000000 div exact_q as bigint) end"
         ).alias("err_ppm"),
     )
 
