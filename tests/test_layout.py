@@ -31,6 +31,41 @@ def test_partitioned_write_prunes_scan(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_dynamic_partition_pruning_on_star_join(spark, sf_dir):
+    """DYNAMIC partition pruning — the star-schema runtime complement
+    to static PartitionFilters: the fact side is partitioned on the
+    join key, the dim side carries the selective filter, and Spark
+    injects a runtime ``dynamicpruning`` subquery so only the
+    partitions matching the FILTERED dim keys are read.  At 100 TB
+    this is the difference between scanning the whole fact table and
+    scanning the two partitions a dim predicate selects — without the
+    fact query mentioning the predicate at all."""
+    orders = load_table(spark, "orders", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dks-dpp-")
+    try:
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            f"{tmp}/ord"
+        )
+        fact = spark.read.parquet(f"{tmp}/ord")
+        dim = (
+            orders.select("o_orderpriority")
+            .distinct()
+            .withColumn("tier", F.substring("o_orderpriority", 1, 1))
+            .filter(F.col("tier") == "1")
+        )
+        joined = fact.join(dim, "o_orderpriority")
+        optimized = (
+            joined._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "dynamicpruning" in optimized
+        want = orders.filter(
+            F.substring("o_orderpriority", 1, 1) == "1"
+        ).count()
+        assert joined.count() == want > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Bucketing both fact tables on the join key co-locates them:
     the join plan contains NO Exchange — the shuffle happened once at
