@@ -66,6 +66,52 @@ def test_dynamic_partition_pruning_on_star_join(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_runtime_bloom_filter_injection_on_shuffle_join(spark, sf_dir):
+    """Spark's OWN runtime Bloom-filter injection — the engine-native
+    counterpart to the explicit ``join_bloom_prefilter`` query: on a
+    shuffle join with a selective creation (dim) side, the optimizer
+    inserts ``might_contain(scalar-subquery, xxhash64(key))`` on the
+    fact scan so non-joining rows drop BEFORE the exchange.  The
+    thresholds are production-scale (10 GB application side), so the
+    test pins them down to engage the rewrite at test data sizes; at
+    100 TB the defaults fire on their own.  Results must equal the
+    uninjected join row-for-row."""
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") > 5000
+    )
+    baseline = li.join(sup, li.l_suppkey == sup.s_suppkey).count()
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        joined = li.join(sup, li.l_suppkey == sup.s_suppkey)
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized
+        assert joined.count() == baseline > 0
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Bucketing both fact tables on the join key co-locates them:
     the join plan contains NO Exchange — the shuffle happened once at
