@@ -162,3 +162,63 @@ def test_salted_join_equals_direct(spark, sf_dir):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_aqe_skew_join_split_equals_direct(spark):
+    """AQE's OWN skew-join rewrite — the engine-native complement to
+    the explicit salting helpers above: with a 90%-one-key build side,
+    the runtime re-plan splits the oversized partition
+    (``SortMergeJoin(skew=true)`` + ``AQEShuffleRead coalesced and
+    skewed`` in the final adaptive plan) instead of letting one task
+    carry 90% of the shuffle.  Thresholds are production-scale, so the
+    test pins them down to engage at test sizes; at 100 TB the
+    defaults fire on their own.  Row counts must equal the unsplit
+    join."""
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    big = (
+        spark.range(0, 200_000)
+        .withColumn(
+            "k",
+            F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(
+                F.col("id") % 1000
+            ),
+        )
+        .withColumn("pad", F.expr("repeat('x', 40)"))
+    )
+    dim = (
+        spark.range(0, 1000)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 2)
+    )
+    baseline = big.join(dim, "k").count()
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"
+        )
+        joined = big.join(dim, "k")
+        rows = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan and "isFinalPlan=true" in plan
+        assert rows == baseline == 200_000
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
