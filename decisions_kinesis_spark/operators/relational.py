@@ -697,6 +697,53 @@ _SQL_RECURSIVE_SUBTREE = f"""
 """
 
 
+def sql_null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic audit: ``IN`` / ``NOT IN`` / ``EXISTS`` /
+    ``NOT EXISTS`` against a key set that CONTAINS a NULL (the
+    BUILDING-segment custkeys plus one explicit NULL row) — the
+    classic ANSI trap where ``NOT IN (… NULL …)`` evaluates UNKNOWN
+    for every non-matching probe row and returns ZERO rows, while the
+    equivalent-looking ``NOT EXISTS`` returns the true anti-join count
+    (orders from the other segments).  Both engines implement the
+    standard, so all five counts — including the trap's 0 and the
+    IN/EXISTS agreement — are oracle-exact; the query is the
+    regression guard that this engine keeps ANSI semantics rather
+    than the intuitive-but-wrong variant.
+
+    Scale: all four predicates compile to broadcast/shuffled semi- or
+    anti-joins on o_custkey (Spark rewrites IN/EXISTS subqueries to
+    joins; the NOT IN null-check becomes a null-aware anti-join) —
+    one fact-side pass per predicate, no correlated per-row execution.
+    """
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+        "customer"
+    )
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_SQL_NULL_SEMANTICS)
+
+
+_SQL_NULL_SEMANTICS = """
+    WITH keys AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT)
+    )
+    SELECT
+        (SELECT count(*) FROM orders) AS n_orders,
+        (SELECT count(*) FROM orders
+         WHERE o_custkey IN (SELECT k FROM keys)) AS n_in,
+        (SELECT count(*) FROM orders
+         WHERE o_custkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+        (SELECT count(*) FROM orders
+         WHERE EXISTS (SELECT 1 FROM keys WHERE k = o_custkey))
+            AS n_exists,
+        (SELECT count(*) FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = o_custkey))
+            AS n_not_exists
+"""
+
+
 def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time scalar library #2: arithmetic, boundaries, parts."""
     orders = load_table(spark, "orders", sf_dir)
@@ -2471,6 +2518,7 @@ QUERIES = {
     "agg_array_collect": agg_array_collect,
     "sql_cte_correlated": sql_cte_correlated,
     "sql_recursive_subtree_rollup": sql_recursive_subtree_rollup,
+    "sql_null_semantics_audit": sql_null_semantics_audit,
     "scalar_date_suite": scalar_date_suite,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "json_typed_extraction": json_typed_extraction,
@@ -3028,6 +3076,9 @@ ORACLES = {
         GROUP BY l_returnflag
     """,
     "sql_cte_correlated": _SQL_CTE_CORRELATED,
+    # fully portable ANSI — both engines implement the three-valued
+    # NOT IN semantics the query audits
+    "sql_null_semantics_audit": _SQL_NULL_SEMANTICS,
     # WITH RECURSIVE is portable; only integer division differs
     # (Spark `div`, DuckDB `//`) — plus BIGINT output pinning.
     "sql_recursive_subtree_rollup": f"""

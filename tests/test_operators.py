@@ -2292,6 +2292,22 @@ def test_kmv_monthly_rollup_associativity_holds(spark, sf_dir):
         assert r["n_exact"] > 0
 
 
+def test_null_semantics_audit_shows_ansi_trap(spark, sf_dir):
+    """The audit's defining relationships on real data: IN == EXISTS,
+    NOT IN returns ZERO rows (the key set contains a NULL, so every
+    non-match is UNKNOWN), NOT EXISTS returns the true anti-join
+    complement, and the trap is actually visible (n_not_exists > 0 —
+    the two 'negations' genuinely diverge)."""
+    from decisions_kinesis_spark.operators.relational import (
+        sql_null_semantics_audit,
+    )
+
+    r = sql_null_semantics_audit(spark, sf_dir).collect()[0]
+    assert r["n_in"] == r["n_exists"] > 0
+    assert r["n_not_in"] == 0
+    assert r["n_not_exists"] == r["n_orders"] - r["n_exists"] > 0
+
+
 def test_twap_hand_computed_fixture_both_engines(spark, tmp_path):
     """Hand-computed duration-weighted means on a tiny stream, checked
     on BOTH engine sides: user 1 holds A for 10 s then B for 30 s;
