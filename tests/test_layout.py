@@ -282,3 +282,23 @@ def test_bucketed_tables_join_with_fewer_exchanges_same_result(
     finally:
         spark.sql("DROP TABLE IF EXISTS dks_test_orders_b")
         spark.sql("DROP TABLE IF EXISTS dks_test_lineitem_b")
+
+
+def test_exchange_reuse_across_plan_branches(spark, sf_dir):
+    """Exchange (shuffle) REUSE: when two branches of one plan need
+    the same shuffled aggregate, Spark materializes the exchange once
+    and wires a ``ReusedExchange`` into the second branch — at 100 TB
+    a diamond-shaped pipeline (split an aggregate, recombine) pays ONE
+    fact shuffle, not two.  Results must equal computing the branches
+    independently."""
+    orders = load_table(spark, "orders", sf_dir)
+    agg = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("tot")
+    )
+    hi = agg.filter(F.col("tot") > 100_000)
+    lo = agg.filter(F.col("tot") <= 100_000)
+    both = hi.unionByName(lo)
+    n = len(both.collect())  # collect() finalizes THIS Dataset's AQE plan
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert n == agg.count() > 0
