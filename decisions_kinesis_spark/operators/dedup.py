@@ -215,6 +215,93 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_estimate_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash ESTIMATE calibration — the dedup-family counterpart of
+    ``ann_recall_at_k``'s index calibration: for every banded-LSH
+    candidate pair, the signature-based Jaccard estimate (fraction of
+    agreeing minhash seeds — the unbiased estimator E[agree/k] = J the
+    sketch exists to provide) next to the exact shingle Jaccard, both
+    in exact integer ppm, with the signed estimator error.  Exact
+    duplicates must calibrate to err = 0 (all seeds agree AND J = 1);
+    the k = 8 signature's coarse 1/8 quantization is the visible,
+    checkable tradeoff.
+
+    Scale: signatures are computed ONCE (localCheckpoint) and feed
+    both the band keys and the agreement join; candidates come from
+    band equi-joins (never all-pairs); the agreement join ships
+    |cand|·k signature rows; exact verification joins shingles on
+    candidates only — the ``dedup_minhash_lsh_pairs`` topology plus
+    one bounded-fanout join.
+    """
+    corpus = _with_injected_dups(load_table(spark, "documents", sf_dir))
+    sh = _doc_shingles(corpus).localCheckpoint(eager=True)
+    sig = _signatures(sh).localCheckpoint(eager=True)
+    bands = sig.groupBy(
+        "doc_id", (F.col("seed") / 2).cast("int").alias("band")
+    ).agg(
+        F.expr(
+            "concat_ws(',', transform(array_sort(collect_list(struct(seed,"
+            " minhash))), x -> cast(x.minhash as string)))"
+        ).alias("band_sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    agree = (
+        cand.join(sig.alias("ga"), F.col("doc_a") == F.col("ga.doc_id"))
+        .join(
+            sig.alias("gb"),
+            (F.col("doc_b") == F.col("gb.doc_id"))
+            & (F.col("ga.seed") == F.col("gb.seed")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(
+                F.when(F.col("ga.minhash") == F.col("gb.minhash"), 1)
+            ).alias("n_agree")
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.expr(f"(n_agree * 1000000) div {_N_SEEDS}").alias("est_ppm"),
+            F.expr(
+                "(n_inter * 1000000) div (za.n_sh + zb.n_sh - n_inter)"
+            ).alias("exact_ppm"),
+        )
+        .withColumn("err_ppm", F.col("est_ppm") - F.col("exact_ppm"))
+    )
+
+
 _CONTAIN_T = 0.9  # containment threshold for the partial-dup verdict
 
 
@@ -851,6 +938,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard_blocked": dedup_ngram_jaccard_blocked,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_minhash_estimate_calibration": dedup_minhash_estimate_calibration,
     "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
     "dedup_components": dedup_components,
     "dedup_cluster_stats": dedup_cluster_stats,
@@ -955,6 +1043,33 @@ ORACLES = {
     "dedup_minhash_lsh_pairs": f"""
         WITH {_DUCK_LSH_CTES}
         SELECT doc_a, doc_b, jaccard FROM pairsel
+    """,
+    "dedup_minhash_estimate_calibration": f"""
+        WITH {_DUCK_LSH_CTES},
+        agree AS (
+            SELECT c.doc_a, c.doc_b,
+                   count(*) FILTER (WHERE ga.minhash = gb.minhash)
+                       AS n_agree
+            FROM cand c
+            JOIN sig ga ON ga.doc_id = c.doc_a
+            JOIN sig gb ON gb.doc_id = c.doc_b AND ga.seed = gb.seed
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        calib AS (
+            SELECT g.doc_a, g.doc_b, g.n_agree::BIGINT AS n_agree,
+                   ((g.n_agree * 1000000) // {_N_SEEDS})::BIGINT
+                       AS est_ppm,
+                   ((coalesce(i.n_inter, 0) * 1000000)
+                    // (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))
+                   )::BIGINT AS exact_ppm
+            FROM agree g
+            LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+            JOIN sizes za ON za.doc_id = g.doc_a
+            JOIN sizes zb ON zb.doc_id = g.doc_b
+        )
+        SELECT doc_a, doc_b, n_agree, est_ppm, exact_ppm,
+               (est_ppm - exact_ppm)::BIGINT AS err_ppm
+        FROM calib
     """,
     "dedup_components": f"""
         WITH RECURSIVE {_DUCK_LSH_CTES},

@@ -2292,6 +2292,31 @@ def test_kmv_monthly_rollup_associativity_holds(spark, sf_dir):
         assert r["n_exact"] > 0
 
 
+def test_minhash_estimate_calibration_invariants(spark, sf_dir):
+    """Calibration invariants on real data: every injected exact-dup
+    pair (doc_b = doc_a + 100000) calibrates perfectly (all 8 seeds
+    agree, est = exact = 1e6 ppm, err = 0); every candidate pair has
+    at least one fully-agreeing band (n_agree ≥ 2) and both ppm
+    columns in [0, 1e6]."""
+    from decisions_kinesis_spark.operators.dedup import (
+        dedup_minhash_estimate_calibration,
+    )
+
+    rows = dedup_minhash_estimate_calibration(spark, sf_dir).collect()
+    assert rows
+    exact_dups = [r for r in rows if r["doc_b"] == r["doc_a"] + 100000]
+    assert exact_dups
+    for r in exact_dups:
+        assert r["n_agree"] == 8
+        assert r["est_ppm"] == r["exact_ppm"] == 1_000_000
+        assert r["err_ppm"] == 0
+    for r in rows:
+        assert 2 <= r["n_agree"] <= 8
+        assert 0 <= r["est_ppm"] <= 1_000_000
+        assert 0 <= r["exact_ppm"] <= 1_000_000
+        assert r["err_ppm"] == r["est_ppm"] - r["exact_ppm"]
+
+
 def test_null_semantics_audit_shows_ansi_trap(spark, sf_dir):
     """The audit's defining relationships on real data: IN == EXISTS,
     NOT IN returns ZERO rows (the key set contains a NULL, so every
