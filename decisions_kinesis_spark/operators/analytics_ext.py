@@ -1391,9 +1391,69 @@ def events_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_first_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-scoped FIRST-TOUCH attribution — the marketing-
+    attribution primitive: per user, events sessionize on a 5-minute
+    inactivity gap (the ``window_sessionize_events`` rule); each
+    session's first event type is its acquisition touch; every
+    purchase in the session credits that touch.  Per touch type:
+    sessions opened, sessions converted (≥1 purchase), total purchases
+    credited, and the conversion rate in exact integer ppm — the
+    report that decides channel spend, here engine-exact and
+    oracle-replayable (ties inside a session break on event_id).
+
+    Scale: ONE shuffle on user_id serves the gap-lag, the running
+    session-id sum, and the per-(user, session) first-touch window
+    (same partition axis, Spark reuses the sort); the rollup is a
+    map-side-combining |types|-key aggregation.  No unpartitioned
+    windows.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 300_000_000), 1).otherwise(0),
+    ).withColumn("sess", F.sum("new_sess").over(w))
+    ws = Window.partitionBy("user_id", "sess").orderBy("us", "event_id")
+    touched = flagged.withColumn(
+        "first_touch", F.first("event_type").over(ws)
+    )
+    sessions = touched.groupBy("user_id", "sess", "first_touch").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purch"
+        )
+    )
+    return (
+        sessions.groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.count(F.when(F.col("n_purch") > 0, 1)).alias("n_converted"),
+            F.sum("n_purch").alias("n_purchases"),
+        )
+        .select(
+            "first_touch",
+            "n_sessions",
+            "n_converted",
+            "n_purchases",
+            F.expr("(n_converted * 1000000) div n_sessions").alias(
+                "cvr_ppm"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "events_winsorized_stats": events_winsorized_stats,
     "events_twap_by_type": events_twap_by_type,
+    "events_first_touch_attribution": events_first_touch_attribution,
     "orders_pareto_abc": orders_pareto_abc,
     "events_ewma_hourly": events_ewma_hourly,
     "events_holt_linear": events_holt_linear,
@@ -1860,6 +1920,47 @@ ORACLES = {
 
 
 _CHI2_DUCK_H = _DUCK_BIGHASH.format(e="user_id::VARCHAR")
+# First-touch attribution: gap sessionization, windowed first touch,
+# integer-ppm conversion — engine-exact with event_id tie-breaks.
+ORACLES["events_first_touch_attribution"] = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) IS NULL
+                         OR us - lag(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) > 300000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ),
+    sess AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS sess
+        FROM flagged
+    ),
+    touched AS (
+        SELECT *, first_value(event_type) OVER (
+                      PARTITION BY user_id, sess
+                      ORDER BY us, event_id) AS first_touch
+        FROM sess
+    ),
+    per_sess AS (
+        SELECT user_id, sess, first_touch,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purch
+        FROM touched GROUP BY user_id, sess, first_touch
+    )
+    SELECT first_touch,
+           count(*)::BIGINT AS n_sessions,
+           count(*) FILTER (WHERE n_purch > 0)::BIGINT AS n_converted,
+           sum(n_purch)::BIGINT AS n_purchases,
+           ((count(*) FILTER (WHERE n_purch > 0) * 1000000)
+            // count(*))::BIGINT AS cvr_ppm
+    FROM per_sess GROUP BY first_touch
+"""
+
 # TWAP: µs durations, ×10⁴ value quantization, HUGEINT weighted sums,
 # truncating division — fully integer-exact on both engines.
 ORACLES["events_twap_by_type"] = """

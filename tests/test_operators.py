@@ -2292,6 +2292,41 @@ def test_kmv_monthly_rollup_associativity_holds(spark, sf_dir):
         assert r["n_exact"] > 0
 
 
+def test_first_touch_attribution_consistency(spark, sf_dir):
+    """Cross-query hard signal: attributed sessions partition the
+    sessionizer's output (Σ n_sessions == Σ window_sessionize_events
+    counts — same 5-minute gap rule), credited purchases partition
+    the purchase events exactly, and conversions never exceed
+    sessions."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_first_touch_attribution,
+    )
+    from decisions_kinesis_spark.operators.relational import (
+        window_sessionize_events,
+    )
+
+    rows = events_first_touch_attribution(spark, sf_dir).collect()
+    assert rows
+    total_sessions = sum(r["n_sessions"] for r in rows)
+    want_sessions = sum(
+        r["n_sessions"]
+        for r in window_sessionize_events(spark, sf_dir).collect()
+    )
+    assert total_sessions == want_sessions
+    n_purch = sum(r["n_purchases"] for r in rows)
+    want_purch = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert n_purch == want_purch
+    for r in rows:
+        assert 0 < r["n_converted"] <= r["n_sessions"] or r[
+            "n_converted"
+        ] == 0
+        assert 0 <= r["cvr_ppm"] <= 1_000_000
+
+
 def test_minhash_estimate_calibration_invariants(spark, sf_dir):
     """Calibration invariants on real data: every injected exact-dup
     pair (doc_b = doc_a + 100000) calibrates perfectly (all 8 seeds
