@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "layout",
     "analytics_ext",
     "linalg",
+    "pysource",
 )
 
 # STANDING GATE POLICY (round 5+, VERDICT r4 next-round #1).  The

@@ -44,6 +44,8 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # let Python data sources (sources/pyds.py) receive pushFilters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Older fixture generations stored events.ts as TIMESTAMP(NANOS);
         # Spark reads those as long-nanos with this flag, converted back
         # to a timestamp in sources.tables.load_table.  Current fixtures

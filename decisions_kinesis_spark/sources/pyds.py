@@ -1,0 +1,537 @@
+"""First-class Spark DataSource for the Kinesis-shaped envelope
+(Spark 4 Python DataSource API — ``pyspark.sql.datasource``).
+
+The reference IS a source/producer connector; this module re-expresses
+that surface as a *native Spark source* instead of the file-staging
+harness in ``streaming/runtime.py``.  One registration
+(``register(spark)``) provides ``format("dks_kinesis")`` with four
+faces:
+
+- **batch reader** — two modes, auto-detected from ``path``:
+  *events-adapter* (a driver ``events`` parquet → envelope, one
+  InputPartition per parquet row group, Arrow-batch emission — the
+  split-per-row-group planning a real connector uses) and *shard-log*
+  (a directory of append-only per-shard JSONL logs, one InputPartition
+  per shard — S3 partition planning, KinesisThreadJobs.cs:201-218).
+  Implements Spark 4.1 ``pushFilters`` for ``shardId``/``partitionKey``
+  equality: in shard-log mode a pushed ``shardId`` prunes whole shard
+  files (partition pruning); in events mode it becomes a source-side
+  row mask applied before rows ever cross into the JVM.
+- **streaming reader** — per-shard offsets (``{shard: record_count}``),
+  starting-position resolution TRIM_HORIZON/LATEST (C6,
+  KinesisThreadJobs.cs:533-556; a checkpoint always wins because
+  Structured Streaming replays its own offset WAL), shard discovery on
+  every poll (S3 — new shard files join the offset map mid-stream),
+  and a per-poll per-shard rate cap (``maxFetchRecordsPerShard`` — the
+  reference's MaxRecordsPerRequest, KinesisSettings.cs; the engine
+  pages through backlog across micro-batches exactly like the
+  reference's GetRecords loop, KinesisThreadJobs.cs:326-440).
+  Commit-after-batch is Spark's offset WAL (C4,
+  KinesisCheckPointer.cs:97-159) — ``commit()`` here is a no-op by
+  design.
+- **batch writer** — the P2 producer (KinesisMessageQueueImpl.cs:
+  99-126) as a transactional sink: tasks stage records, the
+  driver-side ``commit()`` routes each record to its shard by the
+  MD5-of-partition-key ring (the documented Kinesis routing) and
+  appends to the shard logs; sequence numbers are *assigned by the
+  sink at commit* (implied line index), mirroring the service-side
+  sequence assignment of PutRecord.  ``abort()`` discards staging —
+  no partial publish.
+- **streaming writer** — same staging/commit with an epoch marker per
+  ``batchId``: a replayed epoch (at-least-once upstream, P1) commits
+  exactly once.
+
+Shard-log format (harness contract, shared with the tests): files
+``shardId-%012d.jsonl``; one JSON object per line with keys ``pk``
+(partition key), ``data`` (payload text; payloads here are UTF-8 JSON,
+so bytes round-trip through UTF-8), ``ts`` (ISO event-arrival
+timestamp).  A record's sequence number is its zero-based line index
+formatted ``%020d`` — append-only logs make this stable and total
+per shard, like Kinesis sequence numbers within a shard.
+
+Scale posture: partitions are row groups (events mode) or shards
+(log mode), so parallelism tracks the physical layout; the reader
+emits Arrow RecordBatches (no per-row Python cost on the batch path);
+the streaming reader's offset math is O(|shards|) per poll with a
+(size, mtime)-keyed count cache so an unchanged shard file is never
+re-read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    EqualTo,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+from decisions_kinesis_spark.functions.envelope import ENVELOPE_SCHEMA
+
+_ENVELOPE_NAMES = [f.name for f in ENVELOPE_SCHEMA.fields]
+_SHARD_FMT = "shardId-%012d"
+_STAGING = "_staging"
+_COMMITS = "_commits"
+
+
+def shard_file(shard_num: int) -> str:
+    return (_SHARD_FMT % shard_num) + ".jsonl"
+
+
+def route_md5(partition_key: str, num_shards: int) -> int:
+    """Kinesis routing: MD5(partition key) positions the record on a
+    128-bit ring split evenly across shards (the documented PutRecord
+    behavior).  Even split ⇒ ring position mod shard count."""
+    digest = hashlib.md5(partition_key.encode("utf-8")).digest()
+    return int.from_bytes(digest, "big") % num_shards
+
+
+def _opt(options, name: str, default: str) -> str:
+    # DataSource options arrive as a case-insensitive dict
+    return options.get(name.lower(), default)
+
+
+# ---------------------------------------------------------------------------
+# batch reader
+# ---------------------------------------------------------------------------
+
+
+class _RowGroupPartition(InputPartition):
+    def __init__(self, path: str, row_group: int):
+        self.path = path
+        self.row_group = row_group
+
+
+class _ShardFilePartition(InputPartition):
+    def __init__(self, path: str, start: int = 0, end: int | None = None):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _list_shard_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.startswith("shardId-") and f.endswith(".jsonl")
+    )
+
+
+def _shardlog_rows(
+    path: str, start: int, end: int | None, stream_name: str
+) -> Iterator[tuple]:
+    """Envelope tuples for one shard-log slice [start, end)."""
+    shard_id = os.path.basename(path)[: -len(".jsonl")]
+    with open(path, encoding="utf-8") as f:
+        for idx, line in enumerate(f):
+            if idx < start:
+                continue
+            if end is not None and idx >= end:
+                break
+            rec = json.loads(line)
+            ts = rec.get("ts")
+            yield (
+                rec["data"].encode("utf-8"),
+                rec.get("pk"),
+                "%020d" % idx,
+                datetime.fromisoformat(ts) if ts else None,
+                stream_name,
+                shard_id,
+                None,
+            )
+
+
+class KinesisEnvelopeReader(DataSourceReader):
+    """Batch envelope scan (events-adapter or shard-log mode)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.num_shards = int(_opt(options, "numShards", "8"))
+        self.stream_name = _opt(options, "streamName", "events")
+        self.batch_size = int(_opt(options, "batchSize", "16384"))
+        self.events_mode = self.path.endswith(".parquet")
+        # pushed predicates (Spark 4.1 pushFilters)
+        self.shard_eq: int | None = None
+        self.pk_eq: str | None = None
+
+    def pushFilters(self, filters):  # noqa: N802 - Spark API name
+        """Consume EqualTo on shardId / partitionKey; everything else
+        stays with Spark.  Consumed filters are exact: both modes
+        derive shardId deterministically (events: user_id mod
+        numShards; log: the file name), so source- and Spark-side
+        evaluation agree, including on NULL keys (NULL routes nowhere
+        and equality is never true)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("shardId",):
+                try:
+                    num = int(str(f.value).rsplit("-", 1)[1])
+                except (IndexError, ValueError):
+                    yield f
+                    continue
+                self.shard_eq = num
+            elif isinstance(f, EqualTo) and f.attribute == ("partitionKey",):
+                self.pk_eq = str(f.value)
+            else:
+                yield f
+
+    def partitions(self):
+        if self.events_mode:
+            import pyarrow.parquet as pq
+
+            f = pq.ParquetFile(self.path)
+            return [
+                _RowGroupPartition(self.path, i) for i in range(f.num_row_groups)
+            ]
+        files = _list_shard_files(self.path)
+        if self.shard_eq is not None:  # partition pruning on pushed shard
+            want = shard_file(self.shard_eq)
+            files = [p for p in files if os.path.basename(p) == want]
+        return [_ShardFilePartition(p) for p in files]
+
+    def read(self, partition):
+        if isinstance(partition, _ShardFilePartition):
+            for row in _shardlog_rows(
+                partition.path, partition.start, partition.end, self.stream_name
+            ):
+                if self.pk_eq is not None and row[1] != self.pk_eq:
+                    continue
+                yield row
+            return
+        yield from self._read_events(partition)
+
+    def _read_events(self, partition):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(partition.path)
+        for batch in f.iter_batches(
+            batch_size=self.batch_size,
+            row_groups=[partition.row_group],
+            columns=["event_id", "ts", "user_id", "props"],
+        ):
+            uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+            shard = np.mod(uid, self.num_shards)
+            mask = None
+            if self.shard_eq is not None:
+                mask = shard == self.shard_eq
+            if self.pk_eq is not None:
+                pk_mask = (
+                    pc.equal(
+                        pc.cast(batch.column("user_id"), pa.string()),
+                        self.pk_eq,
+                    )
+                    .fill_null(False)
+                    .to_numpy(zero_copy_only=False)
+                )
+                mask = pk_mask if mask is None else (mask & pk_mask)
+            if mask is not None:
+                batch = batch.filter(pa.array(mask))
+                shard = shard[mask]
+                if batch.num_rows == 0:
+                    continue
+            n = batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(batch.column("props"), pa.binary()),
+                    pc.cast(batch.column("user_id"), pa.string()),
+                    pc.cast(batch.column("event_id"), pa.string()),
+                    batch.column("ts"),
+                    pa.array([self.stream_name] * n, pa.string()),
+                    pa.array(
+                        [_SHARD_FMT % int(s) for s in shard], pa.string()
+                    ),
+                    pa.nulls(n, pa.string()),
+                ],
+                names=_ENVELOPE_NAMES,
+            )
+
+
+# ---------------------------------------------------------------------------
+# streaming reader
+# ---------------------------------------------------------------------------
+
+
+class KinesisShardLogStreamReader(DataSourceStreamReader):
+    """S1 polling source over an append-only shard-log directory.
+
+    Offsets are ``{shard file stem: records consumed}``.  Each
+    ``latestOffset`` poll is one GetRecords round: it discovers shards
+    (S3), advances each shard by at most ``maxFetchRecordsPerShard``
+    records past the previous poll (the MaxRecordsPerRequest cap), and
+    the engine keeps polling until the backlog drains — the same
+    paging loop as KinesisThreadJobs.cs:326-440 with Spark's WAL
+    playing the checkpoint table (C4).  The cap is a steady-state rate
+    limit: the first poll of a reader instance returns the true latest
+    (see ``__init__`` for why a capped first poll would be unsafe)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        start = _opt(options, "startingposition", "TRIM_HORIZON").upper()
+        if start not in ("TRIM_HORIZON", "LATEST"):
+            raise ValueError(
+                f"startingposition must be TRIM_HORIZON or LATEST, got {start}"
+            )
+        self.start_latest = start == "LATEST"
+        self.max_fetch = int(_opt(options, "maxFetchRecordsPerShard", "10000"))
+        if self.max_fetch <= 0:
+            raise ValueError("maxFetchRecordsPerShard must be positive")
+        self.stream_name = _opt(options, "streamName", "events")
+        # Poll base for the rate cap.  CONTRACT (measured against the
+        # Spark 4.1 microbatch engine): the engine may call
+        # latestOffset() BEFORE initialOffset(), and it commits whatever
+        # latestOffset returns even when it is behind the WAL — so the
+        # first poll of any reader instance must return the TRUE latest
+        # (a capped value could regress the offset WAL after a restart
+        # and re-deliver).  The cap is therefore a steady-state rate
+        # limit, exactly like GetRecords paging, which also returns up
+        # to the limit from wherever the shard iterator already is.
+        self._poll_base: dict[str, int] | None = None
+        # (size, mtime) -> count cache so unchanged files aren't re-read
+        self._count_cache: dict[str, tuple[tuple[int, float], int]] = {}
+
+    def _counts(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        if not os.path.isdir(self.path):
+            return out
+        for p in _list_shard_files(self.path):
+            stem = os.path.basename(p)[: -len(".jsonl")]
+            st = os.stat(p)
+            key = (st.st_size, st.st_mtime)
+            cached = self._count_cache.get(p)
+            if cached is not None and cached[0] == key:
+                out[stem] = cached[1]
+                continue
+            with open(p, "rb") as f:
+                n = sum(chunk.count(b"\n") for chunk in iter(lambda: f.read(1 << 20), b""))
+            self._count_cache[p] = (key, n)
+            out[stem] = n
+        return out
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        counts = self._counts()
+        offset = counts if self.start_latest else {s: 0 for s in counts}
+        if self._poll_base is None:  # never clobber an established base
+            self._poll_base = dict(offset)
+        return offset
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        counts = self._counts()
+        if self._poll_base is None:
+            # first poll of this instance: true latest (see __init__ —
+            # the committed WAL position is unknown and may be ahead)
+            self._poll_base = dict(counts)
+            return dict(counts)
+        end = {
+            shard: min(n, self._poll_base.get(shard, 0) + self.max_fetch)
+            for shard, n in counts.items()
+        }
+        self._poll_base = dict(end)
+        return end
+
+    def partitions(self, start: dict, end: dict):
+        # resync the poll base with the engine's actual batch range —
+        # initialOffset/latestOffset call order is not guaranteed, and
+        # `start` is the one place the WAL position reaches the reader
+        base = dict(self._poll_base or {})
+        for shard in set(start) | set(end):
+            base[shard] = max(
+                base.get(shard, 0), start.get(shard, 0), end.get(shard, 0)
+            )
+        self._poll_base = base
+        parts = []
+        for shard, hi in sorted(end.items()):
+            lo = start.get(shard, 0)
+            if hi > lo:
+                parts.append(
+                    _ShardFilePartition(
+                        os.path.join(self.path, shard + ".jsonl"), lo, hi
+                    )
+                )
+        return parts
+
+    def read(self, partition):
+        yield from _shardlog_rows(
+            partition.path, partition.start, partition.end, self.stream_name
+        )
+
+    def commit(self, end: dict) -> None:
+        # C4 is Spark's offset WAL; the log is append-only, nothing to trim
+        return
+
+    def stop(self) -> None:
+        return
+
+
+# ---------------------------------------------------------------------------
+# writers (P2 producer analog)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    count: int
+
+
+def _row_payload(row: Row) -> tuple[str, str, str | None]:
+    d = row.asDict()
+    data = d.get("data")
+    if data is None:
+        raise ValueError("writer rows need a 'data' column")
+    if isinstance(data, (bytes, bytearray)):
+        data = bytes(data).decode("utf-8")
+    pk = d.get("partitionKey")
+    pk = "" if pk is None else str(pk)
+    ts = d.get("approximateArrivalTimestamp") or d.get("ts")
+    return str(data), pk, (ts.isoformat() if ts is not None else None)
+
+
+class KinesisShardLogWriter(DataSourceWriter):
+    """Transactional producer: stage per task, route + append at commit.
+
+    Mirrors PutRecord (KinesisMessageQueueImpl.cs:99-126): the record
+    carries (PartitionKey, Data); the *service* assigns shard (MD5
+    ring) and sequence number — here the driver-side commit does both,
+    atomically for the whole job.  ``abort`` leaves the logs untouched."""
+
+    def __init__(self, options, overwrite: bool = False):
+        self.path = options["path"]
+        self.num_shards = int(_opt(options, "numShards", "8"))
+        self.overwrite = overwrite
+
+    # -- executor side -----------------------------------------------------
+    def write(self, iterator: Iterator[Row]) -> _StagedFile:
+        staging = os.path.join(self.path, _STAGING)
+        os.makedirs(staging, exist_ok=True)
+        out = os.path.join(staging, uuid.uuid4().hex + ".jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as f:
+            for row in iterator:
+                data, pk, ts = _row_payload(row)
+                shard = route_md5(pk, self.num_shards)
+                f.write(
+                    json.dumps(
+                        {"shard": shard, "pk": pk, "data": data, "ts": ts},
+                        ensure_ascii=False,
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _StagedFile(path=out, count=n)
+
+    # -- driver side -------------------------------------------------------
+    def _apply(self, messages) -> None:
+        if self.overwrite:
+            for p in _list_shard_files(self.path):
+                os.remove(p)
+        appenders: dict[int, object] = {}
+        try:
+            for msg in messages:
+                if msg is None or msg.count == 0:
+                    continue
+                with open(msg.path, encoding="utf-8") as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        shard = rec.pop("shard")
+                        fh = appenders.get(shard)
+                        if fh is None:
+                            fh = open(  # noqa: SIM115 - pooled, closed below
+                                os.path.join(self.path, shard_file(shard)),
+                                "a",
+                                encoding="utf-8",
+                            )
+                            appenders[shard] = fh
+                        fh.write(json.dumps(rec, ensure_ascii=False) + "\n")
+        finally:
+            for fh in appenders.values():
+                fh.close()
+        self._clean_staging(messages)
+
+    def _clean_staging(self, messages) -> None:
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.path):
+                os.remove(msg.path)
+        staging = os.path.join(self.path, _STAGING)
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+
+    def commit(self, messages) -> None:
+        self._apply(messages)
+
+    def abort(self, messages) -> None:
+        self._clean_staging(messages)
+
+
+class KinesisShardLogStreamWriter(DataSourceStreamWriter):
+    """Streaming producer with idempotent epoch commit: a marker file
+    per ``batchId`` makes an at-least-once replayed epoch (P1) append
+    exactly once."""
+
+    def __init__(self, options):
+        self._inner = KinesisShardLogWriter(options, overwrite=False)
+        self.path = self._inner.path
+
+    def write(self, iterator: Iterator[Row]) -> _StagedFile:
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        commits = os.path.join(self.path, _COMMITS)
+        os.makedirs(commits, exist_ok=True)
+        marker = os.path.join(commits, str(batchId))
+        if os.path.exists(marker):  # replayed epoch: drop, don't re-append
+            self._inner._clean_staging(messages)
+            return
+        self._inner._apply(messages)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("committed\n")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        self._inner._clean_staging(messages)
+
+
+# ---------------------------------------------------------------------------
+# the DataSource
+# ---------------------------------------------------------------------------
+
+
+class KinesisEnvelopeDataSource(DataSource):
+    """``format("dks_kinesis")`` — envelope batch/stream reader+writer."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dks_kinesis"
+
+    def schema(self) -> StructType:
+        return ENVELOPE_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return KinesisEnvelopeReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return KinesisShardLogStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return KinesisShardLogWriter(self.options, overwrite=overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return KinesisShardLogStreamWriter(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of ``format("dks_kinesis")``."""
+    spark.dataSource.register(KinesisEnvelopeDataSource)
