@@ -369,6 +369,68 @@ def test_writer_abort_leaves_no_partial(log_dir):
     assert not any(f.endswith(".jsonl") for f in os.listdir(log_dir))
 
 
+def test_stream_pipeline_equals_batch_through_native_source(
+    spark, sf_dir, log_dir
+):
+    """Equivalence proof #22: the reference's complete consume pipeline —
+    S1 source → D1 UTF-8 decode → F1/F2 payload filter (the flagship
+    ``k > '50'`` lexicographic verb) → envelope projection — run through
+    the NATIVE Spark source (``readStream.format("dks_kinesis")``),
+    across a mid-stream checkpoint restart, equals the batch
+    ``read.format("dks_kinesis")`` scan through the identical
+    transformations.  The filter is stateless, so the proof's content is
+    the source contract: exactly-once, loss-free delivery across the
+    restart, with identical envelope values on both faces."""
+    from decisions_kinesis_spark.config import FilterVerb, PayloadFilter
+    from decisions_kinesis_spark.functions.envelope import decode_utf8
+    from decisions_kinesis_spark.functions.filters import (
+        apply_payload_filters,
+    )
+
+    filters = [PayloadFilter("k", FilterVerb.GREATER_THAN, "50")]
+
+    def consume(df):
+        decoded = df.withColumn("messageText", decode_utf8(F.col("data")))
+        kept = apply_payload_filters(decoded, "messageText", filters)
+        return kept.select(
+            "partitionKey", "sequenceNumber", "shardId", "messageText"
+        )
+
+    env = _expected_envelope(spark, sf_dir)
+    phase1 = env.limit(200)
+    phase2 = env.limit(300).subtract(phase1)
+    assert phase2.count() > 0
+
+    got: list[tuple] = []
+
+    def run_stream():
+        def handle(df, epoch_id):
+            got.extend(tuple(r) for r in consume(df).collect())
+
+        q = (
+            spark.readStream.format("dks_kinesis")
+            .option("path", log_dir)
+            .load()
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(log_dir, "_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+    _write_logs(phase1, log_dir)
+    run_stream()
+    _write_logs(phase2, log_dir)  # records arriving while consumer is down
+    run_stream()  # restart from the checkpoint
+
+    want = sorted(
+        tuple(r) for r in consume(_ds_read(spark, log_dir)).collect()
+    )
+    assert sorted(got) == want
+    assert len(want) > 0
+
+
 def test_shard_file_and_routing_stability():
     assert shard_file(3) == "shardId-000000000003.jsonl"
     # MD5-ring routing is a pure function of the key
