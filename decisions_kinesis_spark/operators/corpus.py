@@ -1764,6 +1764,84 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_LEN = 256  #: tokens per packed training sequence
+
+
+def train_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: concatenate the
+    corpus token stream in deterministic ``doc_id`` order and cut it
+    into fixed-length training sequences of ``_PACK_LEN`` tokens; per
+    chunk, report how many documents contribute, how many are
+    carryover (started in an earlier chunk — the tokens a causal mask
+    or attention-separator has to handle), the token fill (= the pack
+    length except for the final chunk: concat-and-chunk has zero
+    padding waste by construction), and the contributing doc range.
+
+    Tokens are the shared ASCII-whitespace discipline (``_TOKS``);
+    empty docs contribute nothing and are excluded.  A document
+    starting at global token offset ``s`` with ``n`` tokens spans
+    chunks ``s div L .. (s+n-1) div L`` — integer arithmetic end to
+    end, so the oracle hashes exactly.
+
+    Scale: the global token offset uses the range-partitioned prefix
+    pattern (``functions/ordering.range_prefix`` — no single-partition
+    window); the chunk explode emits ``ceil(n/L)+1`` rows per doc
+    (Σ ≈ n_chunks + n_docs, linear in corpus size); the final
+    aggregation shuffles on the bounded chunk-id key.
+    """
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.expr(_TOKS)).cast("bigint").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    part, off, _rows, _tot = range_prefix(docs, ["doc_id"], 32, sum_col="n_tok")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = part.join(F.broadcast(off), "_pid").select(
+        "doc_id",
+        "n_tok",
+        (
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+            + F.col("_sum_off").cast("bigint")
+        ).alias("tok_start"),
+    )
+    L = _PACK_LEN
+    spans = placed.select(
+        "doc_id",
+        "tok_start",
+        (F.col("tok_start") + F.col("n_tok")).alias("tok_end"),
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_start div {L}"),
+                F.expr(f"(tok_start + n_tok - 1) div {L}"),
+            )
+        ).alias("chunk_id"),
+    )
+    return (
+        spans.groupBy("chunk_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("tok_start") < F.col("chunk_id") * L).cast("int")
+            ).cast("bigint").alias("n_carryover"),
+            F.sum(
+                F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * L)
+                - F.greatest(F.col("tok_start"), F.col("chunk_id") * L)
+            ).cast("bigint").alias("fill_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .withColumn("chunk_id", F.col("chunk_id").cast("bigint"))
+        .orderBy("chunk_id")
+    )
+
+
 QUERIES = {
     "quality_gopher_flags": quality_gopher_flags,
     "quality_repetition_flags": quality_repetition_flags,
@@ -1790,6 +1868,7 @@ QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "corpus_funnel_report": corpus_funnel_report,
     "corpus_novelty_curve": corpus_novelty_curve,
+    "train_sequence_packing": train_sequence_packing,
 }
 
 _DUCK_FL4 = "floor(({e}) * 10000 + 0.5) / 10000.0"
@@ -2637,4 +2716,37 @@ ORACLES["corpus_novelty_curve"] = f"""
                // count(*) AS novelty_ppm
     FROM bg JOIN firsts USING (g)
     GROUP BY bucket
+"""
+
+ORACLES["train_sequence_packing"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               length({_DUCK_TOKS})::BIGINT AS n_tok
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS tok_start
+        FROM d WHERE n_tok > 0
+    ),
+    s AS (
+        SELECT doc_id, tok_start, tok_start + n_tok AS tok_end,
+               unnest(generate_series(tok_start // {_PACK_LEN},
+                   (tok_start + n_tok - 1) // {_PACK_LEN})) AS chunk_id
+        FROM o
+    )
+    SELECT chunk_id::BIGINT AS chunk_id,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN tok_start < chunk_id * {_PACK_LEN}
+               THEN 1 ELSE 0 END)::BIGINT AS n_carryover,
+           SUM(LEAST(tok_end, (chunk_id + 1) * {_PACK_LEN})
+               - GREATEST(tok_start, chunk_id * {_PACK_LEN}))::BIGINT
+               AS fill_tokens,
+           MIN(doc_id)::BIGINT AS first_doc,
+           MAX(doc_id)::BIGINT AS last_doc
+    FROM s
+    GROUP BY chunk_id
+    ORDER BY chunk_id
 """

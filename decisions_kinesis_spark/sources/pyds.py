@@ -191,9 +191,21 @@ class KinesisEnvelopeReader(DataSourceReader):
         if self.events_mode:
             import pyarrow.parquet as pq
 
-            f = pq.ParquetFile(self.path)
+            # a parquet "table" is one file or a directory of part
+            # files (the layout every writer at scale produces); the
+            # split unit is (file, row group) either way
+            if os.path.isdir(self.path):
+                files = sorted(
+                    os.path.join(self.path, f)
+                    for f in os.listdir(self.path)
+                    if f.endswith(".parquet")
+                )
+            else:
+                files = [self.path]
             return [
-                _RowGroupPartition(self.path, i) for i in range(f.num_row_groups)
+                _RowGroupPartition(p, i)
+                for p in files
+                for i in range(pq.ParquetFile(p).num_row_groups)
             ]
         files = _list_shard_files(self.path)
         if self.shard_eq is not None:  # partition pruning on pushed shard
@@ -245,12 +257,17 @@ class KinesisEnvelopeReader(DataSourceReader):
                 if batch.num_rows == 0:
                     continue
             n = batch.num_rows
+            ts = batch.column("ts")
+            if ts.type != pa.timestamp("us"):
+                # writers differ (us in the driver fixtures, ns from a
+                # Spark rewrite); Spark's Arrow bridge takes only us
+                ts = ts.cast(pa.timestamp("us"), safe=False)
             yield pa.RecordBatch.from_arrays(
                 [
                     pc.cast(batch.column("props"), pa.binary()),
                     pc.cast(batch.column("user_id"), pa.string()),
                     pc.cast(batch.column("event_id"), pa.string()),
-                    batch.column("ts"),
+                    ts,
                     pa.array([self.stream_name] * n, pa.string()),
                     pa.array(
                         [_SHARD_FMT % int(s) for s in shard], pa.string()

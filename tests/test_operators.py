@@ -2525,3 +2525,38 @@ def test_bloom_monthly_rollup_or_merge_is_exact(spark, sf_dir):
         assert r["n_pass_bloom"] >= r["n_true_member"] > 0
         assert r["n_false_pos"] >= 0
         assert r["n_probed"] >= r["n_pass_bloom"]
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Concat-and-chunk packing: every chunk except the last is filled
+    to exactly _PACK_LEN tokens (zero padding waste by construction),
+    fills sum to the corpus token count, chunk ids are dense from 0,
+    and carryover counts the docs that started in an earlier chunk."""
+    from decisions_kinesis_spark.operators.corpus import (
+        _PACK_LEN,
+        _TOKS,
+        train_sequence_packing,
+    )
+
+    rows = train_sequence_packing(spark, sf_dir).collect()
+    assert rows, "corpus produced no chunks"
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    assert all(r["fill_tokens"] == _PACK_LEN for r in rows[:-1])
+    assert 0 < rows[-1]["fill_tokens"] <= _PACK_LEN
+    total_tokens = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.size(F.expr(_TOKS)).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["fill_tokens"] for r in rows) == total_tokens
+    # first chunk has no carryover; elsewhere carryover ≤ 1 for this
+    # packing (at most one doc straddles any chunk boundary), and a
+    # chunk whose first doc started before it must report carryover
+    assert rows[0]["n_carryover"] == 0
+    for r in rows[1:]:
+        assert r["n_carryover"] in (0, 1)
+    # doc ranges tile monotonically
+    for a, b in zip(rows, rows[1:]):
+        assert a["first_doc"] <= a["last_doc"]
+        assert a["last_doc"] <= b["first_doc"]
