@@ -877,6 +877,108 @@ def events_hourly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen ROBUST trend per event type — the median-of-pairwise-
+    slopes companion to ``events_hourly_trend_ols``: where OLS lets a
+    single corrupted hour drag the fitted slope arbitrarily, the
+    Theil–Sen estimator (median over all C(n,2) pairwise slopes,
+    ~29% breakdown point) shrugs off outlier buckets, which is why
+    monitoring pipelines pair the two and alarm on disagreement.
+
+    Same exact-integer series as the OLS query (x = per-type bucket
+    rank, y = ×10⁴-quantized hourly mean): each pairwise slope is
+    ``(y₂−y₁)·10⁶ div (x₂−x₁)`` — both engines truncate integer
+    division toward zero (verified ``-7 div 2 = -7 // 2 = -3``), so
+    every slope matches to the digit.  The median is the LOWER median
+    (rank ``(m+1) div 2`` under (slope, x₁, x₂) order — deterministic
+    under slope ties), kept integer instead of averaging the middle
+    two.  The intercept is the Theil–Sen companion
+    ``median(y·10⁶ − slope·x)`` in the same µ-units of y.  An hour
+    whose every value is NULL is skipped before ranking (the
+    ``events_holt_linear`` contract), so NULL never reaches the slope
+    arithmetic on either engine side.
+
+    Scale: the hourly means reduce map-side from the raw scan (the
+    only data-proportional stage); the pairwise self-join and both
+    median windows run on the per-type SERIES, whose length is bounded
+    by the calendar (n ≤ hours-in-window), so the C(n,2) pair frame is
+    calendar²-bounded — independent of row count, the same bound the
+    ACF/CCF probes document.  |y·10⁶| ≤ 10¹³ and |slope·x| ≤ 10¹⁶
+    keep every term inside bigint.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b"), "value"
+    )
+    hourly = ev.groupBy("event_type", "b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sdec"),
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    # an hour whose every value is NULL (sdec NULL → mean NULL) is
+    # SKIPPED before ranking, the events_holt_linear contract — ranks
+    # re-close over the surviving buckets on both engine sides
+    pts = (
+        hourly.select(
+            "event_type",
+            "b",
+            F.expr(
+                "cast(floor((cast(sdec as double) / n) * 10000 + 0.5)"
+                " as bigint)"
+            ).alias("y"),
+        )
+        .where(F.col("y").isNotNull())
+        .select(
+            "event_type",
+            F.row_number().over(w).cast("bigint").alias("x"),
+            "y",
+        )
+    )
+    p1, p2 = pts.alias("p1"), pts.alias("p2")
+    pairs = p1.join(
+        p2,
+        (F.col("p1.event_type") == F.col("p2.event_type"))
+        & (F.col("p1.x") < F.col("p2.x")),
+    ).select(
+        F.col("p1.event_type").alias("event_type"),
+        F.expr("(p2.y - p1.y) * 1000000 div (p2.x - p1.x)").alias("slope"),
+        F.col("p1.x").alias("x1"),
+        F.col("p2.x").alias("x2"),
+    )
+    wp = Window.partitionBy("event_type")
+    wm = wp.orderBy("slope", "x1", "x2")
+    med = (
+        pairs.withColumn("rk", F.row_number().over(wm))
+        .withColumn("m", F.count("*").over(wp))
+        .filter(F.col("rk") == F.expr("(m + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("m").alias("n_pairs"),
+            F.col("slope").alias("slope_ppm"),
+        )
+    )
+    resid = pts.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "x",
+        F.expr("y * 1000000 - slope_ppm * x").alias("r"),
+    )
+    wr = wp.orderBy("r", "x")
+    icept = (
+        resid.withColumn("rk", F.row_number().over(wr))
+        .withColumn("m", F.count("*").over(wp))
+        .filter(F.col("rk") == F.expr("(m + 1) div 2"))
+        .select("event_type", F.col("r").alias("intercept_ppm"))
+    )
+    npts = pts.groupBy("event_type").agg(F.count("*").alias("n_points"))
+    return (
+        npts.filter(F.col("n_points") >= 2)
+        .join(med, "event_type")
+        .join(icept, "event_type")
+        .select(
+            "event_type", "n_points", "n_pairs", "slope_ppm", "intercept_ppm"
+        )
+    )
+
+
 #: The declared event-type taxonomy of the events stream (TESTDATA.md
 #: generator contract).  The seasonal monitor densifies against THIS
 #: list, not observed distinct types — a type missing from the whole
@@ -1466,6 +1568,7 @@ QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_revenue_gini": customer_revenue_gini,
     "events_hourly_trend_ols": events_hourly_trend_ols,
+    "events_theil_sen_trend": events_theil_sen_trend,
     "orders_open_backlog_daily": orders_open_backlog_daily,
     "events_cusum_change": events_cusum_change,
     "events_seasonal_profile_anomalies": events_seasonal_profile_anomalies,
@@ -1604,6 +1707,64 @@ ORACLES = {
                               * (n::HUGEINT * syy - sy::HUGEINT * sy))
                 END)::BIGINT AS r2_ppm
         FROM mom WHERE n >= 2
+    """,
+    "events_theil_sen_trend": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS b,
+                   count(*)::BIGINT AS n,
+                   sum(value::DECIMAL(18,4)) AS sdec
+            FROM events GROUP BY 1, 2
+        ),
+        ymeans AS (
+            SELECT event_type, b,
+                   floor((sdec::DOUBLE / n) * 10000 + 0.5)::BIGINT AS y
+            FROM hourly
+        ),
+        pts AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY b)::BIGINT AS x,
+                   y
+            FROM ymeans WHERE y IS NOT NULL
+        ),
+        pairs AS (
+            SELECT p1.event_type,
+                   ((p2.y - p1.y) * 1000000 // (p2.x - p1.x))::BIGINT
+                       AS slope,
+                   p1.x AS x1, p2.x AS x2
+            FROM pts p1 JOIN pts p2
+              ON p2.event_type = p1.event_type AND p1.x < p2.x
+        ),
+        med AS (
+            SELECT event_type, m AS n_pairs, slope AS slope_ppm
+            FROM (SELECT *,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY slope, x1, x2) AS rk,
+                         count(*) OVER (PARTITION BY event_type) AS m
+                  FROM pairs)
+            WHERE rk = (m + 1) // 2
+        ),
+        icept AS (
+            SELECT event_type, r AS intercept_ppm
+            FROM (SELECT p.event_type,
+                         p.y * 1000000 - s.slope_ppm * p.x AS r,
+                         row_number() OVER (PARTITION BY p.event_type
+                             ORDER BY p.y * 1000000 - s.slope_ppm * p.x,
+                                      p.x) AS rk,
+                         count(*) OVER (PARTITION BY p.event_type) AS m
+                  FROM pts p JOIN med s USING (event_type))
+            WHERE rk = (m + 1) // 2
+        ),
+        np AS (
+            SELECT event_type, count(*)::BIGINT AS n_points
+            FROM pts GROUP BY event_type
+        )
+        SELECT np.event_type, np.n_points, med.n_pairs,
+               med.slope_ppm, icept.intercept_ppm
+        FROM np
+        JOIN med USING (event_type)
+        JOIN icept USING (event_type)
+        WHERE np.n_points >= 2
     """,
     "orders_scd2_ship_history": """
         WITH li AS (

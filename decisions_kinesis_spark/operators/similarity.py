@@ -244,6 +244,83 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MUTUAL_K = 3  # directed-neighbor rank bound for mutuality
+
+
+def ann_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN pair graph within LSH buckets: undirected pairs
+    (a, b) where b is among a's top-``_MUTUAL_K`` same-bucket cosine
+    neighbors AND a is among b's — the reciprocal-neighbor criterion
+    that near-dup clustering and diversity-sampling pipelines use to
+    cut asymmetric hub edges (a hub vector is "near" everything, but
+    little is mutually near the hub).
+
+    Cosine is symmetric (identical zip_with fold in both directions),
+    so each surviving pair carries one ``cos`` plus both directed ranks
+    — asymmetry between ``rank_ab`` and ``rank_ba`` is the hubness
+    signal itself and is kept observable in the output.
+
+    Scale: the directed candidate frame is an equi-join on the
+    scan-side LSH bucket key (~N²/2^planes pairs, the standard banded
+    topology — never all-pairs); the per-vector top-k is a bounded
+    window inside each bucket's candidate list; the mutuality join is
+    an equi-join on the (a, b) key pair of two rank-≤k frames, each at
+    most k·N rows.  More planes (or multiprobe) hold the bucket
+    population flat as N grows — the same knob the ann_lsh_* family
+    documents.
+    """
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nv", F.expr(_NORM.format(v="v")))
+    )
+    bucketed = emb.withColumn("bucket", _bucket_expr())
+    left = bucketed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nv").alias("anv"),
+        "bucket",
+    )
+    right = bucketed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nv").alias("bnv"),
+        F.col("bucket").alias("bbucket"),
+    )
+    directed = left.join(
+        right,
+        (F.col("bucket") == F.col("bbucket"))
+        & (F.col("a_id") != F.col("b_id")),
+    ).withColumn(
+        "cos",
+        F.expr(
+            _PAIR_COS.format(dot=_DOT.format(a="av", b="bv"), na="anv", nb="bnv")
+        ),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("b_id"))
+    ranked = (
+        directed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MUTUAL_K)
+        .select("a_id", "b_id", "cos", "rk")
+    )
+    e1, e2 = ranked.alias("e1"), ranked.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.a_id") == F.col("e2.b_id"))
+            & (F.col("e1.b_id") == F.col("e2.a_id")),
+        )
+        .filter(F.col("e1.a_id") < F.col("e1.b_id"))
+        .select(
+            F.col("e1.a_id").alias("a_id"),
+            F.col("e1.b_id").alias("b_id"),
+            F.col("e1.cos").alias("cos"),
+            F.col("e1.rk").alias("rank_ab"),
+            F.col("e2.rk").alias("rank_ba"),
+        )
+    )
+
+
 def _argmin_assign(scored: DataFrame) -> DataFrame:
     """Nearest-centroid assignment from a (vec_id, v, nv, cent_id, ccos)
     frame: max ccos, ties to the smallest cent_id — via ``max_by`` over
@@ -913,6 +990,7 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
+    "ann_mutual_knn_pairs": ann_mutual_knn_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe2": ann_ivf_nprobe2,
     "ann_ivf_refined": ann_ivf_refined,
@@ -1332,6 +1410,30 @@ ORACLES = {
         FROM q
         LEFT JOIN n_cand ON n_cand.query_id = q.query_id
         LEFT JOIN best ON best.query_id = q.query_id
+    """,
+    "ann_mutual_knn_pairs": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bucketed AS (SELECT vec_id, v, ({_DUCK_BUCKET})::BIGINT AS bucket FROM e),
+        d AS (
+            SELECT a.vec_id AS a_id, q.vec_id AS b_id,
+                   round(list_dot_product(a.v, q.v) /
+                         (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+            FROM bucketed a JOIN bucketed q
+              ON a.bucket = q.bucket AND a.vec_id <> q.vec_id
+        ),
+        knn AS (
+            SELECT a_id, b_id, cos, rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                          ORDER BY cos DESC, b_id ASC) AS rk
+                  FROM d)
+            WHERE rk <= {_MUTUAL_K}
+        )
+        SELECT e1.a_id, e1.b_id, e1.cos,
+               e1.rk AS rank_ab, e2.rk AS rank_ba
+        FROM knn e1 JOIN knn e2
+          ON e1.a_id = e2.b_id AND e1.b_id = e2.a_id
+        WHERE e1.a_id < e1.b_id
     """,
 }
 

