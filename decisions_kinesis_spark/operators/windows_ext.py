@@ -271,6 +271,79 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-filling with LINEAR INTERPOLATION — the
+    ``interpolate()`` companion to ``events_gapfill_locf``: hourly
+    buckets per event_type on the same dense per-type grid, but a gap
+    hour gets the straight line between its surrounding OBSERVED
+    buckets instead of a carried-forward step — what a feature
+    pipeline reads when the quantity is a level (queue depth, price)
+    rather than a rate.
+
+    Exact integer arithmetic end-to-end: bucket means are ×10⁴-
+    quantized to bigint (the Theil–Sen discipline), grid ticks are the
+    per-type dense rank t, and the interpolated value is
+    ``y_prev + (y_next − y_prev)·(t − t_prev) div (t_next − t_prev)``
+    with truncating division (both engines truncate toward zero), so
+    the DuckDB oracle matches to the digit — no float lerp.  Grid
+    edges cannot dangle (the span is anchored at observed buckets),
+    but the one-sided fallbacks are kept and replayed by the oracle so
+    an externally-anchored grid stays well-defined.
+
+    Scale: identical topology to the LOCF variant — the corpus
+    contributes only the map-side-combining hourly aggregation; the
+    grid, the four IGNORE NULLS edge-extension windows, and the
+    interpolation all run on |types| × |span hours| rows, bounded by
+    the calendar at any data size.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bkt"), "value"
+    )
+    agg = ev.groupBy("event_type", "bkt").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "cast(floor(cast(sum(cast(value as decimal(18,4))) as double)"
+            " / count(*) * 10000 + 0.5) as bigint)"
+        ).alias("y"),
+    )
+    span = agg.groupBy("event_type").agg(
+        F.min("bkt").alias("b0"), F.max("bkt").alias("b1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(b0, b1, interval 1 hour)")).alias("bkt"),
+    )
+    j = grid.join(agg, ["event_type", "bkt"], "left")
+    wt = Window.partitionBy("event_type").orderBy("bkt")
+    j = j.withColumn("t", F.row_number().over(wt).cast("bigint")).withColumn(
+        "obs_t", F.expr("if(y is not null, t, cast(null as bigint))")
+    )
+    wprev = wt.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = wt.rowsBetween(0, Window.unboundedFollowing)
+    filled = (
+        j.withColumn("y_prev", F.last("y", ignorenulls=True).over(wprev))
+        .withColumn("t_prev", F.last("obs_t", ignorenulls=True).over(wprev))
+        .withColumn("y_next", F.first("y", ignorenulls=True).over(wnext))
+        .withColumn("t_next", F.first("obs_t", ignorenulls=True).over(wnext))
+    )
+    return filled.select(
+        "event_type",
+        F.col("bkt").alias("bucket_ts"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("y").alias("avg_q4"),
+        F.expr(
+            "case when y is not null then y"
+            " when y_prev is null then y_next"
+            " when y_next is null then y_prev"
+            " else y_prev + (y_next - y_prev) * (t - t_prev)"
+            "      div (t_next - t_prev) end"
+        ).alias("interp_q4"),
+        F.col("n_events").isNull().alias("gap_filled"),
+    )
+
+
 def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution rollup CASCADE (the hypertable continuous-
     aggregate pattern): hourly buckets aggregated from raw events,
@@ -394,6 +467,7 @@ QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "events_cohort_retention": events_cohort_retention,
     "events_gapfill_locf": events_gapfill_locf,
+    "events_gapfill_interp": events_gapfill_interp,
     "events_rollup_cascade": events_rollup_cascade,
     "events_mad_outliers": events_mad_outliers,
 }
@@ -569,6 +643,60 @@ ORACLES["events_gapfill_locf"] = """
                AS value_locf,
            n_events IS NULL AS gap_filled
     FROM j
+"""
+
+# Linear-interpolation gapfill: replays the engine's ×10⁴ quantization,
+# dense-rank ticks, IGNORE NULLS edge extensions, and truncating-div
+# lerp exactly (see events_gapfill_interp).
+ORACLES["events_gapfill_interp"] = """
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS bkt,
+               count(*)::BIGINT AS n_events,
+               floor((sum(value::DECIMAL(18,4)))::DOUBLE / count(*)
+                     * 10000 + 0.5)::BIGINT AS y
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(bkt) AS b0, max(bkt) AS b1
+             FROM agg GROUP BY event_type),
+    grid AS (
+        SELECT s.event_type, g.bkt
+        FROM span s, LATERAL (
+            SELECT unnest(generate_series(s.b0, s.b1, INTERVAL 1 HOUR))
+                AS bkt
+        ) g
+    ),
+    j AS (
+        SELECT g.event_type, g.bkt, a.n_events, a.y,
+               row_number() OVER (PARTITION BY g.event_type
+                                  ORDER BY g.bkt)::BIGINT AS t
+        FROM grid g LEFT JOIN agg a
+          ON a.event_type = g.event_type AND a.bkt = g.bkt
+    ),
+    ext AS (
+        SELECT *,
+               CASE WHEN y IS NOT NULL THEN t END AS obs_t,
+               last_value(y IGNORE NULLS) OVER wp AS y_prev,
+               last_value(CASE WHEN y IS NOT NULL THEN t END
+                          IGNORE NULLS) OVER wp AS t_prev,
+               first_value(y IGNORE NULLS) OVER wn AS y_next,
+               first_value(CASE WHEN y IS NOT NULL THEN t END
+                           IGNORE NULLS) OVER wn AS t_next
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY bkt
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY bkt
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bkt AS bucket_ts,
+           coalesce(n_events, 0)::BIGINT AS n_events,
+           y AS avg_q4,
+           (CASE WHEN y IS NOT NULL THEN y
+                 WHEN y_prev IS NULL THEN y_next
+                 WHEN y_next IS NULL THEN y_prev
+                 ELSE y_prev + (y_next - y_prev) * (t - t_prev)
+                      // (t_next - t_prev) END)::BIGINT AS interp_q4,
+           n_events IS NULL AS gap_filled
+    FROM ext
 """
 
 # Rollup cascade: coarser levels re-aggregate the finer CTE (never the

@@ -2633,3 +2633,70 @@ def test_mutual_knn_pairs_invariants(spark, sf_dir):
         assert 1 <= r["rank_ab"] <= _MUTUAL_K
         assert 1 <= r["rank_ba"] <= _MUTUAL_K
         assert -1.0 <= r["cos"] <= 1.0
+
+
+def test_gapfill_interp_hand_fixture_both_engines(spark, tmp_path):
+    """Linear interpolation across a real 2-hour gap: interior gap
+    ticks get the straight line between surrounding observed buckets
+    (with truncating division visible on a non-divisible delta), the
+    observed ticks pass through untouched, and the DuckDB oracle
+    reproduces the exact integer rows."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.windows_ext import (
+        ORACLES,
+        events_gapfill_interp,
+    )
+
+    def at(hh):
+        return dt.datetime(2026, 4, 1, hh, 15, 0)
+
+    # type a: observed h0=10, h1=20, h4=50 → gap h2,h3 on the 20→50 line
+    # type b: observed h0=10, h3=14 → gap h1,h2 with truncating thirds
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a", "b", "b"]),
+            "ts": pa.array(
+                [at(0), at(1), at(4), at(0), at(3)], pa.timestamp("us")
+            ),
+            "value": pa.array([10.0, 20.0, 50.0, 10.0, 14.0], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    rows = {
+        (r["event_type"], r["bucket_ts"].hour): (
+            r["n_events"],
+            r["avg_q4"],
+            r["interp_q4"],
+            r["gap_filled"],
+        )
+        for r in events_gapfill_interp(spark, str(tmp_path)).collect()
+    }
+    assert rows[("a", 0)] == (1, 100000, 100000, False)
+    assert rows[("a", 1)] == (1, 200000, 200000, False)
+    # 20→50 over t=2..5: +300000 across 3 ticks → +100000 per tick
+    assert rows[("a", 2)] == (0, None, 300000, True)
+    assert rows[("a", 3)] == (0, None, 400000, True)
+    assert rows[("a", 4)] == (1, 500000, 500000, False)
+    # 10→14 over 3 ticks: +40000·k div 3 truncates
+    assert rows[("b", 1)] == (0, None, 113333, True)
+    assert rows[("b", 2)] == (0, None, 126666, True)
+    assert len(rows) == 9
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet')"
+    )
+    oracle = {
+        (t, b.hour): (n, y, iq, g)
+        for t, b, n, y, iq, g in con.execute(
+            ORACLES["events_gapfill_interp"]
+        ).fetchall()
+    }
+    assert oracle == rows
