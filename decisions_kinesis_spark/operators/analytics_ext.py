@@ -595,6 +595,99 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_CENSOR_DAYS = 60  # observation cutoff: max ship date minus this
+
+
+def orders_kaplan_meier_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for order time-to-first-ship WITH
+    right censoring — the survival-analysis family (churn,
+    time-to-event, reliability) the monitoring stack lacked: per
+    elapsed day t, the risk set, event and censor counts, and the
+    product-limit survival estimate Ŝ(t) = Π_{s≤t} (n_s − d_s)/n_s.
+
+    Censoring contract: the observation window closes
+    ``_KM_CENSOR_DAYS`` before the corpus' max ship date; an order
+    first-shipped after the cutoff is CENSORED at (cutoff − orderdate)
+    — still at risk up to that day, contributing no event — and an
+    order PLACED after the cutoff is out of the study.  Events at t
+    precede censorings at t (the standard convention): both leave the
+    risk set after day t's factor.
+
+    Exactness: the product limit is folded in integer ppm —
+    ``surv ← surv·(n_t − d_t) div n_t`` at event days only — so both
+    engines agree to the digit (truncating div, no float product).
+    The DuckDB oracle replays the identical fold as a recursive CTE
+    (the ``events_holt_linear`` discipline).
+
+    Scale: per-order first-ship collapses lineitem map-side; the study
+    frame is one bounded aggregation; the day table is BOUNDED BY THE
+    DAY AXIS (max observed lead time, ~a quarter of calendar days),
+    so the single collected fold array is O(days), independent of
+    order count — the calendar-bounded pattern every monitor here
+    uses.  |surv·n| ≤ 10⁶·N keeps the fold in bigint to ~9×10¹²
+    orders.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship0")
+    )
+    cutoff = li.agg(
+        F.date_sub(
+            F.max(F.col("l_shipdate").cast("date")), _KM_CENSOR_DAYS
+        ).alias("cut")
+    )
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    study = (
+        od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("od") <= F.col("cut"))
+        .select(
+            F.expr(
+                "if(cast(ship0 as date) <= cut,"
+                " datediff(cast(ship0 as date), od),"
+                " datediff(cut, od))"
+            ).cast("bigint").alias("t_days"),
+            F.expr("cast(ship0 as date) <= cut").alias("is_event"),
+        )
+    )
+    days = study.groupBy("t_days").agg(
+        F.sum(F.expr("if(is_event, 1L, 0L)")).alias("d"),
+        F.sum(F.expr("if(is_event, 0L, 1L)")).alias("c"),
+    )
+    # the day table is bounded by the maximum lead time (a calendar
+    # quantity), so one sorted array + integer fold is O(days) work
+    folded = days.agg(
+        F.expr(
+            "aggregate("
+            " array_sort(collect_list(named_struct("
+            "   't_days', t_days, 'd', d, 'c', c))),"
+            " named_struct("
+            "   'nrem', sum(d) + sum(c), 'surv', 1000000L,"
+            "   'out', cast(array() as array<struct<"
+            "     t_days: bigint, n_at_risk: bigint, n_events: bigint,"
+            "     n_censored: bigint, surv_ppm: bigint>>)),"
+            " (s, x) -> named_struct("
+            "   'nrem', s.nrem - x.d - x.c,"
+            "   'surv', if(x.d > 0,"
+            "     s.surv * (s.nrem - x.d) div s.nrem, s.surv),"
+            "   'out', array_append(s.out, named_struct("
+            "     't_days', x.t_days, 'n_at_risk', s.nrem,"
+            "     'n_events', x.d, 'n_censored', x.c,"
+            "     'surv_ppm', if(x.d > 0,"
+            "       s.surv * (s.nrem - x.d) div s.nrem, s.surv)))),"
+            " s -> s.out)"
+        ).alias("curve")
+    )
+    return folded.select(F.explode("curve").alias("r")).select(
+        "r.t_days", "r.n_at_risk", "r.n_events", "r.n_censored",
+        "r.surv_ppm",
+    )
+
+
 def orders_scd2_ship_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD TYPE-2 interval construction — the warehouse dimension-
     versioning shape (valid_from / valid_to / is_current) built from a
@@ -1565,6 +1658,7 @@ QUERIES = {
     "events_top_paths": events_top_paths,
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "orders_scd2_ship_history": orders_scd2_ship_history,
+    "orders_kaplan_meier_ship": orders_kaplan_meier_ship,
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_revenue_gini": customer_revenue_gini,
     "events_hourly_trend_ols": events_hourly_trend_ols,
@@ -1765,6 +1859,57 @@ ORACLES = {
         JOIN med USING (event_type)
         JOIN icept USING (event_type)
         WHERE np.n_points >= 2
+    """,
+    "orders_kaplan_meier_ship": f"""
+        WITH RECURSIVE fs AS (
+            SELECT l_orderkey, min(l_shipdate) AS ship0
+            FROM lineitem GROUP BY 1
+        ),
+        cut AS (
+            SELECT (max(l_shipdate)::DATE
+                    - INTERVAL {_KM_CENSOR_DAYS} DAY)::DATE AS cut
+            FROM lineitem
+        ),
+        study AS (
+            SELECT (CASE WHEN fs.ship0::DATE <= c.cut
+                         THEN date_diff('day', o.o_orderdate::DATE,
+                                        fs.ship0::DATE)
+                         ELSE date_diff('day', o.o_orderdate::DATE,
+                                        c.cut) END)::BIGINT AS t_days,
+                   fs.ship0::DATE <= c.cut AS is_event
+            FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey, cut c
+            WHERE o.o_orderdate::DATE <= c.cut
+        ),
+        days AS (
+            SELECT t_days,
+                   sum(CASE WHEN is_event THEN 1 ELSE 0 END)::BIGINT AS d,
+                   sum(CASE WHEN is_event THEN 0 ELSE 1 END)::BIGINT AS c
+            FROM study GROUP BY t_days
+        ),
+        idx AS (
+            SELECT t_days, d, c,
+                   row_number() OVER (ORDER BY t_days)::BIGINT AS i
+            FROM days
+        ),
+        tot AS (SELECT sum(d + c)::BIGINT AS n FROM days),
+        rec AS (
+            SELECT i.i, i.t_days, i.d, i.c, t.n AS n_at_risk,
+                   (CASE WHEN i.d > 0
+                         THEN 1000000 * (t.n - i.d) // t.n
+                         ELSE 1000000 END)::BIGINT AS surv,
+                   (t.n - i.d - i.c)::BIGINT AS nrem
+            FROM idx i, tot t WHERE i.i = 1
+            UNION ALL
+            SELECT i.i, i.t_days, i.d, i.c, r.nrem,
+                   (CASE WHEN i.d > 0
+                         THEN r.surv * (r.nrem - i.d) // r.nrem
+                         ELSE r.surv END)::BIGINT,
+                   (r.nrem - i.d - i.c)::BIGINT
+            FROM rec r JOIN idx i ON i.i = r.i + 1
+        )
+        SELECT t_days, n_at_risk, d AS n_events, c AS n_censored,
+               surv AS surv_ppm
+        FROM rec
     """,
     "orders_scd2_ship_history": """
         WITH li AS (

@@ -2700,3 +2700,68 @@ def test_gapfill_interp_hand_fixture_both_engines(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == rows
+
+
+def test_kaplan_meier_hand_fixture_both_engines(spark, tmp_path):
+    """Five-order study with a known product-limit curve: two events at
+    t=10 (S=3/5), one at t=20 (S=2/5), two right-censored at the
+    cutoff (risk set shrinks, survival unchanged) — and the min() over
+    a second, later lineitem ship keeps first-ship semantics honest.
+    Both engines must produce the identical integer rows."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        ORACLES,
+        orders_kaplan_meier_ship,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+
+    def day(n):
+        return base + dt.timedelta(days=n)
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_orderdate": pa.array([base] * 5, pa.timestamp("us")),
+        }
+    )
+    # max ship = day 100 → cutoff = day 40; orders 4/5 ship after it
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3, 4, 5], pa.int64()),
+            "l_shipdate": pa.array(
+                [day(10), day(15), day(10), day(20), day(90), day(100)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+
+    expect = [
+        (10, 5, 2, 0, 600000),  # 1e6·3 div 5
+        (20, 3, 1, 0, 400000),  # 600000·2 div 3
+        (40, 2, 0, 2, 400000),  # censor-only day: risk set only
+    ]
+    rows = sorted(
+        (r["t_days"], r["n_at_risk"], r["n_events"], r["n_censored"],
+         r["surv_ppm"])
+        for r in orders_kaplan_meier_ship(spark, str(tmp_path)).collect()
+    )
+    assert rows == expect
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/{t}.parquet')"
+        )
+    oracle = sorted(
+        con.execute(ORACLES["orders_kaplan_meier_ship"]).fetchall()
+    )
+    assert oracle == expect
