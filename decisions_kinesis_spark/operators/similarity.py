@@ -261,20 +261,22 @@ def ann_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal itself and is kept observable in the output.
 
     Scale: the directed candidate frame is an equi-join on the
-    scan-side LSH bucket key (~N²/2^planes pairs, the standard banded
-    topology — never all-pairs); the per-vector top-k is a bounded
-    window inside each bucket's candidate list; the mutuality join is
-    an equi-join on the (a, b) key pair of two rank-≤k frames, each at
-    most k·N rows.  More planes (or multiprobe) hold the bucket
-    population flat as N grows — the same knob the ann_lsh_* family
-    documents.
+    scan-side LSH bucket key with the plane count DERIVED FROM CORPUS
+    SIZE (ceil(log2(N/64)) clamped to [2,16], the
+    ``dedup_embedding_cosine`` discipline), so the expected bucket
+    population — and the per-bucket quadratic pair term — stays
+    ~constant as N grows instead of going quadratic at a fixed bucket
+    count; the per-vector top-k is a bounded window inside each
+    bucket's candidate list; the mutuality join is an equi-join on the
+    (a, b) key pair of two rank-≤k frames, each at most k·N rows.
     """
     emb = (
         load_table(spark, "embeddings", sf_dir)
         .select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("nv", F.expr(_NORM.format(v="v")))
     )
-    bucketed = emb.withColumn("bucket", _bucket_expr())
+    nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))
+    bucketed = emb.withColumn("bucket", _bucket_expr(nbits))
     left = bucketed.select(
         F.col("vec_id").alias("a_id"),
         F.col("v").alias("av"),
@@ -1413,7 +1415,17 @@ ORACLES = {
     """,
     "ann_mutual_knn_pairs": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        bucketed AS (SELECT vec_id, v, ({_DUCK_BUCKET})::BIGINT AS bucket FROM e),
+        p AS (
+            SELECT least({_MAX_PLANES}, greatest(2,
+                   ceil(log2(count(*) / {_DEDUP_TARGET_BUCKET}.0))::INT)) AS nbits
+            FROM embeddings
+        ),
+        bucketed AS (
+            SELECT vec_id, v,
+                   (({_duck_bucket(_MAX_PLANES)})
+                    % (1::BIGINT << (SELECT nbits FROM p)))::BIGINT AS bucket
+            FROM e
+        ),
         d AS (
             SELECT a.vec_id AS a_id, q.vec_id AS b_id,
                    round(list_dot_product(a.v, q.v) /
