@@ -800,6 +800,45 @@ def json_typed_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT tier of the JSON family: ``parse_json`` ingests
+    the payload ONCE into the binary VARIANT encoding (the open-format
+    semi-structured type Spark 4 / Delta / Iceberg v3 share), then
+    ``variant_get`` extracts typed paths without re-parsing per path —
+    the engine-native upgrade over per-path ``get_json_object`` string
+    walks (``json_typed_extraction`` is the from_json/schema cousin;
+    the filter DSL keeps reference-exact string semantics).
+    ``try_parse_json`` over a deliberately truncated copy (closing
+    brace dropped) exercises the malformed→NULL contract — truncating
+    the TAIL, not the head, because Spark's parser accepts a valid
+    JSON scalar prefix and ignores trailing text after a string
+    literal, while an unterminated object is malformed on both
+    engines.
+
+    Scale: parse + extraction are scan-side codegen'd expressions (one
+    binary parse per row, k pointer walks per path); the only shuffle
+    is the |types|-key aggregate, map-side combined.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+        F.try_parse_json(
+            F.expr("substring(props, 1, length(props) - 1)")
+        ).alias("bad"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.variant_get("v", "$.k", "bigint")).cast("bigint").alias(
+            "sum_k"
+        ),
+        F.max(F.variant_get("v", "$.k", "bigint")).cast("bigint").alias(
+            "max_k"
+        ),
+        F.sum(F.expr("if(bad is null, 1L, 0L)")).alias("n_malformed"),
+    )
+
+
 def scalar_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-handling and conditional scalars over the outer-join shape
     that actually produces NULLs: coalesce / nullif / nvl2-style CASE /
@@ -2522,6 +2561,7 @@ QUERIES = {
     "scalar_date_suite": scalar_date_suite,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "json_typed_extraction": json_typed_extraction,
+    "json_variant_extraction": json_variant_extraction,
     "scalar_conditional_suite": scalar_conditional_suite,
     "json_nested_array_extraction": json_nested_array_extraction,
 }
@@ -3176,6 +3216,15 @@ ORACLES = {
         FROM events
         WHERE json_extract(props, '$.k')::BIGINT > 50
         GROUP BY event_type
+    """,
+    "json_variant_extraction": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+               max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k,
+               sum(CASE WHEN json_valid(substr(props, 1,
+                                               length(props) - 1)) THEN 0
+                        ELSE 1 END)::BIGINT AS n_malformed
+        FROM events GROUP BY event_type
     """,
 }
 

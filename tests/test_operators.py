@@ -2765,3 +2765,33 @@ def test_kaplan_meier_hand_fixture_both_engines(spark, tmp_path):
         con.execute(ORACLES["orders_kaplan_meier_ship"]).fetchall()
     )
     assert oracle == expect
+
+
+def test_json_variant_malformed_contract(spark, sf_dir):
+    """Pin the parser truth table the variant query's malformed probe
+    depends on: Spark's try_parse_json accepts a valid JSON scalar
+    PREFIX (trailing text after a string literal is ignored — the
+    reason the probe truncates the tail, not the head), while an
+    unterminated object is NULL; and on real data every truncated
+    payload counts malformed."""
+    from pyspark.sql import functions as F
+
+    from decisions_kinesis_spark.operators.relational import (
+        json_variant_extraction,
+    )
+
+    probe = {
+        r["s"]: r["ok"]
+        for r in spark.createDataFrame(
+            [('"k": 69}',), ('{"k": 69',)], "s string"
+        )
+        .select("s", F.try_parse_json("s").isNotNull().alias("ok"))
+        .collect()
+    }
+    assert probe == {'"k": 69}': True, '{"k": 69': False}
+
+    rows = json_variant_extraction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_malformed"] == r["n"]
+        assert r["max_k"] <= 99 and r["sum_k"] >= r["max_k"]
