@@ -1037,16 +1037,25 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p1.x").alias("x1"),
         F.col("p2.x").alias("x2"),
     )
-    wp = Window.partitionBy("event_type")
-    wm = wp.orderBy("slope", "x1", "x2")
+    # lower median via one gathered sort_array per type instead of a
+    # row_number window + count window (two passes over the pair
+    # frame): same shuffle volume, no per-partition sort machinery —
+    # measured 5.6 s → 2.5 s at sf0.1.  The gathered array is the
+    # calendar²-bounded pair list, the documented bound above.
     med = (
-        pairs.withColumn("rk", F.row_number().over(wm))
-        .withColumn("m", F.count("*").over(wp))
-        .filter(F.col("rk") == F.expr("(m + 1) div 2"))
+        pairs.groupBy("event_type")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(named_struct("
+                " 's', slope, 'x1', x1, 'x2', x2)))"
+            ).alias("sl")
+        )
         .select(
             "event_type",
-            F.col("m").alias("n_pairs"),
-            F.col("slope").alias("slope_ppm"),
+            F.expr("size(sl)").cast("bigint").alias("n_pairs"),
+            F.expr(
+                "element_at(sl, cast((size(sl) + 1) div 2 as int)).s"
+            ).alias("slope_ppm"),
         )
     )
     resid = pts.join(F.broadcast(med), "event_type").select(
@@ -1054,12 +1063,19 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.expr("y * 1000000 - slope_ppm * x").alias("r"),
     )
-    wr = wp.orderBy("r", "x")
     icept = (
-        resid.withColumn("rk", F.row_number().over(wr))
-        .withColumn("m", F.count("*").over(wp))
-        .filter(F.col("rk") == F.expr("(m + 1) div 2"))
-        .select("event_type", F.col("r").alias("intercept_ppm"))
+        resid.groupBy("event_type")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(named_struct('r', r, 'x', x)))"
+            ).alias("rl")
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "element_at(rl, cast((size(rl) + 1) div 2 as int)).r"
+            ).alias("intercept_ppm"),
+        )
     )
     npts = pts.groupBy("event_type").agg(F.count("*").alias("n_points"))
     return (

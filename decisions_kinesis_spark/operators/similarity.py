@@ -245,6 +245,64 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MUTUAL_K = 3  # directed-neighbor rank bound for mutuality
+_CQ = 10_000  # ×10⁴ quantization for the centered integer LSH
+
+
+def _centered_int_buckets(emb: DataFrame, nbits: int) -> DataFrame:
+    """MEAN-CENTERED integer hyperplane LSH bucket per vector.
+
+    Sign-hyperplane LSH degenerates on non-centered data: a dominant
+    mean direction puts most vectors on the same side of most planes
+    (the 20× scale smoke measured ONE bucket holding 77% of a shifted
+    corpus — ~10⁹ candidate pairs).  Centering removes the mean
+    direction, which carries no cosine discrimination, so sign bits
+    split near-evenly again.
+
+    Everything is exact integer arithmetic so both engines compute the
+    IDENTICAL bucket id (the float version's ``dot > 0`` is a
+    cross-engine tie risk near zero): components quantize to
+    ``floor(x·10⁴ + 0.5)`` bigints, the per-dimension mean is the
+    truncating integer mean, and each ±1-plane projection is a bigint
+    sum of centered components (|c| ≤ 2·10⁴·√N̄ stays far inside
+    bigint).  The mean frame is one 64-row reduction broadcast back —
+    two scan passes, no shuffle of the corpus itself.
+
+    Input: frame with (vec_id, v: array<double>); output adds
+    ``qv`` (quantized ints) and ``bucket``.
+    """
+    q = emb.withColumn(
+        "qv",
+        F.expr(
+            f"transform(v, x -> cast(floor(x * {_CQ} + 0.5) as bigint))"
+        ),
+    )
+    mean = (
+        q.select(F.posexplode("qv").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                " named_struct('pos', pos, 'm', s div n))), y -> y.m)"
+            ).alias("mq")
+        )
+    )
+    centered = q.crossJoin(F.broadcast(mean)).withColumn(
+        "cv", F.expr("zip_with(qv, mq, (x, m) -> x - m)")
+    )
+    planes = []
+    for b in range(nbits):
+        signs = "array(" + ", ".join(
+            f"{int(s)}L" for s in _plane_signs(b)
+        ) + ")"
+        proj = (
+            f"aggregate(zip_with(cv, {signs}, (x, s) -> x * s),"
+            f" 0L, (acc, x) -> acc + x)"
+        )
+        planes.append(f"(case when ({proj}) > 0 then {1 << b} else 0 end)")
+    return centered.withColumn(
+        "bucket", F.expr(" + ".join(planes)).cast("bigint")
+    ).drop("qv", "mq", "cv")
 
 
 def ann_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,8 +319,11 @@ def ann_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal itself and is kept observable in the output.
 
     Scale: the directed candidate frame is an equi-join on the
-    scan-side LSH bucket key with the plane count DERIVED FROM CORPUS
-    SIZE (ceil(log2(N/64)) clamped to [2,16], the
+    MEAN-CENTERED integer LSH bucket key (``_centered_int_buckets`` —
+    centering keeps sign bits balanced on corpora with a dominant mean
+    direction, where raw sign-LSH collapses into one giant bucket; the
+    20× smoke caught exactly that) with the plane count DERIVED FROM
+    CORPUS SIZE (ceil(log2(N/64)) clamped to [2,16], the
     ``dedup_embedding_cosine`` discipline), so the expected bucket
     population — and the per-bucket quadratic pair term — stays
     ~constant as N grows instead of going quadratic at a fixed bucket
@@ -276,7 +337,7 @@ def ann_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nv", F.expr(_NORM.format(v="v")))
     )
     nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))
-    bucketed = emb.withColumn("bucket", _bucket_expr(nbits))
+    bucketed = _centered_int_buckets(emb, nbits)
     left = bucketed.select(
         F.col("vec_id").alias("a_id"),
         F.col("v").alias("av"),
@@ -1023,6 +1084,46 @@ def _duck_bucket(n_planes: int = _N_PLANES) -> str:
 
 _DUCK_BUCKET = _duck_bucket()
 
+
+def _duck_centered_bucket(n_planes: int = _MAX_PLANES) -> str:
+    """DuckDB replay of ``_centered_int_buckets``' plane bits over a
+    ``cv`` (centered quantized bigint list) column — exact integer
+    projections, identical bucket ids by construction."""
+    parts = []
+    for b in range(n_planes):
+        signs = "[" + ", ".join(str(int(s)) for s in _plane_signs(b)) + "]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {_N_DIMS + 1}),"
+            f" i -> cv[i] * ({signs}::BIGINT[])[i])) > 0"
+            f" THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+#: shared oracle CTE chain: quantize → truncated integer per-dim mean →
+#: centered components → 16-plane integer bucket (mod 2^nbits applied
+#: at the use site)
+_DUCK_CENTERED_CTES = f"""eq AS (
+            SELECT vec_id, v,
+                   list_transform(v,
+                       x -> floor(x * {_CQ} + 0.5)::BIGINT) AS q
+            FROM e
+        ),
+        mu AS (
+            SELECT list(m ORDER BY pos) AS mq
+            FROM (SELECT ps.pos,
+                         sum(q[ps.pos])::BIGINT // count(*) AS m
+                  FROM eq,
+                       (SELECT unnest(range(1, {_N_DIMS + 1})) AS pos) ps
+                  GROUP BY ps.pos)
+        ),
+        cb AS (
+            SELECT vec_id, v,
+                   list_transform(range(1, {_N_DIMS + 1}),
+                       i -> q[i] - mq[i]) AS cv
+            FROM eq, mu
+        )"""
+
 #: Shared CTE chain for the embedding near-dup pair graph (adaptive
 #: plane count = clamp(ceil(log2(N/64)), 2, 16), same formula as the
 #: engine) → `pairsel(vec_a, vec_b, cos)` at the 0.35 threshold.
@@ -1420,11 +1521,12 @@ ORACLES = {
                    ceil(log2(count(*) / {_DEDUP_TARGET_BUCKET}.0))::INT)) AS nbits
             FROM embeddings
         ),
+        {_DUCK_CENTERED_CTES},
         bucketed AS (
             SELECT vec_id, v,
-                   (({_duck_bucket(_MAX_PLANES)})
+                   (({_duck_centered_bucket()})
                     % (1::BIGINT << (SELECT nbits FROM p)))::BIGINT AS bucket
-            FROM e
+            FROM cb
         ),
         d AS (
             SELECT a.vec_id AS a_id, q.vec_id AS b_id,

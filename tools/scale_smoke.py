@@ -10,10 +10,14 @@ single-reducer stage.
 
 Replicas are deterministically perturbed so they are NOT near-dups of
 their originals (every 3rd token is suffixed with the replica id →
-token-set Jaccard ≈ 0.5, below the dedup thresholds; embeddings get a
-per-replica deterministic offset on one component).  This keeps the
-candidate-pair volume realistic instead of exploding it artificially
-with 20-way exact duplicates.
+token-set Jaccard ≈ 0.5, below the dedup thresholds; embeddings are
+CIRCULARLY ROTATED by the replica id — norm- and marginal-preserving,
+and a rotated copy's cosine to its original is ~random-vector-level,
+unlike the earlier single-component offset which (a) left replicas
+cosine-near-duplicates and (b) shifted the global mean by ±7 vs the
+±0.5 component scale, collapsing sign-LSH into one bucket).  This
+keeps the candidate-pair volume realistic instead of exploding it
+artificially with 20-way duplicates.
 
 Usage:  python tools/scale_smoke.py [K] [op ...]
 Writes replicated parquet under .scale_smoke/ (gitignored) and prints
@@ -63,13 +67,13 @@ def build_replica(spark, k: int) -> str:
     from under each other."""
     # clean stale pre-v2 replica trees (the legacy k{k} layout) so the
     # cache dir doesn't silently accumulate dead copies
-    legacy = f"{OUT}/k{k}"
-    if os.path.isdir(legacy):
-        print(f"removing stale legacy replica dir {legacy}")
-        # tolerate a concurrent run racing the same cleanup — losing
-        # the race must not kill this run (the reuse guarantee above)
-        shutil.rmtree(legacy, ignore_errors=True)
-    out = f"{OUT}/k{k}v2"
+    for legacy in (f"{OUT}/k{k}", f"{OUT}/k{k}v2"):
+        if os.path.isdir(legacy):
+            print(f"removing stale legacy replica dir {legacy}")
+            # tolerate a concurrent run racing the same cleanup —
+            # losing the race must not kill this run
+            shutil.rmtree(legacy, ignore_errors=True)
+    out = f"{OUT}/k{k}v3"
     if os.path.isdir(f"{out}/_DONE"):
         return out
     if os.path.isdir(out):
@@ -99,9 +103,12 @@ def build_replica(spark, k: int) -> str:
         .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 1_000_000)
         .withColumn(
             "embedding",
+            # circular rotation by rep: norm/marginal-preserving, and
+            # rotated copies decorrelate in cosine (rep < 20 < dims)
             F.expr(
-                "transform(embedding, (x, i) -> if(i = 0,"
-                " cast(x + rep * 0.37 as float), x))"
+                "if(rep = 0, embedding, concat("
+                " slice(embedding, rep + 1, size(embedding) - rep),"
+                " slice(embedding, 1, rep)))"
             ),
         )
         .drop("rep")
