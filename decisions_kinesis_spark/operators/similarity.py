@@ -384,6 +384,56 @@ def ann_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-balance DIAGNOSTIC: for the raw float sign-LSH and
+    the mean-centered integer LSH (both at the adaptive plane count),
+    the population statistics that decide whether bucketed pair
+    generation is linear or quadratic — bucket count, max/total
+    population, the implied directed candidate-pair count Σc², and the
+    skew versus a perfectly uniform assignment in ppm
+    (Σc² · buckets · 10⁶ div N²; 10⁶ = uniform).
+
+    This is the observability counterpart of ``ann_recall_at_k``: that
+    one calibrates index RECALL, this one calibrates index COST — the
+    20× scale smoke caught raw sign-LSH collapsing a mean-shifted
+    corpus into one bucket (pair blowup ~436×), and this query makes
+    the same signal a queryable number on any corpus.
+
+    Scale: two scan-side bucket projections, two |buckets|-key
+    map-side-combining counts, constant-row output.
+    """
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))
+    schemes = (
+        ("raw_float", emb.withColumn("bucket", _bucket_expr(nbits))),
+        ("centered_int", _centered_int_buckets(emb, nbits)),
+    )
+    out = None
+    for name, bucketed in schemes:
+        counts = bucketed.groupBy("bucket").agg(F.count("*").alias("c"))
+        row = counts.agg(
+            F.lit(name).alias("scheme"),
+            F.lit(1 << nbits).cast("bigint").alias("n_buckets"),
+            F.count("*").alias("buckets_used"),
+            F.sum("c").alias("n_vectors"),
+            F.max("c").alias("max_bucket"),
+            F.sum(F.expr("c * c")).alias("directed_pairs"),
+        ).withColumn(
+            # decimal(38,0): pairs·buckets·10⁶ reaches ~10³⁴ at N=10⁶
+            "skew_ppm",
+            F.expr(
+                "cast(cast(directed_pairs as decimal(38,0)) * n_buckets"
+                " * 1000000 div (cast(n_vectors as decimal(38,0))"
+                " * n_vectors) as bigint)"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _argmin_assign(scored: DataFrame) -> DataFrame:
     """Nearest-centroid assignment from a (vec_id, v, nv, cent_id, ccos)
     frame: max ccos, ties to the smallest cent_id — via ``max_by`` over
@@ -1054,6 +1104,7 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_mutual_knn_pairs": ann_mutual_knn_pairs,
+    "ann_bucket_balance_audit": ann_bucket_balance_audit,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe2": ann_ivf_nprobe2,
     "ann_ivf_refined": ann_ivf_refined,
@@ -1548,6 +1599,40 @@ ORACLES = {
         FROM knn e1 JOIN knn e2
           ON e1.a_id = e2.b_id AND e1.b_id = e2.a_id
         WHERE e1.a_id < e1.b_id
+    """,
+    "ann_bucket_balance_audit": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+            SELECT least({_MAX_PLANES}, greatest(2,
+                   ceil(log2(count(*) / {_DEDUP_TARGET_BUCKET}.0))::INT)) AS nbits
+            FROM embeddings
+        ),
+        {_DUCK_CENTERED_CTES},
+        tagged AS (
+            SELECT 'raw_float' AS scheme,
+                   (({_duck_bucket(_MAX_PLANES)})
+                    % (1::BIGINT << (SELECT nbits FROM p)))::BIGINT AS bucket
+            FROM e
+            UNION ALL
+            SELECT 'centered_int',
+                   (({_duck_centered_bucket()})
+                    % (1::BIGINT << (SELECT nbits FROM p)))::BIGINT
+            FROM cb
+        ),
+        counts AS (
+            SELECT scheme, bucket, count(*)::BIGINT AS c
+            FROM tagged GROUP BY 1, 2
+        )
+        SELECT scheme,
+               (1::BIGINT << (SELECT nbits FROM p))::BIGINT AS n_buckets,
+               count(*)::BIGINT AS buckets_used,
+               sum(c)::BIGINT AS n_vectors,
+               max(c)::BIGINT AS max_bucket,
+               sum(c * c)::BIGINT AS directed_pairs,
+               (sum(c * c)::HUGEINT
+                * (1::BIGINT << (SELECT nbits FROM p)) * 1000000
+                // (sum(c)::HUGEINT * sum(c)))::BIGINT AS skew_ppm
+        FROM counts GROUP BY scheme
     """,
 }
 

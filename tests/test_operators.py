@@ -2795,3 +2795,24 @@ def test_json_variant_malformed_contract(spark, sf_dir):
     for r in rows:
         assert r["n_malformed"] == r["n"]
         assert r["max_k"] <= 99 and r["sum_k"] >= r["max_k"]
+
+
+def test_bucket_balance_audit_contract(spark, sf_dir):
+    """The balance audit's internal identities: populations sum to N,
+    Σc² bounds (uniform floor N²/buckets ≤ Σc² ≤ N·max_bucket), and
+    uniform assignment pins skew_ppm at 10⁶ — so a healthy centered
+    scheme sits within a small multiple of 10⁶."""
+    from decisions_kinesis_spark.operators.similarity import (
+        ann_bucket_balance_audit,
+    )
+
+    rows = {r["scheme"]: r for r in
+            ann_bucket_balance_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"raw_float", "centered_int"}
+    for r in rows.values():
+        assert r["buckets_used"] <= r["n_buckets"]
+        assert r["max_bucket"] <= r["n_vectors"]
+        assert r["directed_pairs"] <= r["n_vectors"] * r["max_bucket"]
+        # Σc² ≥ N²/buckets (Cauchy–Schwarz) ⇒ skew_ppm ≥ ~10⁶
+        assert r["skew_ppm"] >= 999_999 - r["n_buckets"]
+    assert rows["centered_int"]["n_vectors"] == rows["raw_float"]["n_vectors"]
