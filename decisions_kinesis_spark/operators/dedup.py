@@ -930,6 +930,57 @@ def dedup_quality_keeper(
     )
 
 
+def split_group_aware(
+    spark: SparkSession, sf_dir: str, driver_max_edges: int = 1_000_000
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val split: hash the near-dup CLUSTER, not the
+    document.  A per-doc hash split (``split_train_val``) puts two
+    near-duplicates on opposite sides of the split ~18% of the time —
+    the classic eval-contamination path (the val loss is measured on
+    paraphrases of training docs).  Here every document's group id is
+    its CC cluster label (singletons: own id), and the 90/10 md5 split
+    keys on the GROUP, so whole clusters land in one split by
+    construction.
+
+    Output per (split, is_clustered): docs, distinct groups, and the
+    id checksum that lets the oracle verify actual membership — same
+    reporting contract as the split_* family.  Runs over the same
+    injected-duplicates corpus as the rest of the dedup family.
+
+    Scale: one left join of the corpus against the CC frame (doc_id
+    co-partitioned), a scan-side md5 projection, and a
+    map-side-combining 4-group aggregate — the CC machinery's scale
+    story (banded LSH, no all-pairs) carries over unchanged.
+    """
+    docs = _with_injected_dups(
+        load_table(spark, "documents", sf_dir)
+    ).select("doc_id")
+    comps = dedup_components(spark, sf_dir, driver_max_edges)
+    g = docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.expr("coalesce(cluster, doc_id)").alias("group_id"),
+        F.col("cluster").isNotNull().alias("is_clustered"),
+    )
+    h = (
+        "cast(conv(substring(md5(cast(group_id as string)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    return (
+        g.withColumn(
+            "split",
+            F.when(F.expr(f"{h} % 100") < 90, F.lit("train")).otherwise(
+                F.lit("val")
+            ),
+        )
+        .groupBy("split", "is_clustered")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("group_id").alias("n_groups"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
 # cheap scan-shaped queries first, pair pipelines after, the iterative
 # components query (which contains the LSH pipeline) last
 QUERIES = {
@@ -941,6 +992,7 @@ QUERIES = {
     "dedup_minhash_estimate_calibration": dedup_minhash_estimate_calibration,
     "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
     "dedup_components": dedup_components,
+    "split_group_aware": split_group_aware,
     "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_quality_keeper": dedup_quality_keeper,
     "dedup_containment_pairs": dedup_containment_pairs,
@@ -1085,6 +1137,42 @@ ORACLES = {
         )
         SELECT node AS doc_id, min(label) AS cluster
         FROM reach GROUP BY node
+    """,
+    "split_group_aware": f"""
+        WITH RECURSIVE {_DUCK_LSH_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairsel
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairsel
+        ),
+        reach(node, label) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(label) AS cluster
+            FROM reach GROUP BY node
+        ),
+        aug AS (
+            SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 FROM documents WHERE doc_id < 20
+        ),
+        g AS (
+            SELECT a.doc_id,
+                   coalesce(c.cluster, a.doc_id) AS group_id,
+                   c.cluster IS NOT NULL AS is_clustered
+            FROM aug a LEFT JOIN comp c ON c.doc_id = a.doc_id
+        )
+        SELECT CASE WHEN ('0x' || substr(md5(group_id::VARCHAR), 1, 15))
+                         ::BIGINT % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split,
+               is_clustered,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT group_id)::BIGINT AS n_groups,
+               sum(doc_id)::BIGINT AS id_checksum
+        FROM g GROUP BY 1, 2
     """,
     "dedup_cluster_stats": f"""
         WITH RECURSIVE {_DUCK_LSH_CTES},

@@ -2816,3 +2816,39 @@ def test_bucket_balance_audit_contract(spark, sf_dir):
         # Σc² ≥ N²/buckets (Cauchy–Schwarz) ⇒ skew_ppm ≥ ~10⁶
         assert r["skew_ppm"] >= 999_999 - r["n_buckets"]
     assert rows["centered_int"]["n_vectors"] == rows["raw_float"]["n_vectors"]
+
+
+def test_group_aware_split_never_splits_a_cluster(spark, sf_dir):
+    """The leakage guard, asserted directly: every verified near-dup
+    pair lands on the SAME side of the split (their shared cluster id
+    is the hash key), and the report's totals cover the whole injected
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from decisions_kinesis_spark.operators.dedup import (
+        _with_injected_dups,
+        dedup_components,
+        dedup_minhash_lsh_pairs,
+        split_group_aware,
+    )
+    from decisions_kinesis_spark.sources.tables import load_table
+
+    h = (
+        "cast(conv(substring(md5(cast(cluster as string)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    side = dedup_components(spark, sf_dir).select(
+        "doc_id", F.expr(f"if({h} % 100 < 90, 'train', 'val')").alias("s")
+    )
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = side.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa")
+    b = side.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb")
+    crossers = pairs.join(a, "doc_a").join(b, "doc_b").where("sa <> sb")
+    assert crossers.count() == 0
+
+    rows = split_group_aware(spark, sf_dir).collect()
+    n_total = _with_injected_dups(
+        load_table(spark, "documents", sf_dir)
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert {r["split"] for r in rows} <= {"train", "val"}
