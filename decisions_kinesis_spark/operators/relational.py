@@ -677,6 +677,37 @@ def sql_recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_RECURSIVE_SUBTREE)
 
 
+def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: Spark 4 PIPE syntax (``|>``) — the q6-flavored
+    discount-revenue aggregate written as a linear pipeline
+    (FROM |> WHERE |> EXTEND |> AGGREGATE |> ORDER BY) instead of
+    nested SELECT.  Same Catalyst plan as the classic form (the parser
+    desugars before optimization), so pushdown/pruning/codegen are
+    identical — this pins the SURFACE, the semantics are q6's.
+
+    Scale: one predicate-pushed scan + one map-side-combining 2-key
+    aggregate; DECIMAL money arithmetic end-to-end.
+    """
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE'1996-01-01'
+           AND l_shipdate < DATE'1997-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.09
+           AND l_quantity < 25
+        |> EXTEND cast(l_extendedprice AS DECIMAL(18,2))
+                  * cast(l_discount AS DECIMAL(18,2)) AS disc_rev
+        |> AGGREGATE count(*) AS n_lines,
+                     cast(sum(disc_rev) AS DECIMAL(18,4)) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
 #: cents-exact retail price (money-quantization discipline)
 _P_CENTS_SPARK = "cast(floor(p_retailprice * 100 + 0.5) as bigint)"
 _P_CENTS_DUCK = "floor(p_retailprice * 100 + 0.5)::BIGINT"
@@ -2557,6 +2588,7 @@ QUERIES = {
     "agg_array_collect": agg_array_collect,
     "sql_cte_correlated": sql_cte_correlated,
     "sql_recursive_subtree_rollup": sql_recursive_subtree_rollup,
+    "sql_pipe_syntax_revenue": sql_pipe_syntax_revenue,
     "sql_null_semantics_audit": sql_null_semantics_audit,
     "scalar_date_suite": scalar_date_suite,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -3119,6 +3151,21 @@ ORACLES = {
     # fully portable ANSI — both engines implement the three-valued
     # NOT IN semantics the query audits
     "sql_null_semantics_audit": _SQL_NULL_SEMANTICS,
+    # pipe syntax is Spark-4 surface sugar; the oracle is the classic
+    # form of the same aggregate (identical semantics by construction)
+    "sql_pipe_syntax_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_lines,
+               (sum(l_extendedprice::DECIMAL(18,2)
+                    * l_discount::DECIMAL(18,2)))::DECIMAL(18,4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 25
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
     # WITH RECURSIVE is portable; only integer division differs
     # (Spark `div`, DuckDB `//`) — plus BIGINT output pinning.
     "sql_recursive_subtree_rollup": f"""

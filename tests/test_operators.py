@@ -2852,3 +2852,22 @@ def test_group_aware_split_never_splits_a_cluster(spark, sf_dir):
     ).count()
     assert sum(r["n_docs"] for r in rows) == n_total
     assert {r["split"] for r in rows} <= {"train", "val"}
+
+
+def test_pipe_syntax_desugars_to_pushed_scan(spark, sf_dir):
+    """Spark 4 pipe syntax is parser sugar: the q6-flavored pipe query
+    still pushes its date/discount/quantity predicates into the
+    parquet scan and aggregates map-side — same physical plan class as
+    the classic form."""
+    from decisions_kinesis_spark.operators.relational import (
+        sql_pipe_syntax_revenue,
+    )
+
+    df = sql_pipe_syntax_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    rows = df.collect()
+    assert rows == sorted(
+        rows, key=lambda r: (r["l_returnflag"], r["l_linestatus"])
+    )
