@@ -688,6 +688,84 @@ def orders_kaplan_meier_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_km_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED Kaplan–Meier: the time-to-first-ship survival curve
+    of ``orders_kaplan_meier_ship`` computed independently per order
+    priority — the standard cohort-comparison form of the estimator
+    (does '1-URGENT' actually ship faster, survival-wise, than
+    '5-LOW'?).  Same censoring contract (global cutoff at max ship −
+    ``_KM_CENSOR_DAYS``), same integer-ppm product-limit fold, one
+    fold per stratum.
+
+    Scale: identical to the global curve except the fold array is
+    per-stratum — |strata| × O(days) gathered rows, each stratum's
+    risk table bounded by the calendar lead-time axis; lineitem still
+    collapses map-side and the stratum key rides the one aggregation.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship0")
+    )
+    cutoff = li.agg(
+        F.date_sub(
+            F.max(F.col("l_shipdate").cast("date")), _KM_CENSOR_DAYS
+        ).alias("cut")
+    )
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    study = (
+        od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("od") <= F.col("cut"))
+        .select(
+            "priority",
+            F.expr(
+                "if(cast(ship0 as date) <= cut,"
+                " datediff(cast(ship0 as date), od),"
+                " datediff(cut, od))"
+            ).cast("bigint").alias("t_days"),
+            F.expr("cast(ship0 as date) <= cut").alias("is_event"),
+        )
+    )
+    days = study.groupBy("priority", "t_days").agg(
+        F.sum(F.expr("if(is_event, 1L, 0L)")).alias("d"),
+        F.sum(F.expr("if(is_event, 0L, 1L)")).alias("c"),
+    )
+    folded = days.groupBy("priority").agg(
+        F.expr(
+            "aggregate("
+            " array_sort(collect_list(named_struct("
+            "   't_days', t_days, 'd', d, 'c', c))),"
+            " named_struct("
+            "   'nrem', sum(d) + sum(c), 'surv', 1000000L,"
+            "   'out', cast(array() as array<struct<"
+            "     t_days: bigint, n_at_risk: bigint, n_events: bigint,"
+            "     n_censored: bigint, surv_ppm: bigint>>)),"
+            " (s, x) -> named_struct("
+            "   'nrem', s.nrem - x.d - x.c,"
+            "   'surv', if(x.d > 0,"
+            "     s.surv * (s.nrem - x.d) div s.nrem, s.surv),"
+            "   'out', array_append(s.out, named_struct("
+            "     't_days', x.t_days, 'n_at_risk', s.nrem,"
+            "     'n_events', x.d, 'n_censored', x.c,"
+            "     'surv_ppm', if(x.d > 0,"
+            "       s.surv * (s.nrem - x.d) div s.nrem, s.surv)))),"
+            " s -> s.out)"
+        ).alias("curve")
+    )
+    return folded.select(
+        "priority", F.explode("curve").alias("r")
+    ).select(
+        "priority", "r.t_days", "r.n_at_risk", "r.n_events",
+        "r.n_censored", "r.surv_ppm",
+    )
+
+
 def orders_scd2_ship_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD TYPE-2 interval construction — the warehouse dimension-
     versioning shape (valid_from / valid_to / is_current) built from a
@@ -1675,6 +1753,7 @@ QUERIES = {
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "orders_scd2_ship_history": orders_scd2_ship_history,
     "orders_kaplan_meier_ship": orders_kaplan_meier_ship,
+    "orders_km_by_priority": orders_km_by_priority,
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_revenue_gini": customer_revenue_gini,
     "events_hourly_trend_ols": events_hourly_trend_ols,
@@ -1925,6 +2004,64 @@ ORACLES = {
         )
         SELECT t_days, n_at_risk, d AS n_events, c AS n_censored,
                surv AS surv_ppm
+        FROM rec
+    """,
+    "orders_km_by_priority": f"""
+        WITH RECURSIVE fs AS (
+            SELECT l_orderkey, min(l_shipdate) AS ship0
+            FROM lineitem GROUP BY 1
+        ),
+        cut AS (
+            SELECT (max(l_shipdate)::DATE
+                    - INTERVAL {_KM_CENSOR_DAYS} DAY)::DATE AS cut
+            FROM lineitem
+        ),
+        study AS (
+            SELECT o.o_orderpriority AS priority,
+                   (CASE WHEN fs.ship0::DATE <= c.cut
+                         THEN date_diff('day', o.o_orderdate::DATE,
+                                        fs.ship0::DATE)
+                         ELSE date_diff('day', o.o_orderdate::DATE,
+                                        c.cut) END)::BIGINT AS t_days,
+                   fs.ship0::DATE <= c.cut AS is_event
+            FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey, cut c
+            WHERE o.o_orderdate::DATE <= c.cut
+        ),
+        days AS (
+            SELECT priority, t_days,
+                   sum(CASE WHEN is_event THEN 1 ELSE 0 END)::BIGINT AS d,
+                   sum(CASE WHEN is_event THEN 0 ELSE 1 END)::BIGINT AS c
+            FROM study GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT priority, t_days, d, c,
+                   row_number() OVER (PARTITION BY priority
+                                      ORDER BY t_days)::BIGINT AS i
+            FROM days
+        ),
+        tot AS (
+            SELECT priority, sum(d + c)::BIGINT AS n
+            FROM days GROUP BY priority
+        ),
+        rec AS (
+            SELECT i.priority, i.i, i.t_days, i.d, i.c, t.n AS n_at_risk,
+                   (CASE WHEN i.d > 0
+                         THEN 1000000 * (t.n - i.d) // t.n
+                         ELSE 1000000 END)::BIGINT AS surv,
+                   (t.n - i.d - i.c)::BIGINT AS nrem
+            FROM idx i JOIN tot t ON t.priority = i.priority
+            WHERE i.i = 1
+            UNION ALL
+            SELECT i.priority, i.i, i.t_days, i.d, i.c, r.nrem,
+                   (CASE WHEN i.d > 0
+                         THEN r.surv * (r.nrem - i.d) // r.nrem
+                         ELSE r.surv END)::BIGINT,
+                   (r.nrem - i.d - i.c)::BIGINT
+            FROM rec r JOIN idx i
+              ON i.priority = r.priority AND i.i = r.i + 1
+        )
+        SELECT priority, t_days, n_at_risk, d AS n_events,
+               c AS n_censored, surv AS surv_ppm
         FROM rec
     """,
     "orders_scd2_ship_history": """

@@ -2871,3 +2871,43 @@ def test_pipe_syntax_desugars_to_pushed_scan(spark, sf_dir):
     assert rows == sorted(
         rows, key=lambda r: (r["l_returnflag"], r["l_linestatus"])
     )
+
+
+def test_km_stratified_consistency_with_global(spark, sf_dir):
+    """Stratified-KM internal contracts: per stratum the risk set
+    starts at the stratum's study size and decreases by d+c at each
+    step; survival is non-increasing; strata partition the global
+    study (per-stratum study sizes sum to the global curve's initial
+    risk set)."""
+    from collections import defaultdict
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        orders_kaplan_meier_ship,
+        orders_km_by_priority,
+    )
+
+    strat = defaultdict(list)
+    for r in orders_km_by_priority(spark, sf_dir).collect():
+        strat[r["priority"]].append(
+            (r["t_days"], r["n_at_risk"], r["n_events"], r["n_censored"],
+             r["surv_ppm"])
+        )
+    assert strat
+    total_n0 = 0
+    for rows in strat.values():
+        rows.sort()
+        total_n0 += rows[0][1]
+        prev_surv = 1_000_000
+        expect_n = rows[0][1]
+        for t, n, d, c, surv in rows:
+            assert n == expect_n
+            assert surv <= prev_surv
+            expect_n -= d + c
+            prev_surv = surv
+        assert expect_n == 0  # everyone leaves the risk set eventually
+
+    glob = sorted(
+        (r["t_days"], r["n_at_risk"])
+        for r in orders_kaplan_meier_ship(spark, sf_dir).collect()
+    )
+    assert total_n0 == glob[0][1]
