@@ -766,6 +766,127 @@ def orders_km_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGRANK_A = "1-URGENT"
+_LOGRANK_B = "5-LOW"
+
+
+def orders_km_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST between two survival strata — the hypothesis-test
+    completion of the Kaplan–Meier family (curve → strata → "is the
+    difference real?"): compares the 1-URGENT vs 5-LOW
+    time-to-first-ship arms under the shared censoring contract.  At every event day t the
+    A-arm's observed events are compared with the hypergeometric
+    expectation E = d·n_A/n and variance
+    V = d·n_A·(n−n_A)·(n−d) / (n²·(n−1)); the statistic
+    χ² = (Σ(O−E))²/ΣV is emitted ×10⁶ (``chi2_ppm``) with every
+    division truncating — both engines replay the identical integer
+    sequence, so the statistic matches to the digit (the
+    ``events_chi2_ab_types`` discipline).  χ²_ppm ≥ 3.84·10⁶ ≈ p<0.05
+    at 1 df.
+
+    Scale: the two risk tables are calendar-bounded (lead-time day
+    axis); their cumulative windows run over that bounded axis (the
+    documented bounded-frame exception), and the final reduction is
+    one global sum.  decimal(38,0) holds d·n_A·(n−n_A)·(n−d)·10⁶ to
+    n ≈ 10⁹ study orders.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship0")
+    )
+    cutoff = li.agg(
+        F.date_sub(
+            F.max(F.col("l_shipdate").cast("date")), _KM_CENSOR_DAYS
+        ).alias("cut")
+    )
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    study = (
+        od.where(F.col("priority").isin(_LOGRANK_A, _LOGRANK_B))
+        .join(first_ship, od.o_orderkey == first_ship.l_orderkey)
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("od") <= F.col("cut"))
+        .select(
+            F.expr(f"priority = '{_LOGRANK_A}'").alias("arm_a"),
+            F.expr(
+                "if(cast(ship0 as date) <= cut,"
+                " datediff(cast(ship0 as date), od),"
+                " datediff(cut, od))"
+            ).cast("bigint").alias("t_days"),
+            F.expr("cast(ship0 as date) <= cut").alias("is_event"),
+        )
+    )
+    days = study.groupBy("t_days").agg(
+        F.sum(F.expr("if(arm_a and is_event, 1L, 0L)")).alias("da"),
+        F.sum(F.expr("if(arm_a and not is_event, 1L, 0L)")).alias("ca"),
+        F.sum(F.expr("if(not arm_a and is_event, 1L, 0L)")).alias("db"),
+        F.sum(F.expr("if(not arm_a and not is_event, 1L, 0L)")).alias(
+            "cb"
+        ),
+    )
+    # risk sets by prefix subtraction over the BOUNDED day axis (the
+    # calendar-frame exception: one partition of ≤ max-lead-time rows)
+    w = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = days.withColumn(
+        "gone_a", F.coalesce(F.sum(F.expr("da + ca")).over(w), F.lit(0))
+    ).withColumn(
+        "gone_b", F.coalesce(F.sum(F.expr("db + cb")).over(w), F.lit(0))
+    )
+    tot = study.agg(
+        F.sum(F.expr("if(arm_a, 1L, 0L)")).alias("na0"),
+        F.sum(F.expr("if(arm_a, 0L, 1L)")).alias("nb0"),
+    )
+    terms = risk.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "da",
+        "db",
+        F.expr("na0 - gone_a").alias("na"),
+        F.expr("nb0 - gone_b").alias("nb"),
+    ).where(F.expr("da + db > 0"))
+    # E and V at ×10⁶, truncating; n ≥ 2 guard drops the final
+    # single-subject day where V's (n−1) denominator vanishes
+    out = terms.select(
+        "da",
+        F.expr(
+            "cast(cast(da + db as decimal(38,0)) * na * 1000000"
+            " div (na + nb) as bigint)"
+        ).alias("e_ppm"),
+        F.expr(
+            "case when na + nb >= 2 then"
+            " cast((da + db) as decimal(38,0)) * na * nb"
+            " * (na + nb - da - db) * 1000000"
+            " div (cast(na + nb as decimal(38,0)) * (na + nb)"
+            "      * (na + nb - 1)) else 0 end"
+        ).cast("bigint").alias("v_ppm"),
+    ).agg(
+        F.sum("da").alias("o_a"),
+        F.sum("e_ppm").alias("e_a_ppm"),
+        F.sum("v_ppm").alias("v_ppm"),
+    )
+    return out.select(
+        F.lit(_LOGRANK_A).alias("arm_a"),
+        F.lit(_LOGRANK_B).alias("arm_b"),
+        "o_a",
+        "e_a_ppm",
+        "v_ppm",
+        # decimal(38,0): (O·10⁶ − E_ppm)² reaches ~10²⁰ already at
+        # sf0.1-sized studies — bigint squares overflow
+        F.expr(
+            "cast(case when v_ppm = 0 then null else"
+            " cast(o_a * 1000000 - e_a_ppm as decimal(38,0))"
+            " * (o_a * 1000000 - e_a_ppm) div v_ppm end as bigint)"
+        ).alias("chi2_ppm"),
+    )
+
+
 def orders_scd2_ship_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD TYPE-2 interval construction — the warehouse dimension-
     versioning shape (valid_from / valid_to / is_current) built from a
@@ -1754,6 +1875,7 @@ QUERIES = {
     "orders_scd2_ship_history": orders_scd2_ship_history,
     "orders_kaplan_meier_ship": orders_kaplan_meier_ship,
     "orders_km_by_priority": orders_km_by_priority,
+    "orders_km_logrank": orders_km_logrank,
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_revenue_gini": customer_revenue_gini,
     "events_hourly_trend_ols": events_hourly_trend_ols,
@@ -2063,6 +2185,85 @@ ORACLES = {
         SELECT priority, t_days, n_at_risk, d AS n_events,
                c AS n_censored, surv AS surv_ppm
         FROM rec
+    """,
+    "orders_km_logrank": f"""
+        WITH fs AS (
+            SELECT l_orderkey, min(l_shipdate) AS ship0
+            FROM lineitem GROUP BY 1
+        ),
+        cut AS (
+            SELECT (max(l_shipdate)::DATE
+                    - INTERVAL {_KM_CENSOR_DAYS} DAY)::DATE AS cut
+            FROM lineitem
+        ),
+        study AS (
+            SELECT o.o_orderpriority = '{_LOGRANK_A}' AS arm_a,
+                   (CASE WHEN fs.ship0::DATE <= c.cut
+                         THEN date_diff('day', o.o_orderdate::DATE,
+                                        fs.ship0::DATE)
+                         ELSE date_diff('day', o.o_orderdate::DATE,
+                                        c.cut) END)::BIGINT AS t_days,
+                   fs.ship0::DATE <= c.cut AS is_event
+            FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey, cut c
+            WHERE o.o_orderdate::DATE <= c.cut
+              AND o.o_orderpriority IN ('{_LOGRANK_A}', '{_LOGRANK_B}')
+        ),
+        days AS (
+            SELECT t_days,
+                   sum(CASE WHEN arm_a AND is_event THEN 1
+                            ELSE 0 END)::BIGINT AS da,
+                   sum(CASE WHEN arm_a AND NOT is_event THEN 1
+                            ELSE 0 END)::BIGINT AS ca,
+                   sum(CASE WHEN NOT arm_a AND is_event THEN 1
+                            ELSE 0 END)::BIGINT AS db,
+                   sum(CASE WHEN NOT arm_a AND NOT is_event THEN 1
+                            ELSE 0 END)::BIGINT AS cb
+            FROM study GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS na0,
+                   sum(CASE WHEN arm_a THEN 0 ELSE 1 END)::BIGINT AS nb0
+            FROM study
+        ),
+        risk AS (
+            SELECT t_days, da, db,
+                   coalesce(sum(da + ca) OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::BIGINT AS gone_a,
+                   coalesce(sum(db + cb) OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::BIGINT AS gone_b
+            FROM days
+        ),
+        terms AS (
+            SELECT da,
+                   ((da + db)::HUGEINT * (t.na0 - gone_a) * 1000000
+                    // (t.na0 - gone_a + t.nb0 - gone_b))::BIGINT AS e_ppm,
+                   (CASE WHEN t.na0 - gone_a + t.nb0 - gone_b >= 2 THEN
+                        (da + db)::HUGEINT * (t.na0 - gone_a)
+                        * (t.nb0 - gone_b)
+                        * (t.na0 - gone_a + t.nb0 - gone_b - da - db)
+                        * 1000000
+                        // ((t.na0 - gone_a + t.nb0 - gone_b)::HUGEINT
+                            * (t.na0 - gone_a + t.nb0 - gone_b)
+                            * (t.na0 - gone_a + t.nb0 - gone_b - 1))
+                    ELSE 0 END)::BIGINT AS v_ppm
+            FROM risk, tot t
+            WHERE da + db > 0
+        ),
+        agg AS (
+            SELECT sum(da)::BIGINT AS o_a,
+                   sum(e_ppm)::BIGINT AS e_a_ppm,
+                   sum(v_ppm)::BIGINT AS v_ppm
+            FROM terms
+        )
+        SELECT '{_LOGRANK_A}' AS arm_a, '{_LOGRANK_B}' AS arm_b,
+               o_a, e_a_ppm, v_ppm,
+               (CASE WHEN v_ppm = 0 THEN NULL ELSE
+                    (o_a * 1000000 - e_a_ppm)::HUGEINT
+                    * (o_a * 1000000 - e_a_ppm) // v_ppm
+                END)::BIGINT AS chi2_ppm
+        FROM agg
     """,
     "orders_scd2_ship_history": """
         WITH li AS (

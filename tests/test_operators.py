@@ -2911,3 +2911,64 @@ def test_km_stratified_consistency_with_global(spark, sf_dir):
         for r in orders_kaplan_meier_ship(spark, sf_dir).collect()
     )
     assert total_n0 == glob[0][1]
+
+
+def test_km_logrank_hand_fixture_both_engines(spark, tmp_path):
+    """Five-order two-arm study computed by hand: urgent arm ships at
+    t=1,2; low arm at t=3,4 plus one censored anchor.  O=2,
+    E_ppm=650000 (400000+250000), V_ppm=427500 (240000+187500),
+    chi2_ppm = 1350000^2 div 427500 = 4263157 — significant at 0.05.
+    Both engines must emit the identical integer row."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        ORACLES,
+        orders_km_logrank,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+
+    def day(n):
+        return base + dt.timedelta(days=n)
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_orderpriority": pa.array(
+                ["1-URGENT", "1-URGENT", "5-LOW", "5-LOW", "5-LOW"]
+            ),
+            "o_orderdate": pa.array([base] * 5, pa.timestamp("us")),
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "l_shipdate": pa.array(
+                [day(1), day(2), day(3), day(4), day(100)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+
+    expect = ("1-URGENT", "5-LOW", 2, 650000, 427500, 4263157)
+    rows = orders_km_logrank(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["arm_a"], r["arm_b"], r["o_a"], r["e_a_ppm"], r["v_ppm"],
+        r["chi2_ppm"],
+    ) == expect
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/{t}.parquet')"
+        )
+    assert con.execute(ORACLES["orders_km_logrank"]).fetchall() == [expect]
