@@ -880,6 +880,50 @@ def events_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first thing an
+    experimentation platform checks before reading ANY metric: do the
+    hash-assigned arm sizes match the declared 50/50 allocation?
+    χ² = Σ(obs − exp)²/exp over the two arms, emitted ×10⁶ with
+    truncating division (exp = users div 2 per arm, remainder to B —
+    fixed so both engines agree); χ²_ppm ≥ 3.84·10⁶ flags a broken
+    randomizer (at 1 df).  Uses the same md5 arm assignment as
+    ``events_cuped_ab``, so a mismatch here invalidates that readout.
+
+    Scale: one user-distinct aggregation (map-side partial distinct)
+    and constant-row arithmetic.
+    """
+    users = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id")
+        .distinct()
+        .select(
+            F.expr(
+                "if(cast(conv(substring(md5(cast(user_id as string)),"
+                " 1, 15), 16, 10) as bigint) % 2 = 0, 1L, 0L)"
+            ).alias("is_a")
+        )
+    )
+    agg = users.agg(
+        F.sum("is_a").alias("n_a"),
+        F.expr("count(*) - sum(is_a)").alias("n_b"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr("(n_a + n_b) div 2").alias("exp_a"),
+        F.expr("n_a + n_b - (n_a + n_b) div 2").alias("exp_b"),
+        F.expr(
+            "case when (n_a + n_b) div 2 = 0 then null else"
+            " (n_a - (n_a + n_b) div 2) * (n_a - (n_a + n_b) div 2)"
+            " * 1000000 div ((n_a + n_b) div 2)"
+            " + (n_b - (n_a + n_b - (n_a + n_b) div 2))"
+            "   * (n_b - (n_a + n_b - (n_a + n_b) div 2))"
+            "   * 1000000 div (n_a + n_b - (n_a + n_b) div 2) end"
+        ).alias("srm_chi2_ppm"),
+    )
+
+
 _LOGRANK_A = "1-URGENT"
 _LOGRANK_B = "5-LOW"
 
@@ -1991,6 +2035,7 @@ QUERIES = {
     "orders_km_by_priority": orders_km_by_priority,
     "orders_km_logrank": orders_km_logrank,
     "events_cuped_ab": events_cuped_ab,
+    "events_srm_check": events_srm_check,
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_revenue_gini": customer_revenue_gini,
     "events_hourly_trend_ols": events_hourly_trend_ols,
@@ -2300,6 +2345,31 @@ ORACLES = {
         SELECT priority, t_days, n_at_risk, d AS n_events,
                c AS n_censored, surv AS surv_ppm
         FROM rec
+    """,
+    "events_srm_check": """
+        WITH u AS (
+            SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR),
+                             1, 15))::BIGINT % 2 = 0
+                        THEN 1 ELSE 0 END AS is_a
+            FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        agg AS (
+            SELECT sum(is_a)::BIGINT AS n_a,
+                   (count(*) - sum(is_a))::BIGINT AS n_b
+            FROM u
+        )
+        SELECT n_a, n_b,
+               ((n_a + n_b) // 2)::BIGINT AS exp_a,
+               (n_a + n_b - (n_a + n_b) // 2)::BIGINT AS exp_b,
+               (CASE WHEN (n_a + n_b) // 2 = 0 THEN NULL ELSE
+                    (n_a - (n_a + n_b) // 2)
+                    * (n_a - (n_a + n_b) // 2) * 1000000
+                    // ((n_a + n_b) // 2)
+                    + (n_b - (n_a + n_b - (n_a + n_b) // 2))
+                      * (n_b - (n_a + n_b - (n_a + n_b) // 2)) * 1000000
+                      // (n_a + n_b - (n_a + n_b) // 2)
+                END)::BIGINT AS srm_chi2_ppm
+        FROM agg
     """,
     "events_cuped_ab": """
         WITH ev AS (
