@@ -597,6 +597,72 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_CENSOR_DAYS = 60  # observation cutoff: max ship date minus this
 
+#: shared product-limit fold over a (t_days, d, c) day table — one
+#: sorted array + integer fold per aggregation group; the day axis is
+#: bounded by the max lead time (a calendar quantity), so the gathered
+#: array is O(days) regardless of order count.  |surv·n| ≤ 10⁶·N keeps
+#: the fold in bigint to ~9×10¹² orders.
+_KM_FOLD_EXPR = (
+    "aggregate("
+    " array_sort(collect_list(named_struct("
+    "   't_days', t_days, 'd', d, 'c', c))),"
+    " named_struct("
+    "   'nrem', sum(d) + sum(c), 'surv', 1000000L,"
+    "   'out', cast(array() as array<struct<"
+    "     t_days: bigint, n_at_risk: bigint, n_events: bigint,"
+    "     n_censored: bigint, surv_ppm: bigint>>)),"
+    " (s, x) -> named_struct("
+    "   'nrem', s.nrem - x.d - x.c,"
+    "   'surv', if(x.d > 0,"
+    "     s.surv * (s.nrem - x.d) div s.nrem, s.surv),"
+    "   'out', array_append(s.out, named_struct("
+    "     't_days', x.t_days, 'n_at_risk', s.nrem,"
+    "     'n_events', x.d, 'n_censored', x.c,"
+    "     'surv_ppm', if(x.d > 0,"
+    "       s.surv * (s.nrem - x.d) div s.nrem, s.surv)))),"
+    " s -> s.out)"
+)
+
+
+def _km_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared KM study frame: per in-study order its
+    (priority, t_days, is_event) under the censoring contract — the
+    observation window closes ``_KM_CENSOR_DAYS`` before the corpus'
+    max ship date; first-ship after the cutoff ⇒ censored at
+    (cutoff − orderdate); placed after the cutoff ⇒ out of the study.
+    Per-order first-ship collapses lineitem map-side; the cutoff is a
+    broadcast scalar."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship0")
+    )
+    cutoff = li.agg(
+        F.date_sub(
+            F.max(F.col("l_shipdate").cast("date")), _KM_CENSOR_DAYS
+        ).alias("cut")
+    )
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    return (
+        od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("od") <= F.col("cut"))
+        .select(
+            "priority",
+            F.expr(
+                "if(cast(ship0 as date) <= cut,"
+                " datediff(cast(ship0 as date), od),"
+                " datediff(cut, od))"
+            ).cast("bigint").alias("t_days"),
+            F.expr("cast(ship0 as date) <= cut").alias("is_event"),
+        )
+    )
+
 
 def orders_kaplan_meier_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier survival curve for order time-to-first-ship WITH
@@ -627,61 +693,11 @@ def orders_kaplan_meier_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses.  |surv·n| ≤ 10⁶·N keeps the fold in bigint to ~9×10¹²
     orders.
     """
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_shipdate"
-    )
-    first_ship = li.groupBy("l_orderkey").agg(
-        F.min("l_shipdate").alias("ship0")
-    )
-    cutoff = li.agg(
-        F.date_sub(
-            F.max(F.col("l_shipdate").cast("date")), _KM_CENSOR_DAYS
-        ).alias("cut")
-    )
-    od = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
-    )
-    study = (
-        od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
-        .crossJoin(F.broadcast(cutoff))
-        .where(F.col("od") <= F.col("cut"))
-        .select(
-            F.expr(
-                "if(cast(ship0 as date) <= cut,"
-                " datediff(cast(ship0 as date), od),"
-                " datediff(cut, od))"
-            ).cast("bigint").alias("t_days"),
-            F.expr("cast(ship0 as date) <= cut").alias("is_event"),
-        )
-    )
-    days = study.groupBy("t_days").agg(
+    days = _km_study(spark, sf_dir).groupBy("t_days").agg(
         F.sum(F.expr("if(is_event, 1L, 0L)")).alias("d"),
         F.sum(F.expr("if(is_event, 0L, 1L)")).alias("c"),
     )
-    # the day table is bounded by the maximum lead time (a calendar
-    # quantity), so one sorted array + integer fold is O(days) work
-    folded = days.agg(
-        F.expr(
-            "aggregate("
-            " array_sort(collect_list(named_struct("
-            "   't_days', t_days, 'd', d, 'c', c))),"
-            " named_struct("
-            "   'nrem', sum(d) + sum(c), 'surv', 1000000L,"
-            "   'out', cast(array() as array<struct<"
-            "     t_days: bigint, n_at_risk: bigint, n_events: bigint,"
-            "     n_censored: bigint, surv_ppm: bigint>>)),"
-            " (s, x) -> named_struct("
-            "   'nrem', s.nrem - x.d - x.c,"
-            "   'surv', if(x.d > 0,"
-            "     s.surv * (s.nrem - x.d) div s.nrem, s.surv),"
-            "   'out', array_append(s.out, named_struct("
-            "     't_days', x.t_days, 'n_at_risk', s.nrem,"
-            "     'n_events', x.d, 'n_censored', x.c,"
-            "     'surv_ppm', if(x.d > 0,"
-            "       s.surv * (s.nrem - x.d) div s.nrem, s.surv)))),"
-            " s -> s.out)"
-        ).alias("curve")
-    )
+    folded = days.agg(F.expr(_KM_FOLD_EXPR).alias("curve"))
     return folded.select(F.explode("curve").alias("r")).select(
         "r.t_days", "r.n_at_risk", "r.n_events", "r.n_censored",
         "r.surv_ppm",
@@ -702,61 +718,12 @@ def orders_km_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk table bounded by the calendar lead-time axis; lineitem still
     collapses map-side and the stratum key rides the one aggregation.
     """
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_shipdate"
-    )
-    first_ship = li.groupBy("l_orderkey").agg(
-        F.min("l_shipdate").alias("ship0")
-    )
-    cutoff = li.agg(
-        F.date_sub(
-            F.max(F.col("l_shipdate").cast("date")), _KM_CENSOR_DAYS
-        ).alias("cut")
-    )
-    od = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey",
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_orderdate").cast("date").alias("od"),
-    )
-    study = (
-        od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
-        .crossJoin(F.broadcast(cutoff))
-        .where(F.col("od") <= F.col("cut"))
-        .select(
-            "priority",
-            F.expr(
-                "if(cast(ship0 as date) <= cut,"
-                " datediff(cast(ship0 as date), od),"
-                " datediff(cut, od))"
-            ).cast("bigint").alias("t_days"),
-            F.expr("cast(ship0 as date) <= cut").alias("is_event"),
-        )
-    )
-    days = study.groupBy("priority", "t_days").agg(
+    days = _km_study(spark, sf_dir).groupBy("priority", "t_days").agg(
         F.sum(F.expr("if(is_event, 1L, 0L)")).alias("d"),
         F.sum(F.expr("if(is_event, 0L, 1L)")).alias("c"),
     )
     folded = days.groupBy("priority").agg(
-        F.expr(
-            "aggregate("
-            " array_sort(collect_list(named_struct("
-            "   't_days', t_days, 'd', d, 'c', c))),"
-            " named_struct("
-            "   'nrem', sum(d) + sum(c), 'surv', 1000000L,"
-            "   'out', cast(array() as array<struct<"
-            "     t_days: bigint, n_at_risk: bigint, n_events: bigint,"
-            "     n_censored: bigint, surv_ppm: bigint>>)),"
-            " (s, x) -> named_struct("
-            "   'nrem', s.nrem - x.d - x.c,"
-            "   'surv', if(x.d > 0,"
-            "     s.surv * (s.nrem - x.d) div s.nrem, s.surv),"
-            "   'out', array_append(s.out, named_struct("
-            "     't_days', x.t_days, 'n_at_risk', s.nrem,"
-            "     'n_events', x.d, 'n_censored', x.c,"
-            "     'surv_ppm', if(x.d > 0,"
-            "       s.surv * (s.nrem - x.d) div s.nrem, s.surv)))),"
-            " s -> s.out)"
-        ).alias("curve")
+        F.expr(_KM_FOLD_EXPR).alias("curve")
     )
     return folded.select(
         "priority", F.explode("curve").alias("r")
@@ -948,35 +915,13 @@ def orders_km_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one global sum.  decimal(38,0) holds d·n_A·(n−n_A)·(n−d)·10⁶ to
     n ≈ 10⁹ study orders.
     """
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_shipdate"
-    )
-    first_ship = li.groupBy("l_orderkey").agg(
-        F.min("l_shipdate").alias("ship0")
-    )
-    cutoff = li.agg(
-        F.date_sub(
-            F.max(F.col("l_shipdate").cast("date")), _KM_CENSOR_DAYS
-        ).alias("cut")
-    )
-    od = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey",
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_orderdate").cast("date").alias("od"),
-    )
     study = (
-        od.where(F.col("priority").isin(_LOGRANK_A, _LOGRANK_B))
-        .join(first_ship, od.o_orderkey == first_ship.l_orderkey)
-        .crossJoin(F.broadcast(cutoff))
-        .where(F.col("od") <= F.col("cut"))
+        _km_study(spark, sf_dir)
+        .where(F.col("priority").isin(_LOGRANK_A, _LOGRANK_B))
         .select(
             F.expr(f"priority = '{_LOGRANK_A}'").alias("arm_a"),
-            F.expr(
-                "if(cast(ship0 as date) <= cut,"
-                " datediff(cast(ship0 as date), od),"
-                " datediff(cut, od))"
-            ).cast("bigint").alias("t_days"),
-            F.expr("cast(ship0 as date) <= cut").alias("is_event"),
+            "t_days",
+            "is_event",
         )
     )
     days = study.groupBy("t_days").agg(

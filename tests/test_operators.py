@@ -2727,6 +2727,7 @@ def test_kaplan_meier_hand_fixture_both_engines(spark, tmp_path):
     orders = pa.table(
         {
             "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_orderpriority": pa.array(["3-MEDIUM"] * 5),
             "o_orderdate": pa.array([base] * 5, pa.timestamp("us")),
         }
     )
