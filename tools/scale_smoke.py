@@ -103,12 +103,16 @@ def build_replica(spark, k: int) -> str:
         .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 1_000_000)
         .withColumn(
             "embedding",
-            # circular rotation by rep: norm/marginal-preserving, and
-            # rotated copies decorrelate in cosine (rep < 20 < dims)
+            # circular rotation by rep mod dims: norm/marginal-
+            # preserving, and rotated copies decorrelate in cosine
+            # (mod keeps the slice lengths valid at K > dims; the
+            # dims-th replica aliasing back to an exact copy is the
+            # honest near-dup rate of a huge corpus)
             F.expr(
-                "if(rep = 0, embedding, concat("
-                " slice(embedding, rep + 1, size(embedding) - rep),"
-                " slice(embedding, 1, rep)))"
+                "if(rep % size(embedding) = 0, embedding, concat("
+                " slice(embedding, rep % size(embedding) + 1,"
+                "       size(embedding) - rep % size(embedding)),"
+                " slice(embedding, 1, rep % size(embedding))))"
             ),
         )
         .drop("rep")
