@@ -974,7 +974,10 @@ def orders_km_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e_ppm").alias("e_a_ppm"),
         F.sum("v_ppm").alias("v_ppm"),
     )
-    return out.select(
+    # an EMPTY study (no event day at all) must yield zero rows, not
+    # the global aggregate's one all-NULL row — caught by the
+    # hypothesis differential's single-excluded-order example
+    return out.where(F.col("o_a").isNotNull()).select(
         F.lit(_LOGRANK_A).alias("arm_a"),
         F.lit(_LOGRANK_B).alias("arm_b"),
         "o_a",
@@ -2449,7 +2452,7 @@ ORACLES = {
                     (o_a * 1000000 - e_a_ppm)::HUGEINT
                     * (o_a * 1000000 - e_a_ppm) // v_ppm
                 END)::BIGINT AS chi2_ppm
-        FROM agg
+        FROM agg WHERE o_a IS NOT NULL
     """,
     "orders_scd2_ship_history": """
         WITH li AS (
