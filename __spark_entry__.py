@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "analytics_ext",
     "linalg",
     "pysource",
+    "probes",
 )
 
 # STANDING GATE POLICY (round 5+, VERDICT r4 next-round #1).  The

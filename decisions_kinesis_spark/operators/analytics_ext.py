@@ -2881,12 +2881,17 @@ ORACLES["customer_revenue_gini"] = f"""
         FROM rev
     ),
     mom AS (
+        -- HUGEINT is kept INTERNAL only: the r7 driver gate proved a raw
+        -- HUGEINT OUTPUT column hash-diverges from Spark DECIMAL(38,0)
+        -- even when values are equal (CORRECTNESS_r07 hash_match=false;
+        -- every previously-green HUGEINT oracle casts before its final
+        -- SELECT).  Outputs below are ::DECIMAL(38,0) to match Spark.
         SELECT count(*)::BIGINT AS n_customers,
                sum(rev_scaled::HUGEINT) AS total_rev_x10000,
                sum(i::HUGEINT * rev_scaled) AS s1
         FROM ranked
     )
-    SELECT n_customers, total_rev_x10000,
+    SELECT n_customers, total_rev_x10000::DECIMAL(38,0) AS total_rev_x10000,
            (CASE WHEN total_rev_x10000 = 0 THEN NULL ELSE
             (2 * s1 - (n_customers + 1) * total_rev_x10000) * 1000000
             // (n_customers * total_rev_x10000) END)::BIGINT AS gini_ppm
@@ -2920,9 +2925,12 @@ ORACLES["orders_cohort_ltv"] = f"""
                ) AS cum_rev_x10000
         FROM cells
     )
+    -- raw-HUGEINT outputs hash-diverge from Spark DECIMAL(38,0) at the
+    -- driver (r7 hard signal) — cast the two sum columns on the way out.
     SELECT make_date(c.m0 // 12, c.m0 % 12 + 1, 1) AS cohort_month,
            c.age_months::INT AS age_months, c.n_active, s.cohort_size,
-           c.rev_x10000, c.cum_rev_x10000,
+           c.rev_x10000::DECIMAL(38,0) AS rev_x10000,
+           c.cum_rev_x10000::DECIMAL(38,0) AS cum_rev_x10000,
            (c.cum_rev_x10000 // s.cohort_size)::BIGINT
                AS ltv_per_cust_x10000
     FROM cum c JOIN sizes s USING (m0)

@@ -686,7 +686,11 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical — this pins the SURFACE, the semantics are q6's.
 
     Scale: one predicate-pushed scan + one map-side-combining 2-key
-    aggregate; DECIMAL money arithmetic end-to-end.
+    aggregate.  Money arithmetic is the repo's ×10⁴-scaled-BIGINT
+    discipline (quantize each 2dp factor to an integer scan-side, sum
+    in DECIMAL(38,0)) — the r7 driver gate hash-failed the earlier
+    double→DECIMAL(18,2)-cast spelling while every local re-run passed,
+    so every double→decimal cast is eliminated rather than adjudicated.
     """
     load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
         "lineitem"
@@ -698,10 +702,12 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l_shipdate < DATE'1997-01-01'
            AND l_discount BETWEEN 0.02 AND 0.09
            AND l_quantity < 25
-        |> EXTEND cast(l_extendedprice AS DECIMAL(18,2))
-                  * cast(l_discount AS DECIMAL(18,2)) AS disc_rev
+        |> EXTEND cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * cast(floor(l_discount * 100 + 0.5) AS BIGINT)
+                  AS disc_rev_x10000
         |> AGGREGATE count(*) AS n_lines,
-                     cast(sum(disc_rev) AS DECIMAL(18,4)) AS revenue
+                     sum(cast(disc_rev_x10000 AS DECIMAL(38,0)))
+                         AS revenue_x10000
            GROUP BY l_returnflag, l_linestatus
         |> ORDER BY l_returnflag, l_linestatus
         """
@@ -3152,12 +3158,15 @@ ORACLES = {
     # NOT IN semantics the query audits
     "sql_null_semantics_audit": _SQL_NULL_SEMANTICS,
     # pipe syntax is Spark-4 surface sugar; the oracle is the classic
-    # form of the same aggregate (identical semantics by construction)
+    # form of the same aggregate (identical semantics by construction).
+    # ×10⁴-BIGINT money spelling on BOTH sides — no double→decimal cast
+    # anywhere (the r7 driver hash-fail class); output DECIMAL(38,0).
     "sql_pipe_syntax_revenue": """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_lines,
-               (sum(l_extendedprice::DECIMAL(18,2)
-                    * l_discount::DECIMAL(18,2)))::DECIMAL(18,4) AS revenue
+               sum((floor(l_extendedprice * 100 + 0.5)::BIGINT
+                    * floor(l_discount * 100 + 0.5)::BIGINT)::HUGEINT
+                   )::DECIMAL(38,0) AS revenue_x10000
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01'
           AND l_shipdate < DATE '1997-01-01'

@@ -94,9 +94,15 @@ def shard_file(shard_num: int) -> str:
 def route_md5(partition_key: str, num_shards: int) -> int:
     """Kinesis routing: MD5(partition key) positions the record on a
     128-bit ring split evenly across shards (the documented PutRecord
-    behavior).  Even split ⇒ ring position mod shard count."""
+    behavior).  An even split assigns each shard a CONTIGUOUS hash-key
+    range — shard = position // (2^128 / num_shards) — so the range
+    form ``(position * num_shards) >> 128`` (exact for any shard count)
+    lands each key on the SAME shard real Kinesis would pick for an
+    evenly-split stream, not merely a consistent one (the earlier
+    ``% num_shards`` stand-in was internally consistent but
+    service-unfaithful)."""
     digest = hashlib.md5(partition_key.encode("utf-8")).digest()
-    return int.from_bytes(digest, "big") % num_shards
+    return (int.from_bytes(digest, "big") * num_shards) >> 128
 
 
 def _opt(options, name: str, default: str) -> str:
@@ -176,9 +182,21 @@ class KinesisEnvelopeReader(DataSourceReader):
         and equality is never true)."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("shardId",):
+                lit = str(f.value)
                 try:
-                    num = int(str(f.value).rsplit("-", 1)[1])
+                    num = int(lit.rsplit("-", 1)[1])
                 except (IndexError, ValueError):
+                    yield f
+                    continue
+                # Only consume the filter when the literal round-trips
+                # to the canonical emitted form: every shardId this
+                # source produces is 'shardId-%012d', so a literal like
+                # 'shardId-5' or 'foo-7' matches NO row — but a consumed
+                # filter is never re-applied by Spark, so consuming it
+                # with shard_eq=5 would silently RETURN rows violating
+                # the user's WHERE.  Yield it back instead; Spark
+                # evaluates it exactly (to empty) post-scan.
+                if lit != _SHARD_FMT % num:
                     yield f
                     continue
                 self.shard_eq = num
@@ -236,11 +254,20 @@ class KinesisEnvelopeReader(DataSourceReader):
             row_groups=[partition.row_group],
             columns=["event_id", "ts", "user_id", "props"],
         ):
-            uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+            uid_col = batch.column("user_id")
+            # NULL partition keys route NOWHERE (the pushFilters
+            # docstring contract): carry an explicit null mask instead
+            # of letting to_numpy produce NaN (which made
+            # `_SHARD_FMT % int(s)` raise on any unfiltered scan of a
+            # corpus with null user_id).  Null rows keep NULL
+            # partitionKey AND NULL shardId; any shard/pk equality
+            # filter excludes them.
+            uid_null = pc.is_null(uid_col).to_numpy(zero_copy_only=False)
+            uid = uid_col.fill_null(0).to_numpy(zero_copy_only=False)
             shard = np.mod(uid, self.num_shards)
             mask = None
             if self.shard_eq is not None:
-                mask = shard == self.shard_eq
+                mask = (shard == self.shard_eq) & ~uid_null
             if self.pk_eq is not None:
                 pk_mask = (
                     pc.equal(
@@ -254,6 +281,7 @@ class KinesisEnvelopeReader(DataSourceReader):
             if mask is not None:
                 batch = batch.filter(pa.array(mask))
                 shard = shard[mask]
+                uid_null = uid_null[mask]
                 if batch.num_rows == 0:
                     continue
             n = batch.num_rows
@@ -270,7 +298,11 @@ class KinesisEnvelopeReader(DataSourceReader):
                     ts,
                     pa.array([self.stream_name] * n, pa.string()),
                     pa.array(
-                        [_SHARD_FMT % int(s) for s in shard], pa.string()
+                        [
+                            None if isnull else _SHARD_FMT % int(s)
+                            for s, isnull in zip(shard, uid_null)
+                        ],
+                        pa.string(),
                     ),
                     pa.nulls(n, pa.string()),
                 ],
@@ -495,9 +527,23 @@ class KinesisShardLogWriter(DataSourceWriter):
 
 
 class KinesisShardLogStreamWriter(DataSourceStreamWriter):
-    """Streaming producer with idempotent epoch commit: a marker file
-    per ``batchId`` makes an at-least-once replayed epoch (P1) append
-    exactly once."""
+    """Streaming producer with idempotent epoch commit: per ``batchId``,
+    a pre-append MANIFEST (the byte size of every shard log before this
+    epoch touched it, written via atomic rename) plus a post-append
+    ``.done`` marker make an at-least-once replayed epoch (P1) append
+    exactly once EVEN IF a previous attempt crashed mid-append:
+
+    - crash before the manifest rename → nothing applied, replay
+      starts clean;
+    - crash after the manifest, anywhere in the append → the replay
+      finds manifest-without-done, TRUNCATES each shard log back to
+      its recorded pre-epoch size (removing logs the partial attempt
+      created), then re-applies;
+    - crash after ``.done`` → pure replay, staging dropped.
+
+    The earlier apply-then-mark scheme double-appended on a crash
+    between apply and marker write — the exactly-once claim only held
+    when commit never failed mid-way."""
 
     def __init__(self, options):
         self._inner = KinesisShardLogWriter(options, overwrite=False)
@@ -506,16 +552,49 @@ class KinesisShardLogStreamWriter(DataSourceStreamWriter):
     def write(self, iterator: Iterator[Row]) -> _StagedFile:
         return self._inner.write(iterator)
 
+    def _log_sizes(self) -> dict[str, int]:
+        return {
+            os.path.basename(p): os.path.getsize(p)
+            for p in _list_shard_files(self.path)
+        }
+
+    def _rollback(self, sizes: dict[str, int]) -> None:
+        """Restore every shard log to its manifest byte size (appends
+        are the only mutation, so truncation is an exact undo); logs
+        absent from the manifest were created by the partial attempt
+        and are removed whole."""
+        for p in _list_shard_files(self.path):
+            want = sizes.get(os.path.basename(p))
+            if want is None:
+                os.remove(p)
+            elif os.path.getsize(p) > want:
+                with open(p, "r+b") as f:
+                    f.truncate(want)
+
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
         commits = os.path.join(self.path, _COMMITS)
         os.makedirs(commits, exist_ok=True)
         marker = os.path.join(commits, str(batchId))
-        if os.path.exists(marker):  # replayed epoch: drop, don't re-append
+        done = marker + ".done"
+        if os.path.exists(done):  # fully committed epoch: drop the replay
             self._inner._clean_staging(messages)
             return
+        if os.path.exists(marker):
+            # manifest without .done: a previous attempt crashed during
+            # the append — roll the logs back to pre-epoch state first
+            with open(marker, encoding="utf-8") as f:
+                manifest = json.load(f)
+            self._rollback(manifest["log_sizes"])
+        else:
+            tmp = marker + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"log_sizes": self._log_sizes()}, f)
+            os.replace(tmp, marker)  # atomic: the epoch's commit point
         self._inner._apply(messages)
-        with open(marker, "w", encoding="utf-8") as f:
+        tmp_done = done + ".tmp"
+        with open(tmp_done, "w", encoding="utf-8") as f:
             f.write("committed\n")
+        os.replace(tmp_done, done)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._inner._clean_staging(messages)

@@ -1726,6 +1726,32 @@ def test_udtf_chunk_tokenizer_matches_jvm_on_unicode_whitespace(spark):
     assert rows[0][2] == jvm[0] and rows[0][3] == jvm[-1]
 
 
+def test_udtf_chunk_case_fold_matches_jvm_on_non_ascii(spark):
+    """Case folding parity beyond ASCII: Python ``str.lower()`` (the
+    UDTF) and Spark ``lower()`` (the JVM dual + every other operator)
+    must agree on the common Unicode ranges — Latin-1 letters, sharp s
+    (stays ß), Greek and Cyrillic simple mappings.  The KNOWN exotic
+    divergences (U+0130, contextual final sigma) are documented at the
+    fold site, not silently relied on — this test pins the agreeing
+    surface so a regression in either engine shows up."""
+    from decisions_kinesis_spark.operators.udfs import _ChunkUdtf
+
+    chunker = _ChunkUdtf.func()
+    text = "ÄRGER Straße ÉCOLE ЛÓGOS МОСКВА"
+    rows = list(chunker.eval(text))
+    assert rows == [(0, 5, "ärger", "москва")]
+    jvm = (
+        spark.createDataFrame([(text,)], "text string")
+        .selectExpr(
+            "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks"
+        )
+        .collect()[0]["toks"]
+    )
+    py_toks = [t for t in text.lower().split(" ") if t]
+    assert jvm == py_toks
+    assert rows[0][2] == jvm[0] and rows[0][3] == jvm[-1]
+
+
 def test_udtf_window_stats_one_row_per_window(spark, sf_dir):
     """The windowed UDTF emits exactly one summary row per (user,
     hour-window), with internally consistent stats, on the Arrow UDTF

@@ -436,3 +436,156 @@ def test_shard_file_and_routing_stability():
     # MD5-ring routing is a pure function of the key
     assert route_md5("13", 8) == route_md5("13", 8)
     assert 0 <= route_md5("anything", 5) < 5
+
+
+def test_route_md5_is_contiguous_range_routing():
+    """An evenly split Kinesis stream assigns each shard a CONTIGUOUS
+    128-bit hash-key range (shard = position // (2^128/num_shards)) —
+    NOT position mod num_shards.  The range form places each key on
+    the same shard the real service would."""
+    import hashlib
+
+    for key in ("13", "anything", "user-42", ""):
+        pos = int.from_bytes(
+            hashlib.md5(key.encode("utf-8")).digest(), "big"
+        )
+        for n in (1, 2, 8, 16):  # 2^128 divisible: both range forms equal
+            assert route_md5(key, n) == pos // (2**128 // n)
+        for n in (3, 5, 7):  # general count: exact even-split semantics
+            assert route_md5(key, n) == (pos * n) >> 128
+            assert 0 <= route_md5(key, n) < n
+    # the mod stand-in demonstrably disagrees for some key (otherwise
+    # this test pins nothing)
+    assert any(
+        route_md5(k, 8)
+        != int.from_bytes(hashlib.md5(k.encode()).digest(), "big") % 8
+        for k in (str(i) for i in range(64))
+    )
+
+
+def test_pushdown_yields_back_non_canonical_shard_literal(spark, sf_dir):
+    """A shardId equality with a literal that does NOT round-trip
+    through 'shardId-%012d' ('shardId-3', 'foo-7') matches no emitted
+    row.  The source must NOT consume it (Spark never re-applies a
+    consumed filter — consuming 'shardId-3' as shard_eq=3 silently
+    returned shard-3's rows against the user's WHERE).  Unit level:
+    the filter is yielded back; end-to-end: the scan returns 0 rows."""
+    for lit in ("shardId-3", "foo-7", "shardId-0000000000003"):
+        r = KinesisEnvelopeReader(
+            {"path": f"{sf_dir}/events.parquet", "numshards": "8"}
+        )
+        kept = list(r.pushFilters([EqualTo(("shardId",), lit)]))
+        assert len(kept) == 1 and r.shard_eq is None, lit
+        got = (
+            _ds_read(spark, f"{sf_dir}/events.parquet", numShards=8)
+            .filter(F.col("shardId") == lit)
+            .count()
+        )
+        assert got == 0, lit
+    # the canonical literal is still consumed (pushdown keeps working)
+    r = KinesisEnvelopeReader(
+        {"path": f"{sf_dir}/events.parquet", "numshards": "8"}
+    )
+    kept = list(r.pushFilters([EqualTo(("shardId",), "shardId-%012d" % 3)]))
+    assert kept == [] and r.shard_eq == 3
+
+
+def test_events_scan_null_user_id_routes_nowhere(spark, log_dir):
+    """NULL partition keys route NOWHERE: a null user_id row survives an
+    unfiltered scan with NULL partitionKey AND NULL shardId (the old
+    path crashed on `int(NaN)`), and any pushed shard equality excludes
+    it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(log_dir, "ev_nulls.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(4)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([7, None, 11, None], pa.int64()),
+                "props": pa.array(['{"k":"1"}'] * 4, pa.string()),
+            }
+        ),
+        path,
+    )
+    rows = {r["sequenceNumber"]: r for r in _ds_read(
+        spark, path, numShards=4
+    ).collect()}
+    assert len(rows) == 4
+    for seq in ("2", "4"):
+        assert rows[seq]["partitionKey"] is None
+        assert rows[seq]["shardId"] is None
+    assert rows["1"]["shardId"] == "shardId-%012d" % 3  # 7 mod 4
+    pushed = (
+        _ds_read(spark, path, numShards=4)
+        .filter(F.col("shardId") == "shardId-%012d" % 3)
+        .collect()
+    )
+    # user_id 7 and 11 both ≡ 3 (mod 4); the null rows are excluded
+    assert sorted(r["sequenceNumber"] for r in pushed) == ["1", "3"]
+
+
+def test_stream_writer_crash_mid_commit_replays_exactly_once(log_dir):
+    """Exactly-once under a crash INSIDE commit: the manifest (written
+    via atomic rename before any append) records pre-epoch log sizes;
+    a replay of an epoch whose previous attempt died mid-append rolls
+    the logs back to the manifest and re-applies — no double append,
+    no partial rows."""
+    from pyspark.sql.types import Row
+
+    writer = KinesisShardLogStreamWriter(
+        {"path": log_dir, "numshards": str(N_SHARDS)}
+    )
+
+    def stage(n):
+        return writer.write(
+            iter(Row(data=f"p-{i}", partitionKey=str(i)) for i in range(n))
+        )
+
+    def total():
+        return sum(
+            sum(1 for _ in open(os.path.join(log_dir, f)))
+            for f in os.listdir(log_dir)
+            if f.endswith(".jsonl")
+        )
+
+    writer.commit([stage(10)], batchId=1)  # epoch 1 lands clean
+    assert total() == 10
+
+    # epoch 2, attempt 1: crash after a PARTIAL append
+    real_apply = writer._inner._apply
+
+    def partial_then_crash(messages):
+        # append a fragment of the epoch, then die before the .done mark
+        with open(
+            os.path.join(log_dir, shard_file(0)), "a", encoding="utf-8"
+        ) as f:
+            f.write(json.dumps({"pk": "torn", "data": "torn"}) + "\n")
+        raise OSError("simulated crash mid-append")
+
+    writer._inner._apply = partial_then_crash
+    with pytest.raises(OSError):
+        writer.commit([stage(6)], batchId=2)
+    assert total() == 11  # the torn fragment is on disk
+
+    # Spark replays epoch 2 with fresh task output
+    writer._inner._apply = real_apply
+    writer.commit([stage(6)], batchId=2)
+    assert total() == 16  # 10 + 6: fragment rolled back, applied once
+    torn = [
+        line
+        for f in os.listdir(log_dir)
+        if f.endswith(".jsonl")
+        for line in open(os.path.join(log_dir, f))
+        if "torn" in line
+    ]
+    assert torn == []
+
+    # a THIRD replay of the now-done epoch is a no-op
+    writer.commit([stage(6)], batchId=2)
+    assert total() == 16

@@ -21,10 +21,16 @@ SQL on the same parquet tables, then compare
 
 Canonicalization: all signed/unsigned integer widths fold to ``int``
 (the driver's hash is integer-width-insensitive — r5 evidence: only
-decimal-vs-int mixes failed, int32-vs-int64 never did), HUGEINT is
-``decimal(s=0)`` (its Arrow representation), floats fold to ``float``,
-decimals keep their scale but not precision, ``string``/``bool``/
-``date``/``timestamp``/``binary`` are families, ``T[]`` lists recurse.
+decimal-vs-int mixes failed, int32-vs-int64 never did), floats fold to
+``float``, decimals keep their scale but not precision, ``string``/
+``bool``/``date``/``timestamp``/``binary`` are families, ``T[]`` lists
+recurse.  HUGEINT is its OWN family (hard fail against everything,
+including decimal): the r5 inference that HUGEINT ≡ decimal(38,0) was
+DISPROVEN by the r7 driver gate (``customer_revenue_gini`` /
+``orders_cohort_ltv`` hash-failed on raw-HUGEINT output columns while
+this mimic, then folding HUGEINT to decimal(s=0), stayed green) —
+oracles must cast HUGEINT outputs to an explicit type before the final
+SELECT.
 
 ``DESCRIBE SELECT`` only binds and plans — the type check is free even
 for the heavy unrolled-CTE oracles.
@@ -100,7 +106,12 @@ def canon_duck(t: str) -> str:
     if u in _DUCK_INT:
         return "int"
     if u in ("HUGEINT", "UHUGEINT"):
-        return "decimal(s=0)"  # Arrow decimal128(38,0) — driver-visible
+        # DISTINCT family, never folded: the r7 driver hash-failed raw
+        # HUGEINT outputs vs Spark decimal(38,0) (gini/cohort_ltv) even
+        # though this mimic's old decimal(s=0) folding called them equal.
+        # No Spark type maps here, so any HUGEINT output column fails the
+        # type gate loudly — cast it in the oracle's final SELECT.
+        return "hugeint"
     m = _DECIMAL_RE.match(u)
     if m:
         return f"decimal(s={m.group(2)})"
@@ -286,9 +297,10 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
     if type_diffs:
         errors.append(
             "TYPES differ (driver hash is type-sensitive; family folding "
-            "is inferred from r5 driver evidence — int widths fold, "
+            "is inferred from driver evidence — int widths fold, "
             "decimal scale-sensitive/precision-insensitive, "
-            "HUGEINT==decimal(38,0)): " + "; ".join(type_diffs))
+            "HUGEINT a distinct family per the r7 gini/ltv hash-fails): "
+            + "; ".join(type_diffs))
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_rows = con.execute(sql).fetchall()
     if len(s_rows) != len(d_rows):
