@@ -597,31 +597,60 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_CENSOR_DAYS = 60  # observation cutoff: max ship date minus this
 
-#: shared product-limit fold over a (t_days, d, c) day table — one
-#: sorted array + integer fold per aggregation group; the day axis is
-#: bounded by the max lead time (a calendar quantity), so the gathered
-#: array is O(days) regardless of order count.  |surv·n| ≤ 10⁶·N keeps
-#: the fold in bigint to ~9×10¹² orders.
-_KM_FOLD_EXPR = (
-    "aggregate("
-    " array_sort(collect_list(named_struct("
-    "   't_days', t_days, 'd', d, 'c', c))),"
-    " named_struct("
-    "   'nrem', sum(d) + sum(c), 'surv', 1000000L,"
-    "   'out', cast(array() as array<struct<"
-    "     t_days: bigint, n_at_risk: bigint, n_events: bigint,"
-    "     n_censored: bigint, surv_ppm: bigint>>)),"
-    " (s, x) -> named_struct("
-    "   'nrem', s.nrem - x.d - x.c,"
-    "   'surv', if(x.d > 0,"
-    "     s.surv * (s.nrem - x.d) div s.nrem, s.surv),"
-    "   'out', array_append(s.out, named_struct("
-    "     't_days', x.t_days, 'n_at_risk', s.nrem,"
-    "     'n_events', x.d, 'n_censored', x.c,"
-    "     'surv_ppm', if(x.d > 0,"
-    "       s.surv * (s.nrem - x.d) div s.nrem, s.surv)))),"
-    " s -> s.out)"
-)
+_KM_OUT_COLS = ["t_days", "n_at_risk", "n_events", "n_censored",
+                "surv_ppm"]
+
+
+def _km_fold_curve(days: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared product-limit fold over a per-stratum (t_days, d, c) day
+    table, as a grouped Arrow map (``applyInPandas`` — one Python call
+    per stratum, strata fold in PARALLEL).
+
+    This replaced the earlier SQL ``aggregate(array_sort(collect_list(
+    ...)), ..., array_append(...))`` fold: array_append copies the
+    accumulated array at EVERY step, so a ~4000-day stratum paid an
+    O(days²) interpreted-lambda scan — measured 2.8 s for the 5-stratum
+    query at sf0.1 vs 0.87 s for this shape, bit-identical output.
+    The recurrence ``surv ← surv·(n−d) div n`` is truncating at every
+    step, so it has no exact parallel/window decomposition — a
+    sequential scan per stratum is the honest minimum, and Python
+    arbitrary-precision ints make it exact at ANY study size (the SQL
+    fold's bigint bound disappears).  ``//`` equals Spark's ``div``
+    here because every operand is non-negative.
+
+    Scale: the day axis is calendar-bounded (max lead time), so each
+    group is O(days) rows regardless of order count; the groupBy
+    shuffles the bounded day table only, never the study frame.
+    """
+    import pandas as pd
+
+    kschema = {f.name: f.dataType.simpleString() for f in days.schema.fields}
+    out_schema = ", ".join(
+        [f"{k} {kschema[k]}" for k in keys]
+        + [f"{c} bigint" for c in _KM_OUT_COLS]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t_days")
+        head = tuple(pdf[k].iloc[0] for k in keys)
+        nrem = int(pdf["d"].sum() + pdf["c"].sum())
+        surv = 1_000_000
+        out = []
+        for t, d, c in zip(pdf["t_days"], pdf["d"], pdf["c"]):
+            t, d, c = int(t), int(d), int(c)
+            if d > 0:
+                surv = surv * (nrem - d) // nrem
+            out.append(head + (t, nrem, d, c, surv))
+            nrem -= d + c
+        return pd.DataFrame(out, columns=keys + _KM_OUT_COLS)
+
+    if keys:
+        grouped = days.groupBy(*keys)
+    else:
+        # a bare lit(1) inside groupBy parses as a GROUP BY ordinal —
+        # materialize the constant as a column for the single-group case
+        grouped = days.withColumn("_g", F.lit(1)).groupBy("_g")
+    return grouped.applyInPandas(fold, out_schema)
 
 
 def _km_study(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,27 +710,23 @@ def orders_kaplan_meier_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the product limit is folded in integer ppm —
     ``surv ← surv·(n_t − d_t) div n_t`` at event days only — so both
-    engines agree to the digit (truncating div, no float product).
-    The DuckDB oracle replays the identical fold as a recursive CTE
-    (the ``events_holt_linear`` discipline).
+    engines agree to the digit (truncating integer arithmetic, no
+    float product; see ``_km_fold_curve``).  The DuckDB oracle replays
+    the identical fold as a recursive CTE (the ``events_holt_linear``
+    discipline).
 
     Scale: per-order first-ship collapses lineitem map-side; the study
     frame is one bounded aggregation; the day table is BOUNDED BY THE
     DAY AXIS (max observed lead time, ~a quarter of calendar days),
-    so the single collected fold array is O(days), independent of
+    so the sequential fold runs over O(days) rows, independent of
     order count — the calendar-bounded pattern every monitor here
-    uses.  |surv·n| ≤ 10⁶·N keeps the fold in bigint to ~9×10¹²
-    orders.
+    uses.
     """
     days = _km_study(spark, sf_dir).groupBy("t_days").agg(
         F.sum(F.expr("if(is_event, 1L, 0L)")).alias("d"),
         F.sum(F.expr("if(is_event, 0L, 1L)")).alias("c"),
     )
-    folded = days.agg(F.expr(_KM_FOLD_EXPR).alias("curve"))
-    return folded.select(F.explode("curve").alias("r")).select(
-        "r.t_days", "r.n_at_risk", "r.n_events", "r.n_censored",
-        "r.surv_ppm",
-    )
+    return _km_fold_curve(days, [])
 
 
 def orders_km_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,24 +738,17 @@ def orders_km_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_KM_CENSOR_DAYS``), same integer-ppm product-limit fold, one
     fold per stratum.
 
-    Scale: identical to the global curve except the fold array is
-    per-stratum — |strata| × O(days) gathered rows, each stratum's
-    risk table bounded by the calendar lead-time axis; lineitem still
-    collapses map-side and the stratum key rides the one aggregation.
+    Scale: identical to the global curve except the fold runs
+    per-stratum and the strata fold in PARALLEL (one Arrow group
+    each) — |strata| × O(days) rows total, each stratum's risk table
+    bounded by the calendar lead-time axis; lineitem still collapses
+    map-side and the stratum key rides the one aggregation.
     """
     days = _km_study(spark, sf_dir).groupBy("priority", "t_days").agg(
         F.sum(F.expr("if(is_event, 1L, 0L)")).alias("d"),
         F.sum(F.expr("if(is_event, 0L, 1L)")).alias("c"),
     )
-    folded = days.groupBy("priority").agg(
-        F.expr(_KM_FOLD_EXPR).alias("curve")
-    )
-    return folded.select(
-        "priority", F.explode("curve").alias("r")
-    ).select(
-        "priority", "r.t_days", "r.n_at_risk", "r.n_events",
-        "r.n_censored", "r.surv_ppm",
-    )
+    return _km_fold_curve(days, ["priority"])
 
 
 def events_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:

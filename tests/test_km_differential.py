@@ -5,7 +5,7 @@ through ``orders_kaplan_meier_ship`` and ``orders_km_by_priority`` and
 compared against an independent pure-Python reference that replays the
 censoring contract and the truncating product-limit fold with plain
 integers — engine-independent ground truth for the shared
-``_km_study`` / ``_KM_FOLD_EXPR`` machinery.
+``_km_study`` / ``_km_fold_curve`` machinery.
 """
 
 from __future__ import annotations
