@@ -83,9 +83,12 @@ def probe_hash_decimal_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 def probe_hash_float32_vs_float64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark FLOAT (32-bit) vs oracle DOUBLE, value 2.5 — exactly
     representable in both widths so only the physical type can differ.
-    Pins the ``float`` family fold."""
+    Pins the ``float`` family fold.  The cast must wrap the WHOLE
+    expression: Spark's Divide coerces float operands to double, so
+    ``cast(x as float) / cast(y as float)`` is DOUBLE and would make
+    this probe vacuously compare double to double."""
     return load_table(spark, "region", sf_dir).agg(
-        F.expr("cast(count(*) as float) / cast(2 as float)").alias("v"),
+        F.expr("cast(count(*) / 2 as float)").alias("v"),
     )
 
 

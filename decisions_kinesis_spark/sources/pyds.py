@@ -199,9 +199,22 @@ class KinesisEnvelopeReader(DataSourceReader):
                 if lit != _SHARD_FMT % num:
                     yield f
                     continue
+                # consume only the FIRST equality per attribute: Spark
+                # can push contradictory conjuncts (shardId = A AND
+                # shardId = B — Catalyst doesn't fold them to false),
+                # and overwriting shard_eq would silently drop the
+                # first one.  Yielding the extra back lets Spark
+                # evaluate the contradiction to an empty result.
+                if self.shard_eq is not None and self.shard_eq != num:
+                    yield f
+                    continue
                 self.shard_eq = num
             elif isinstance(f, EqualTo) and f.attribute == ("partitionKey",):
-                self.pk_eq = str(f.value)
+                pk = str(f.value)
+                if self.pk_eq is not None and self.pk_eq != pk:
+                    yield f
+                    continue
+                self.pk_eq = pk
             else:
                 yield f
 
@@ -581,10 +594,22 @@ class KinesisShardLogStreamWriter(DataSourceStreamWriter):
             return
         if os.path.exists(marker):
             # manifest without .done: a previous attempt crashed during
-            # the append — roll the logs back to pre-epoch state first
+            # the append — roll the logs back to pre-epoch state first.
+            # A marker that is NOT a manifest is a LEGACY apply-then-
+            # mark marker ('committed\n'): the old scheme wrote it only
+            # AFTER a successful apply, so it means the epoch fully
+            # committed — treat as done, never parse it as a manifest
+            # (json.load would raise on every replay and wedge the
+            # stream against a pre-upgrade _commits directory).
             with open(marker, encoding="utf-8") as f:
-                manifest = json.load(f)
-            self._rollback(manifest["log_sizes"])
+                raw = f.read()
+            try:
+                manifest = json.loads(raw)
+                sizes = manifest["log_sizes"]
+            except (ValueError, TypeError, KeyError):
+                self._inner._clean_staging(messages)
+                return
+            self._rollback(sizes)
         else:
             tmp = marker + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:

@@ -530,6 +530,59 @@ def test_events_scan_null_user_id_routes_nowhere(spark, log_dir):
     assert sorted(r["sequenceNumber"] for r in pushed) == ["1", "3"]
 
 
+def test_pushdown_contradictory_equalities_return_empty(spark, sf_dir):
+    """Spark can push CONTRADICTORY equality conjuncts (shardId = A AND
+    shardId = B — Catalyst doesn't fold them to false).  The source
+    consumes only the first per attribute and yields the rest back, so
+    Spark evaluates the contradiction to an empty result instead of
+    the scan silently returning the last literal's rows."""
+    a, b = "shardId-%012d" % 1, "shardId-%012d" % 2
+    r = KinesisEnvelopeReader(
+        {"path": f"{sf_dir}/events.parquet", "numshards": "8"}
+    )
+    kept = list(
+        r.pushFilters([EqualTo(("shardId",), a), EqualTo(("shardId",), b)])
+    )
+    assert r.shard_eq == 1 and len(kept) == 1
+    got = (
+        _ds_read(spark, f"{sf_dir}/events.parquet", numShards=8)
+        .filter((F.col("shardId") == a) & (F.col("shardId") == b))
+        .count()
+    )
+    assert got == 0
+    # duplicate (non-contradictory) equalities still all consume
+    r2 = KinesisEnvelopeReader(
+        {"path": f"{sf_dir}/events.parquet", "numshards": "8"}
+    )
+    kept2 = list(
+        r2.pushFilters([EqualTo(("shardId",), a), EqualTo(("shardId",), a)])
+    )
+    assert r2.shard_eq == 1 and kept2 == []
+
+
+def test_stream_writer_legacy_marker_means_committed(log_dir):
+    """A _commits/<batchId> marker written by the pre-manifest scheme
+    ('committed\\n', no .done) was only written AFTER a successful
+    apply — a replay must treat it as a fully committed epoch (drop
+    staging, append nothing), not parse it as a JSON manifest and
+    wedge the stream."""
+    from pyspark.sql.types import Row
+
+    writer = KinesisShardLogStreamWriter(
+        {"path": log_dir, "numshards": str(N_SHARDS)}
+    )
+    commits = os.path.join(log_dir, "_commits")
+    os.makedirs(commits)
+    with open(os.path.join(commits, "5"), "w", encoding="utf-8") as f:
+        f.write("committed\n")
+    msg = writer.write(iter([Row(data="x", partitionKey="1")]))
+    writer.commit([msg], batchId=5)  # replay of a legacy-committed epoch
+    assert not any(f.endswith(".jsonl") for f in os.listdir(log_dir))
+    assert not os.listdir(os.path.join(log_dir, "_staging")) if os.path.isdir(
+        os.path.join(log_dir, "_staging")
+    ) else True
+
+
 def test_stream_writer_crash_mid_commit_replays_exactly_once(log_dir):
     """Exactly-once under a crash INSIDE commit: the manifest (written
     via atomic rename before any append) records pre-epoch log sizes;
