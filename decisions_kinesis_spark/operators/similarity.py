@@ -477,6 +477,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double("embedding").alias("v")
     )
     assigned = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
+    return _ivf_probe_topk(assigned)
+
+
+def _ivf_probe_topk(assigned: DataFrame) -> DataFrame:
+    """Shared nprobe=1 probe + per-query top-k over an assigned
+    (vec_id, v, nv, cent_id, …) frame — the tail every IVF variant
+    reuses: broadcast the query rows, equi-join on the cell id, rank
+    within query."""
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -498,6 +506,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
     )
+
+
+_IVF_C_CAP = 64  # fixed centroid budget of the capped variant
+
+
+def ann_ivf_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a FIXED centroid budget (C = 64) instead of the √N
+    rule — the production posture for the assignment stage at corpus
+    scale.  √N centroids balance cell size against centroid count but
+    make assignment O(N·√N) dot products, which the 100× smoke
+    measured as the closest-to-linear family on the board (40.6× wall
+    at 100× data); a FIXED C makes assignment O(N·C) — strictly linear
+    in the corpus — at the cost of cells of N/C vectors, which is the
+    knob a real deployment buys back with the PQ/ADC re-rank
+    (``ann_ivf_pq``) rather than with more centroids.  This query IS
+    that documented lever as code: same seeded-deterministic centroid
+    choice (vec_id divisible by N div C — oracle-replicable), same
+    assignment/probe topology, only the modulus differs.
+
+    Scale: centroids broadcast (64 rows at any N); assignment reduces
+    map-side; the probe equi-join moves each query's single cell.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    mod = max(1, table_count(spark, "embeddings", sf_dir) // _IVF_C_CAP)
+    cents = emb.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    return _ivf_probe_topk(_assign_cents(emb, cents))
 
 
 def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,6 +1144,7 @@ QUERIES = {
     "ann_mutual_knn_pairs": ann_mutual_knn_pairs,
     "ann_bucket_balance_audit": ann_bucket_balance_audit,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_capped_topk": ann_ivf_capped_topk,
     "ann_ivf_nprobe2": ann_ivf_nprobe2,
     "ann_ivf_refined": ann_ivf_refined,
     "ann_ivf_pq": ann_ivf_pq,
@@ -1350,6 +1389,46 @@ ORACLES = {
               FROM (SELECT count(*) AS n,
                            floor(sqrt(count(*)))::BIGINT AS s
                     FROM embeddings)),
+        cents AS (
+            SELECT vec_id AS cent_id, v AS cv FROM e
+            WHERE vec_id % (SELECT md FROM p) = 0
+        ),
+        scored AS (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   round(list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+            FROM e, cents c
+        ),
+        assigned AS (
+            SELECT vec_id, v, cent_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, cent_id ASC) AS ark
+                  FROM scored)
+            WHERE ark = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv, cent_id AS qcent
+            FROM assigned WHERE vec_id < {_N_QUERIES}
+        ),
+        cand AS (
+            SELECT q.query_id, a.vec_id, {_DUCK_COS} AS cos
+            FROM assigned a JOIN q
+              ON a.cent_id = q.qcent AND a.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id AS neighbor_id, cos, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM cand)
+        WHERE rank <= {_TOP_K}
+    """,
+    # capped variant: identical topology, FIXED 64-centroid budget —
+    # the modulus is N div 64 (exact integer, no sqrt correction
+    # needed), everything else is the ann_ivf_topk oracle verbatim
+    "ann_ivf_capped_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT greatest(count(*) // {_IVF_C_CAP}, 1) AS md
+              FROM embeddings),
         cents AS (
             SELECT vec_id AS cent_id, v AS cv FROM e
             WHERE vec_id % (SELECT md FROM p) = 0
