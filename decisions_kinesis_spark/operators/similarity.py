@@ -1070,13 +1070,20 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each method frame reduces to per-method scalar counts via
     equi-joins on (query_id, neighbor_id) + global aggregates; the
-    expensive inputs (ground truth + 6 method pipelines) come through
+    expensive inputs (ground truth + 7 method pipelines) come through
     the session ``stage_cache`` (localCheckpoint'd on first use), so
     repeated constructions — and the funnel-style composition with the
     standalone queries in one report session — pay each pipeline once
     (cache misses run those jobs at construction time).  The oracle
-    composes the seven method/truth oracles as CTEs: one source of
+    composes the eight method/truth oracles as CTEs: one source of
     truth per index definition.
+
+    Empirical note (sf0.1, uniform-random embeddings): the capped-64
+    variant measures LOWER recall than √N nprobe1 (18% vs 26%) even
+    though its cells are 3× larger — on an ANN-hostile isotropic
+    corpus directional cells are weak predictors of top-k membership
+    and the 10-query sample is small; the row exists so a REAL corpus
+    measures its own trade instead of inheriting this one.
     """
     from decisions_kinesis_spark.operators import stage_cache
 
@@ -1105,6 +1112,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_nprobe2", top_k(ann_ivf_nprobe2)),
         ("ivf_refined", top_k(ann_ivf_refined)),
         ("ivf_pq", top_k(ann_ivf_pq)),
+        ("ivf_capped", top_k(ann_ivf_capped_topk)),
     )
     n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
     out = None
@@ -1844,6 +1852,9 @@ _RECALL_METHODS = (
     ("ivf_nprobe2", "ann_ivf_nprobe2", "topk"),
     ("ivf_refined", "ann_ivf_refined", "topk"),
     ("ivf_pq", "ann_ivf_pq", "topk"),
+    # the fixed-64-centroid production posture: bigger cells trade
+    # per-query probe cost for recall — this row quantifies the trade
+    ("ivf_capped", "ann_ivf_capped_topk", "topk"),
 )
 
 def _recall_oracle() -> str:
