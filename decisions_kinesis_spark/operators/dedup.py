@@ -636,9 +636,21 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     set sizes satisfy min/max ≥ 0.8, which fits at most one boundary
     between them, so same-band (doc_id< ordered) plus adjacent-band
     (band order oriented) keying is a COMPLETE candidate filter for
-    J ≥ 0.8 at ANY document size, and block population stays
-    proportional to the size distribution (no quadratic blow-up from a
-    fixed band width as documents grow).
+    J ≥ 0.8 at ANY document size (the band axis adapts to the LENGTH
+    distribution, so growing documents cannot blow a fixed band up).
+
+    SCALE POSTURE (corrected by the round-8 100× smoke): completeness
+    makes the within-band pair count QUADRATIC IN CORPUS SIZE — the
+    band count is fixed by the length distribution, so a 100× corpus
+    multiplies block populations 100× and candidate pairs 100²×
+    (measured: 0.40M same-band pairs at sf0.1 → 4.07G at 100×, turning
+    a 2.4 s query into a 45+-minute one).  That is INHERENT to any
+    complete J ≥ 0.8 candidate filter (a sub-quadratic complete filter
+    would contradict the lower bound that makes MinHash exist); this
+    operator is therefore the bounded-corpus VERIFICATION tier — run
+    it on a block, a sample, or a disputed cluster — while
+    ``dedup_minhash_lsh_pairs`` (banded signatures, recall-controlled,
+    measured 10.8× wall at 100× data) is the full-corpus scale path.
     Output: per-lang near-dup stats at Jaccard ≥ 0.8.
     """
     from decisions_kinesis_spark.functions.parallel import ensure_parallelism

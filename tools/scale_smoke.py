@@ -45,7 +45,10 @@ DEFAULT_OPS = (
     "text_dup_span_fraction",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_hamming_pairs",
-    "dedup_ngram_jaccard_blocked",
+    # dedup_ngram_jaccard_blocked is deliberately NOT a default: it is
+    # a COMPLETE J>=0.8 candidate filter, quadratic in corpus size by
+    # construction (measured 4.07G same-band pairs at k=100 — 45+ min;
+    # see SCALE.md).  Pass it explicitly to re-measure the bound.
     "dedup_components",
     "ann_ivf_topk",
     "ann_cosine_topk",
