@@ -617,6 +617,55 @@ _BAND_SPARK = " + ".join(f"cast(n >= {g} as int)" for g in _RATIO_BOUNDS)
 _BAND_DUCK = " + ".join(f"(len(idxs) >= {g})::INT" for g in _RATIO_BOUNDS)
 
 
+def _ngram_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared banded-signature frame of the n-gram Jaccard family:
+    per doc its distinct-hashed-token count ``n``, the 1024-bit
+    signature as 16 scalar bigint columns ``m0..m15``, and the
+    geometric length ``band``.
+
+    md5 runs codegen'd on scalar exploded rows (measured ~10× faster
+    than the same hash inside array lambdas); the signature lives in
+    16 SCALAR bigints, not one array, so the pair loop's bit_count/&/|
+    stay inside whole-stage codegen (~5× over interpreted lambdas)."""
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text"
+    )
+    idx = (
+        ensure_parallelism(docs)
+        .withColumn("toks", F.expr(_TOKS))
+        .select("doc_id", "lang", F.explode("toks").alias("token"))
+        .withColumn("idx", F.expr(f"{_bighash('token')} % {_SIG_BITS}"))
+        .select("doc_id", "lang", "idx")
+        .distinct()
+    )
+    return idx.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(
+                f"bit_or(if(idx div 64 = {b},"
+                " shiftleft(cast(1 as bigint), cast(idx % 64 as int)),"
+                " cast(0 as bigint)))"
+            ).alias(f"m{b}")
+            for b in range(_SIG_BLOCKS)
+        ],
+    ).withColumn("band", F.expr(_BAND_SPARK))
+
+
+def _ngram_jac_expr():
+    """Exact bitset Jaccard of an aliased (a, b) signature pair."""
+    popcnt = " + ".join(
+        "bit_count(a.m{b} {op} b.m{b})".replace("{b}", str(b))
+        for b in range(_SIG_BLOCKS)
+    )
+    return F.round(
+        F.expr(popcnt.format(op="&")).cast("double")
+        / F.expr(popcnt.format(op="|")),
+        4,
+    ).alias("jac")
+
+
 def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed token-set Jaccard within blocking groups (lang × length
     band).
@@ -653,48 +702,13 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 10.8× wall at 100× data) is the full-corpus scale path.
     Output: per-lang near-dup stats at Jaccard ≥ 0.8.
     """
-    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
-
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
-    # distinct hashed bit indices per doc; md5 runs codegen'd on scalar
-    # rows (measured ~10× faster than the same hash inside array lambdas)
-    idx = (
-        ensure_parallelism(docs)
-        .withColumn("toks", F.expr(_TOKS))
-        .select("doc_id", "lang", F.explode("toks").alias("token"))
-        .withColumn("idx", F.expr(f"{_bighash('token')} % {_SIG_BITS}"))
-        .select("doc_id", "lang", "idx")
-        .distinct()
-    )
-    # The signature lives in 16 SCALAR bigint columns (not one array):
-    # scalar bit_count/& / | stay inside whole-stage codegen on the
-    # quadratic pair loop, where array lambdas would run interpreted
-    # (measured ~5× slower).  One conditional bit_or aggregate per block.
-    m = idx.groupBy("doc_id", "lang").agg(
-        F.count("*").alias("n"),
-        *[
-            F.expr(
-                f"bit_or(if(idx div 64 = {b},"
-                " shiftleft(cast(1 as bigint), cast(idx % 64 as int)),"
-                " cast(0 as bigint)))"
-            ).alias(f"m{b}")
-            for b in range(_SIG_BLOCKS)
-        ],
-    ).withColumn("band", F.expr(_BAND_SPARK))
+    m = _ngram_sig_frame(spark, sf_dir)
     # Neighbor-band candidates WITHOUT duplicate pairs: two disjoint
     # equi-joins — same band (doc_id< orders the pair) and adjacent band
     # (band order orients the pair) — so no distinct pass is needed.
     # m is materialized once; both joins reuse it.
     m = m.localCheckpoint(eager=True)
-    popcnt = " + ".join(
-        "bit_count(a.m{b} {op} b.m{b})".replace("{b}", str(b))
-        for b in range(_SIG_BLOCKS)
-    )
-    jac = F.round(
-        F.expr(popcnt.format(op="&")).cast("double")
-        / F.expr(popcnt.format(op="|")),
-        4,
-    ).alias("jac")
+    jac = _ngram_jac_expr()
     a, b = m.alias("a"), m.alias("b")
     same = a.join(
         b,
@@ -712,6 +726,94 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum((F.col("jac") >= 0.8).cast("bigint")).alias("n_neardup"),
         F.round(F.avg("jac"), 4).alias("avg_jac"),
+    )
+
+
+#: target sampled-doc count of the adaptive verifier: Q = max(1,
+#: D div _NGRAM_SAMPLE_TARGET) holds the sampled population — and so
+#: the quadratic verification cost — roughly CONSTANT as D grows.
+_NGRAM_SAMPLE_TARGET = 2000
+
+
+def _ngram_sample_q(spark: SparkSession, sf_dir: str) -> int:
+    from decisions_kinesis_spark.sources.tables import table_count
+
+    return max(1, table_count(spark, "documents", sf_dir)
+               // _NGRAM_SAMPLE_TARGET)
+
+
+def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE form of the blocked n-gram Jaccard's scale
+    disposition: exact bitset-Jaccard verification on a DETERMINISTIC
+    DOC-LEVEL hash sample, with Horvitz–Thompson scaling back to
+    corpus-level estimates.
+
+    The complete blocked verifier is quadratic in corpus size
+    (measured: 4.07G same-band pairs at 100× — SCALE.md).  Sampling
+    must therefore happen at the DOC axis, not the block axis: a
+    whole-block sample keeps each included block's full population, so
+    cost falls only linearly in the sampling rate and stays quadratic
+    in D (this function's first design — caught by its own 100× smoke
+    before it ever shipped).  Doc-level inclusion at rate 1/Q makes a
+    pair survive at 1/Q², so verification cost is (D/Q)² and the
+    ADAPTIVE modulus ``Q = max(1, D div _NGRAM_SAMPLE_TARGET)``
+    (the adaptive-plane-count discipline — the oracle computes the
+    same integer formula in SQL) holds the sampled population, and
+    with it the quadratic budget, CONSTANT at any corpus size.
+
+    Inclusion is the shared 60-bit md5 idiom on the doc id —
+    deterministic, so both engines sample identical docs and the gate
+    hash-matches; at gate SFs (D < 2·target) Q = 1 and the estimator
+    degenerates to the full same-band verification, so the driver
+    checks the complete arithmetic, not a thin sample.  HT estimates
+    are ``est = observed · Q²`` (unbiased over the hash-uniformity
+    assumption every deterministic sampler here makes —
+    ``sample_weighted_poisson`` discipline); both sampled docs of a
+    surviving pair are genuinely verified, so J ≥ 0.8 verdicts are
+    EXACT — the estimator trades VARIANCE for cost where MinHash
+    trades RECALL.  Same-band pairs only (the boundary-straddling
+    adjacent-band minority is the complete verifier's concern).
+
+    Scale: one scan-side hash filter, then the blocked verifier's
+    topology over ~_NGRAM_SAMPLE_TARGET docs regardless of D.
+    """
+    q = _ngram_sample_q(spark, sf_dir)
+    m = _ngram_sig_frame(spark, sf_dir).where(
+        F.expr(f"{_bighash('cast(doc_id as string)')} % {q} = 0")
+    )
+    m = m.localCheckpoint(eager=True)
+    jac = _ngram_jac_expr()
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.lang").alias("lang"), jac)
+    docs = m.groupBy("lang").agg(F.count("*").alias("n_docs_sampled"))
+    stats = pairs.groupBy("lang").agg(
+        F.count("*").alias("n_pairs_sampled"),
+        F.sum((F.col("jac") >= 0.8).cast("bigint")).alias(
+            "n_neardup_sampled"
+        ),
+    )
+    return (
+        docs.join(stats, "lang", "left")
+        .select(
+            "lang",
+            F.lit(q).cast("bigint").alias("sample_q"),
+            "n_docs_sampled",
+            F.coalesce("n_pairs_sampled", F.lit(0)).alias("n_pairs_sampled"),
+            F.coalesce("n_neardup_sampled", F.lit(0)).alias(
+                "n_neardup_sampled"
+            ),
+            F.expr(f"coalesce(n_pairs_sampled, 0) * {q} * {q}").alias(
+                "est_pairs"
+            ),
+            F.expr(f"coalesce(n_neardup_sampled, 0) * {q} * {q}").alias(
+                "est_neardup"
+            ),
+        )
     )
 
 
@@ -1000,6 +1102,7 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard_blocked": dedup_ngram_jaccard_blocked,
+    "dedup_ngram_jaccard_sampled": dedup_ngram_jaccard_sampled,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_minhash_estimate_calibration": dedup_minhash_estimate_calibration,
     "dedup_simhash_hamming_pairs": dedup_simhash_hamming_pairs,
@@ -1327,6 +1430,55 @@ ORACLES = {
                sum((jac >= 0.8)::BIGINT)::BIGINT AS n_neardup,
                round(avg(jac), 4) AS avg_jac
         FROM pairs GROUP BY lang
+    """,
+    # hash-sampled exact verification: identical signature/band CTEs,
+    # deterministic DOC-level inclusion via the shared 60-bit md5 idiom
+    # at the SAME adaptive modulus Q = max(1, D div target) computed in
+    # SQL, same-band pairs only, Horvitz-Thompson x Q^2 estimates
+    "dedup_ngram_jaccard_sampled": f"""
+        WITH qv AS (
+            SELECT greatest(1, count(*) // {_NGRAM_SAMPLE_TARGET}) AS q
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(list_distinct({_DUCK_TOKS}),
+                       x -> ('0x' || substr(md5(x), 1, 15))::BIGINT
+                            % {_SIG_BITS})) AS idxs
+            FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % (SELECT q FROM qv) = 0
+        ),
+        banded AS (
+            SELECT doc_id, lang, idxs, {_BAND_DUCK} AS band
+            FROM t WHERE len(idxs) > 0
+        ),
+        pairs AS (
+            SELECT a.lang,
+                   round(len(list_intersect(a.idxs, b.idxs))::DOUBLE /
+                         len(list_distinct(list_concat(a.idxs, b.idxs))), 4)
+                       AS jac
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        ),
+        docs AS (
+            SELECT lang, count(*)::BIGINT AS n_docs_sampled
+            FROM banded GROUP BY lang
+        ),
+        stats AS (
+            SELECT lang, count(*)::BIGINT AS n_pairs_sampled,
+                   sum((jac >= 0.8)::BIGINT)::BIGINT AS n_neardup_sampled
+            FROM pairs GROUP BY lang
+        )
+        SELECT d.lang, (SELECT q FROM qv)::BIGINT AS sample_q,
+               d.n_docs_sampled,
+               coalesce(s.n_pairs_sampled, 0)::BIGINT AS n_pairs_sampled,
+               coalesce(s.n_neardup_sampled, 0)::BIGINT AS n_neardup_sampled,
+               (coalesce(s.n_pairs_sampled, 0) * (SELECT q FROM qv)
+                * (SELECT q FROM qv))::BIGINT AS est_pairs,
+               (coalesce(s.n_neardup_sampled, 0) * (SELECT q FROM qv)
+                * (SELECT q FROM qv))::BIGINT AS est_neardup
+        FROM docs d LEFT JOIN stats s ON s.lang = d.lang
     """,
 }
 

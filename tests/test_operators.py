@@ -925,6 +925,37 @@ def test_cdc_merge_covers_all_four_outcomes(spark, sf_dir):
     assert all(v > 0 for v in checked.values()), checked
 
 
+def test_ngram_sampled_estimator_invariants(spark, sf_dir):
+    """The hash-sampled exact verifier's contracts: the adaptive
+    modulus Q derives from the doc count; pair survival is 1/Q² so the
+    HT estimates are exactly observed × Q²; each lang's sampled pair
+    count is bounded by the complete verifier's totals; and at gate
+    SFs (D < 2·target ⇒ Q = 1) the estimator DEGENERATES to the full
+    same-band verification, so its counts match the complete operator
+    minus the adjacent-band tier."""
+    from decisions_kinesis_spark.operators.dedup import (
+        _ngram_sample_q,
+        dedup_ngram_jaccard_blocked,
+        dedup_ngram_jaccard_sampled,
+    )
+
+    q = _ngram_sample_q(spark, sf_dir)
+    sampled = {r["lang"]: r for r in
+               dedup_ngram_jaccard_sampled(spark, sf_dir).collect()}
+    assert sampled
+    full = {r["lang"]: r for r in
+            dedup_ngram_jaccard_blocked(spark, sf_dir).collect()}
+    for lang, r in sampled.items():
+        assert r["sample_q"] == q
+        assert r["est_pairs"] == r["n_pairs_sampled"] * q * q
+        assert r["est_neardup"] == r["n_neardup_sampled"] * q * q
+        assert r["n_neardup_sampled"] <= r["n_pairs_sampled"]
+        if lang in full:
+            # full counts include adjacent-band pairs too, so sampled
+            # same-band pairs can never exceed them
+            assert r["n_pairs_sampled"] <= full[lang]["n_pairs"]
+
+
 def test_containment_flags_truncated_docs_jaccard_misses(spark, sf_dir):
     """Every surviving (original, half-doc) candidate pair must show
     containment 1.0 with Jaccard below the dedup threshold — the
