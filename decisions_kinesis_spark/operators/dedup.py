@@ -666,6 +666,21 @@ def _ngram_jac_expr():
     ).alias("jac")
 
 
+def _same_band_pairs(m: DataFrame) -> DataFrame:
+    """Same-(lang, band) candidate pairs (doc_id< ordered) with their
+    exact bitset Jaccard — the band-completeness contract in ONE
+    place, shared by the complete verifier and the sampled estimator
+    (whose Q=1 degeneracy to the full same-band verification depends
+    on this join being literally the same)."""
+    a, b = m.alias("a"), m.alias("b")
+    return a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.lang").alias("lang"), _ngram_jac_expr())
+
+
 def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed token-set Jaccard within blocking groups (lang × length
     band).
@@ -708,19 +723,13 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (band order orients the pair) — so no distinct pass is needed.
     # m is materialized once; both joins reuse it.
     m = m.localCheckpoint(eager=True)
-    jac = _ngram_jac_expr()
+    same = _same_band_pairs(m)
     a, b = m.alias("a"), m.alias("b")
-    same = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.lang").alias("lang"), jac)
     adjacent = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.band") + 1 == F.col("b.band")),
-    ).select(F.col("a.lang").alias("lang"), jac)
+    ).select(F.col("a.lang").alias("lang"), _ngram_jac_expr())
     pairs = same.unionByName(adjacent)
     return pairs.groupBy("lang").agg(
         F.count("*").alias("n_pairs"),
@@ -782,14 +791,7 @@ def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{_bighash('cast(doc_id as string)')} % {q} = 0")
     )
     m = m.localCheckpoint(eager=True)
-    jac = _ngram_jac_expr()
-    a, b = m.alias("a"), m.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.lang").alias("lang"), jac)
+    pairs = _same_band_pairs(m)
     docs = m.groupBy("lang").agg(F.count("*").alias("n_docs_sampled"))
     stats = pairs.groupBy("lang").agg(
         F.count("*").alias("n_pairs_sampled"),

@@ -531,9 +531,9 @@ def ann_ivf_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    mod = max(1, table_count(spark, "embeddings", sf_dir) // _IVF_C_CAP)
-    cents = emb.filter(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    cents = _seed_centroids(
+        spark, sf_dir, emb,
+        mod=table_count(spark, "embeddings", sf_dir) // _IVF_C_CAP,
     )
     return _ivf_probe_topk(_assign_cents(emb, cents))
 
@@ -610,11 +610,18 @@ def _assign_cents(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _seed_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
-    """Deterministic seeded centroid sample: vec_id % isqrt(N) == 0."""
+def _seed_centroids(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, mod: int | None = None
+) -> DataFrame:
+    """Deterministic seeded centroid sample: vec_id % mod == 0.  The
+    default modulus is isqrt(N) (the √N balance rule); the capped
+    variant passes N div C.  ONE definition of the selection contract
+    — the thing every IVF oracle replicates bit-for-bit."""
     import math
 
-    mod = max(1, math.isqrt(table_count(spark, "embeddings", sf_dir)))
+    if mod is None:
+        mod = math.isqrt(table_count(spark, "embeddings", sf_dir))
+    mod = max(1, mod)
     return emb.filter(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )

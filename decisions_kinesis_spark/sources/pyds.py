@@ -595,25 +595,26 @@ class KinesisShardLogStreamWriter(DataSourceStreamWriter):
         if os.path.exists(marker):
             # manifest without .done: a previous attempt crashed during
             # the append — roll the logs back to pre-epoch state first.
-            # A marker that is NOT a manifest is a LEGACY apply-then-
-            # mark marker ('committed\n'): the old scheme wrote it only
-            # AFTER a successful apply, so it means the epoch fully
-            # committed — treat as done, never parse it as a manifest
-            # (json.load would raise on every replay and wedge the
-            # stream against a pre-upgrade _commits directory).
+            # EXACTLY the legacy apply-then-mark marker ('committed')
+            # means a fully committed pre-upgrade epoch (the old scheme
+            # wrote it only AFTER a successful apply) — treat as done.
+            # Anything else that fails to parse as a manifest is
+            # CORRUPTION and must fail loudly: silently treating it as
+            # committed would skip the rollback (duplicates stay) AND
+            # drop the replay's data — wrong in both directions.
             with open(marker, encoding="utf-8") as f:
                 raw = f.read()
-            try:
-                manifest = json.loads(raw)
-                sizes = manifest["log_sizes"]
-            except (ValueError, TypeError, KeyError):
+            if raw.rstrip() == "committed":
                 self._inner._clean_staging(messages)
                 return
-            self._rollback(sizes)
+            manifest = json.loads(raw)
+            self._rollback(manifest["log_sizes"])
         else:
             tmp = marker + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 json.dump({"log_sizes": self._log_sizes()}, f)
+                f.flush()
+                os.fsync(f.fileno())  # marker durable BEFORE the rename
             os.replace(tmp, marker)  # atomic: the epoch's commit point
         self._inner._apply(messages)
         tmp_done = done + ".tmp"

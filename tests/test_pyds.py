@@ -583,6 +583,28 @@ def test_stream_writer_legacy_marker_means_committed(log_dir):
     ) else True
 
 
+def test_stream_writer_corrupt_marker_fails_loudly(log_dir):
+    """A marker that is neither the exact legacy 'committed' text nor a
+    parseable manifest is CORRUPTION (e.g. a torn write): commit must
+    RAISE, not treat the epoch as committed — silently accepting it
+    would skip the rollback (duplicates persist) and drop the replay's
+    staged data."""
+    from pyspark.sql.types import Row
+
+    writer = KinesisShardLogStreamWriter(
+        {"path": log_dir, "numshards": str(N_SHARDS)}
+    )
+    commits = os.path.join(log_dir, "_commits")
+    os.makedirs(commits)
+    with open(os.path.join(commits, "9"), "w", encoding="utf-8") as f:
+        f.write('{"log_si')  # torn manifest
+    msg = writer.write(iter([Row(data="x", partitionKey="1")]))
+    with pytest.raises(json.JSONDecodeError):
+        writer.commit([msg], batchId=9)
+    # nothing was appended under the corrupt marker
+    assert not any(f.endswith(".jsonl") for f in os.listdir(log_dir))
+
+
 def test_stream_writer_crash_mid_commit_replays_exactly_once(log_dir):
     """Exactly-once under a crash INSIDE commit: the manifest (written
     via atomic rename before any append) records pre-epoch log sizes;

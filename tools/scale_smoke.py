@@ -48,7 +48,10 @@ DEFAULT_OPS = (
     # dedup_ngram_jaccard_blocked is deliberately NOT a default: it is
     # a COMPLETE J>=0.8 candidate filter, quadratic in corpus size by
     # construction (measured 4.07G same-band pairs at k=100 — 45+ min;
-    # see SCALE.md).  Pass it explicitly to re-measure the bound.
+    # see SCALE.md).  Pass it explicitly to re-measure the bound.  Its
+    # executable disposition IS a default, so a regression in the
+    # adaptive-Q sampling (the constant-budget claim) gets measured:
+    "dedup_ngram_jaccard_sampled",
     "dedup_components",
     "ann_ivf_topk",
     "ann_cosine_topk",
