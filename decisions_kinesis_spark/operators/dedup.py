@@ -618,7 +618,20 @@ _BAND_DUCK = " + ".join(f"(len(idxs) >= {g})::INT" for g in _RATIO_BOUNDS)
 
 
 def _ngram_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared banded-signature frame of the n-gram Jaccard family:
+    """Shared banded-signature frame of the n-gram Jaccard family over
+    the corpus table — see ``_ngram_sig_from_docs`` for the pipeline
+    (frame-level so the streaming maintenance proof runs the identical
+    signature arithmetic per micro-batch)."""
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text"
+    )
+    return _ngram_sig_from_docs(ensure_parallelism(docs))
+
+
+def _ngram_sig_from_docs(docs: DataFrame) -> DataFrame:
+    """Banded-signature pipeline over a (doc_id, lang, text) frame:
     per doc its distinct-hashed-token count ``n``, the 1024-bit
     signature as 16 scalar bigint columns ``m0..m15``, and the
     geometric length ``band``.
@@ -627,13 +640,8 @@ def _ngram_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the same hash inside array lambdas); the signature lives in
     16 SCALAR bigints, not one array, so the pair loop's bit_count/&/|
     stay inside whole-stage codegen (~5× over interpreted lambdas)."""
-    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
-
-    docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id", "lang", "text"
-    )
     idx = (
-        ensure_parallelism(docs)
+        docs
         .withColumn("toks", F.expr(_TOKS))
         .select("doc_id", "lang", F.explode("toks").alias("token"))
         .withColumn("idx", F.expr(f"{_bighash('token')} % {_SIG_BITS}"))
@@ -744,11 +752,30 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_SAMPLE_TARGET = 2000
 
 
+def _pow2_ceil(x: int) -> int:
+    """Smallest power of two ≥ x (x ≥ 1)."""
+    return 1 << (x - 1).bit_length()
+
+
 def _ngram_sample_q(spark: SparkSession, sf_dir: str) -> int:
+    """Adaptive sampling modulus: the smallest POWER OF TWO ≥
+    D div target.  The power-of-two restriction makes the moduli
+    NEST — ``hash % 2Q == 0`` implies ``hash % Q == 0`` — so the
+    sample set is MONOTONE under corpus growth: when D grows and Q
+    doubles, the new sample is a subset of the old one, which is what
+    lets (a) a STREAMING maintainer keep only currently-sampled
+    signatures and prune on Q changes (equivalence proof #29 — a
+    floor-div Q like 5→6 would need docs it already discarded: the
+    CUPED non-recoverability class), and (b) a growing lakehouse table
+    re-sample by filtering the PRIOR sample instead of rescanning the
+    corpus.  At the fixture SFs the value is identical to the old
+    floor-div rule (1, 1, 2)."""
     from decisions_kinesis_spark.sources.tables import table_count
 
-    return max(1, table_count(spark, "documents", sf_dir)
-               // _NGRAM_SAMPLE_TARGET)
+    return _pow2_ceil(
+        max(1, table_count(spark, "documents", sf_dir)
+            // _NGRAM_SAMPLE_TARGET)
+    )
 
 
 def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1438,9 +1465,16 @@ ORACLES = {
     # at the SAME adaptive modulus Q = max(1, D div target) computed in
     # SQL, same-band pairs only, Horvitz-Thompson x Q^2 estimates
     "dedup_ngram_jaccard_sampled": f"""
-        WITH qv AS (
-            SELECT greatest(1, count(*) // {_NGRAM_SAMPLE_TARGET}) AS q
+        WITH q0 AS (
+            SELECT greatest(1, count(*) // {_NGRAM_SAMPLE_TARGET}) AS q0
             FROM documents
+        ),
+        -- power-of-two ceiling of q0, integer-exact (no float log2):
+        -- nested moduli keep the sample monotone under corpus growth
+        qv AS (
+            SELECT min(p2) AS q
+            FROM (SELECT unnest({[1 << i for i in range(41)]}) AS p2), q0
+            WHERE p2 >= q0
         ),
         t AS (
             SELECT doc_id, lang,
