@@ -792,10 +792,12 @@ def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     in D (this function's first design — caught by its own 100× smoke
     before it ever shipped).  Doc-level inclusion at rate 1/Q makes a
     pair survive at 1/Q², so verification cost is (D/Q)² and the
-    ADAPTIVE modulus ``Q = max(1, D div _NGRAM_SAMPLE_TARGET)``
-    (the adaptive-plane-count discipline — the oracle computes the
-    same integer formula in SQL) holds the sampled population, and
-    with it the quadratic budget, CONSTANT at any corpus size.
+    ADAPTIVE modulus — the smallest POWER OF TWO ≥
+    ``D div _NGRAM_SAMPLE_TARGET`` (see ``_ngram_sample_q``; the
+    oracle computes the same integer formula in SQL) — holds the
+    sampled population, and with it the quadratic budget, CONSTANT at
+    any corpus size; the power-of-two restriction nests the moduli so
+    the sample stays monotone under growth (streaming proof #29).
 
     Inclusion is the shared 60-bit md5 idiom on the doc id —
     deterministic, so both engines sample identical docs and the gate
@@ -1462,17 +1464,22 @@ ORACLES = {
     """,
     # hash-sampled exact verification: identical signature/band CTEs,
     # deterministic DOC-level inclusion via the shared 60-bit md5 idiom
-    # at the SAME adaptive modulus Q = max(1, D div target) computed in
-    # SQL, same-band pairs only, Horvitz-Thompson x Q^2 estimates
+    # at the SAME adaptive modulus (smallest power of two >=
+    # D div target, computed in SQL below), same-band pairs only,
+    # Horvitz-Thompson x Q^2 estimates
     "dedup_ngram_jaccard_sampled": f"""
         WITH q0 AS (
             SELECT greatest(1, count(*) // {_NGRAM_SAMPLE_TARGET}) AS q0
             FROM documents
         ),
         -- power-of-two ceiling of q0, integer-exact (no float log2):
-        -- nested moduli keep the sample monotone under corpus growth
+        -- nested moduli keep the sample monotone under corpus growth.
+        -- FAIL CLOSED past the table (q0 > 2^40 ⇔ D > ~2.2e15 docs):
+        -- a NULL min would silently sample nothing — error() instead.
         qv AS (
-            SELECT min(p2) AS q
+            SELECT CASE WHEN min(p2) IS NULL
+                        THEN error('pow2 table exhausted: extend range')
+                        ELSE min(p2) END AS q
             FROM (SELECT unnest({[1 << i for i in range(41)]}) AS p2), q0
             WHERE p2 >= q0
         ),
