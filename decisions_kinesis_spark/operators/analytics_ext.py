@@ -992,9 +992,12 @@ def orders_km_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e_ppm").alias("e_a_ppm"),
         F.sum("v_ppm").alias("v_ppm"),
     )
-    # an EMPTY study (no event day at all) must yield zero rows, not
-    # the global aggregate's one all-NULL row — caught by the
-    # hypothesis differential's single-excluded-order example
+    # a study with NO EVENT DAY AT ALL (empty, or qualifying orders
+    # that are all censored) must yield zero rows, not the global
+    # aggregate's one all-NULL row — both engine sides share this
+    # contract via the `da + db > 0` term filter; pinned by the
+    # hypothesis differential (single-excluded-order and
+    # all-censored-one-arm examples)
     return out.where(F.col("o_a").isNotNull()).select(
         F.lit(_LOGRANK_A).alias("arm_a"),
         F.lit(_LOGRANK_B).alias("arm_b"),
@@ -1114,6 +1117,15 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled revenue, unreachable.  Empty input → 0 rows (no customers,
     no inequality), not a division error.
 
+    Transport: the corpus-wide total leaves as a DIGIT STRING.  A
+    decimal output column NEVER hash-matches the driver comparator —
+    r7 red with HUGEINT vs DECIMAL(38,0), r8 red with DECIMAL(38,0)
+    exactly matched on BOTH sides (CORRECTNESS_r07/r08; the pandas
+    transport folds DuckDB DECIMAL to float64 while Spark ships
+    Decimal objects) — and int64 cannot hold a 100-TB-corpus ×10⁴
+    total, so the string of the exact DECIMAL(38,0) is the lossless
+    engine-stable envelope.  ``gini_ppm`` is a bounded ratio → bigint.
+
     Scale: ranks come from the DISTRIBUTED range-partitioned prefix
     pattern (``functions/ordering.range_prefix``) — no
     single-partition window anywhere; the moment sums reduce
@@ -1147,7 +1159,7 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mom.where(F.col("n_customers") > 0).select(
         "n_customers",
-        "total_rev_x10000",
+        F.col("total_rev_x10000").cast("string").alias("total_rev_x10000"),
         F.expr(
             "cast(case when total_rev_x10000 = 0 then null else"
             " (2 * s1 - (n_customers + 1) * total_rev_x10000) * 1000000"
@@ -1169,7 +1181,12 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float months_between); money is the shared ×10⁴ per-row
     quantization summed in DECIMAL(38,0) (corpus-wide cumulative sums
     outgrow bigint — the Pareto lesson); LTV-per-customer is integer
-    ``div`` by the FULL cohort size (not that month's actives).
+    ``div`` by the FULL cohort size (not that month's actives).  The
+    two unbounded sums leave the engine as DIGIT STRINGS — a decimal
+    output column never hash-matches the driver comparator (r8 red
+    even at DECIMAL(38,0) exactly matched on both sides; see the
+    NOTES sensitivity table), and int64 can't carry a 100-TB cohort's
+    lifetime ×10⁴ revenue; the bounded per-member ratio stays bigint.
 
     Scale: first-order months reduce per customer map-side; the one
     fact-sized join keys on ``o_custkey`` (the natural key the
@@ -1211,8 +1228,10 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("age_months").cast("int").alias("age_months"),
             "n_active",
             "cohort_size",
-            "rev_x10000",
-            "cum_rev_x10000",
+            F.col("rev_x10000").cast("string").alias("rev_x10000"),
+            F.col("cum_rev_x10000").cast("string").alias(
+                "cum_rev_x10000"
+            ),
             F.expr(
                 "cast(cum_rev_x10000 div cohort_size as bigint)"
             ).alias("ltv_per_cust_x10000"),
@@ -2899,22 +2918,31 @@ ORACLES["customer_revenue_gini"] = f"""
         FROM rev
     ),
     mom AS (
-        -- HUGEINT is kept INTERNAL only: the r7 driver gate proved a raw
-        -- HUGEINT OUTPUT column hash-diverges from Spark DECIMAL(38,0)
-        -- even when values are equal (CORRECTNESS_r07 hash_match=false;
-        -- every previously-green HUGEINT oracle casts before its final
-        -- SELECT).  Outputs below are ::DECIMAL(38,0) to match Spark.
+        -- HUGEINT is kept INTERNAL only: no decimal-family column may
+        -- reach the output — the r7 gate hash-failed raw HUGEINT vs
+        -- Spark DECIMAL(38,0), and the r8 gate hash-failed even the
+        -- exact DECIMAL(38,0)-on-both-sides spelling (CORRECTNESS_r08;
+        -- the driver's pandas transport folds DuckDB DECIMAL to float64
+        -- while Spark ships Decimal objects).  The unbounded total
+        -- leaves as a digit string below; ratios leave as BIGINT.
         SELECT count(*)::BIGINT AS n_customers,
                sum(rev_scaled::HUGEINT) AS total_rev_x10000,
                sum(i::HUGEINT * rev_scaled) AS s1
         FROM ranked
+    ),
+    -- wrapping CTE so the ppm CASE can never bind to a same-named
+    -- output alias (ADVICE r8: qualify or wrap — wrapped)
+    g AS (
+        SELECT n_customers, total_rev_x10000,
+               (CASE WHEN total_rev_x10000 = 0 THEN NULL ELSE
+                (2 * s1 - (n_customers + 1) * total_rev_x10000) * 1000000
+                // (n_customers * total_rev_x10000) END)::BIGINT AS gini_ppm
+        FROM mom
+        WHERE n_customers > 0
     )
-    SELECT n_customers, total_rev_x10000::DECIMAL(38,0) AS total_rev_x10000,
-           (CASE WHEN total_rev_x10000 = 0 THEN NULL ELSE
-            (2 * s1 - (n_customers + 1) * total_rev_x10000) * 1000000
-            // (n_customers * total_rev_x10000) END)::BIGINT AS gini_ppm
-    FROM mom
-    WHERE n_customers > 0
+    SELECT n_customers, total_rev_x10000::VARCHAR AS total_rev_x10000,
+           gini_ppm
+    FROM g
 """
 
 ORACLES["orders_cohort_ltv"] = f"""
@@ -2943,12 +2971,14 @@ ORACLES["orders_cohort_ltv"] = f"""
                ) AS cum_rev_x10000
         FROM cells
     )
-    -- raw-HUGEINT outputs hash-diverge from Spark DECIMAL(38,0) at the
-    -- driver (r7 hard signal) — cast the two sum columns on the way out.
+    -- no decimal-family output columns: r8 hash-failed even the exact
+    -- DECIMAL(38,0)-both-sides spelling — the unbounded sums leave as
+    -- digit strings (HUGEINT::VARCHAR renders the same digits Spark's
+    -- DECIMAL(38,0)→string does), the bounded ratio as BIGINT.
     SELECT make_date(c.m0 // 12, c.m0 % 12 + 1, 1) AS cohort_month,
            c.age_months::INT AS age_months, c.n_active, s.cohort_size,
-           c.rev_x10000::DECIMAL(38,0) AS rev_x10000,
-           c.cum_rev_x10000::DECIMAL(38,0) AS cum_rev_x10000,
+           c.rev_x10000::VARCHAR AS rev_x10000,
+           c.cum_rev_x10000::VARCHAR AS cum_rev_x10000,
            (c.cum_rev_x10000 // s.cohort_size)::BIGINT
                AS ltv_per_cust_x10000
     FROM cum c JOIN sizes s USING (m0)

@@ -19,11 +19,25 @@ Probed folds (mimic behavior in ``tools/oracle_check.py::canon_duck`` /
 
 - int32 ≡ int64 (both directions) — relied on wherever a Spark INT
   column meets a DuckDB BIGINT ``count(*)`` or cast;
-- decimal precision-insensitivity at fixed scale — relied on by every
-  DECIMAL sum (Spark's sum widens to p+10, DuckDB's to 38);
 - float32 ≡ float64 — relied on by the ``float`` family fold;
 - NULL values inside aggregates and as bare typed literals — relied on
-  by every empty-group / skipped-bucket contract.
+  by every empty-group / skipped-bucket contract;
+- decimal→string rendering agreement — the digit-string transport the
+  ×10⁴-money queries use for unbounded exact totals.
+
+ADJUDICATED r8: the original ``probe_hash_decimal_precision`` (Spark
+DECIMAL(12,4) vs oracle DECIMAL(38,4), same scale, same values) gated
+RED, alongside the three money queries whose both sides were exactly
+DECIMAL(38,0) — so the driver hash rejects EVERY decimal output
+column, not just precision mixes (mechanism confirmed locally:
+``duckdb .df()`` converts DECIMAL to float64 while Spark's toPandas
+ships ``Decimal`` objects).  The fold was removed from the mimic
+(``oracle_check.py`` now hard-fails any decimal output family on
+either side), every decimal output was re-spelled (bigint when
+provably bounded, digit string when corpus-scale), and the probe was
+replaced by ``probe_hash_decimal_string_transport``.  The int-width,
+float-width, NULL and temporal probes gated GREEN in r8 — those folds
+are now driver-certified, not inferred.
 
 A sixth probe pins the temporal VALUE path (NTZ µs timestamps + dates
 derived through ``load_table``'s normalization) on a one-row result so
@@ -69,14 +83,34 @@ def probe_hash_int64_vs_int32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def probe_hash_decimal_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark DECIMAL(12,4) vs oracle DECIMAL(38,4), same value and the
-    SAME scale — pins precision-insensitivity at fixed scale, the fold
-    every decimal-sum oracle relies on (sum widening differs: Spark
-    p+10, DuckDB 38)."""
+def probe_hash_decimal_string_transport(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pins the DIGIT-STRING transport every ×10⁴-money query now uses
+    for unbounded exact totals.  Its predecessor
+    (``probe_hash_decimal_precision``, Spark DECIMAL(12,4) vs oracle
+    DECIMAL(38,4)) gated RED in r8 — and so did the three queries whose
+    both sides were exactly DECIMAL(38,0) — establishing that NO
+    decimal output column survives the driver comparator (DuckDB's
+    pandas transport folds DECIMAL to float64, Spark ships Decimal
+    objects; verified locally via ``duckdb.df()`` dtypes).  The safe
+    envelope is the decimal's string rendering, which both engines
+    produce identically: scale-0 bare digits, scale>0 padded to scale,
+    ``-`` sign, no exponent.  This probe runs that rendering through
+    deliberately DIFFERENT interior physical types (Spark
+    DECIMAL(12,4)/DECIMAL(38,0) vs DuckDB DECIMAL(38,4)/HUGEINT) so a
+    driver-side change in either engine's decimal→string path surfaces
+    on one row."""
     return load_table(spark, "region", sf_dir).agg(
-        F.expr("cast(count(*) as decimal(12,4))").alias("v"),
-        F.expr("cast(sum(r_regionkey) as decimal(12,4))").alias("s"),
+        F.expr(
+            "cast(cast(count(*) as decimal(12,4)) as string)"
+        ).alias("s4"),
+        F.expr(
+            "cast(cast(sum(r_regionkey) as decimal(38,0)) as string)"
+        ).alias("s0"),
+        F.expr(
+            "cast(cast(-7 as decimal(20,2)) as string)"
+        ).alias("neg"),
     )
 
 
@@ -124,7 +158,7 @@ def probe_hash_temporal_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "probe_hash_int32_vs_int64": probe_hash_int32_vs_int64,
     "probe_hash_int64_vs_int32": probe_hash_int64_vs_int32,
-    "probe_hash_decimal_precision": probe_hash_decimal_precision,
+    "probe_hash_decimal_string_transport": probe_hash_decimal_string_transport,
     "probe_hash_float32_vs_float64": probe_hash_float32_vs_float64,
     "probe_hash_null_in_aggregates": probe_hash_null_in_aggregates,
     "probe_hash_temporal_values": probe_hash_temporal_values,
@@ -141,10 +175,13 @@ ORACLES = {
         SELECT count(*)::INTEGER AS v, max(r_regionkey)::INTEGER AS hi
         FROM region
     """,
-    # deliberately DECIMAL(38,4) where Spark emits DECIMAL(12,4)
-    "probe_hash_decimal_precision": """
-        SELECT count(*)::DECIMAL(38,4) AS v,
-               sum(r_regionkey)::DECIMAL(38,4) AS s
+    # deliberately different interior types (DECIMAL(38,4)/HUGEINT vs
+    # Spark DECIMAL(12,4)/DECIMAL(38,0)) — only the string rendering
+    # crosses the boundary
+    "probe_hash_decimal_string_transport": """
+        SELECT count(*)::DECIMAL(38,4)::VARCHAR AS s4,
+               sum(r_regionkey)::HUGEINT::VARCHAR AS s0,
+               (-7)::DECIMAL(9,2)::VARCHAR AS neg
         FROM region
     """,
     # deliberately DOUBLE where Spark emits FLOAT (value 2.5 exact)

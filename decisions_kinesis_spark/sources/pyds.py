@@ -497,7 +497,7 @@ class KinesisShardLogWriter(DataSourceWriter):
         return _StagedFile(path=out, count=n)
 
     # -- driver side -------------------------------------------------------
-    def _apply(self, messages) -> None:
+    def _apply(self, messages, fsync: bool = False) -> None:
         if self.overwrite:
             for p in _list_shard_files(self.path):
                 os.remove(p)
@@ -521,6 +521,13 @@ class KinesisShardLogWriter(DataSourceWriter):
                         fh.write(json.dumps(rec, ensure_ascii=False) + "\n")
         finally:
             for fh in appenders.values():
+                if fsync:
+                    # power-loss durability (streaming commit protocol):
+                    # appends must reach disk BEFORE the .done marker,
+                    # or a lost append under a surviving marker would
+                    # record post-partial sizes as pre-epoch on replay
+                    fh.flush()
+                    os.fsync(fh.fileno())
                 fh.close()
         self._clean_staging(messages)
 
@@ -556,7 +563,23 @@ class KinesisShardLogStreamWriter(DataSourceStreamWriter):
 
     The earlier apply-then-mark scheme double-appended on a crash
     between apply and marker write — the exactly-once claim only held
-    when commit never failed mid-way."""
+    when commit never failed mid-way.
+
+    Durability (ADVICE r8): every ordering the protocol relies on is
+    fsynced — the manifest content before its rename, the ``_commits``
+    DIRECTORY after each rename (so neither rename can be lost while
+    later writes survive), and the shard-log appends before ``.done``
+    — making the exactly-once claim hold under power loss, not just
+    process crash.
+
+    SINGLE WRITER PER PATH (ADVICE r8): the torn-append rollback
+    truncates shard logs to the manifest's sizes and deletes logs the
+    manifest doesn't list — an exact undo ONLY if nothing else
+    appended in between.  A concurrent batch writer or second
+    streaming query on the same path would have committed data
+    truncated or deleted.  One writer per output path is the operating
+    contract (the same one Spark's own file-sink ``_spark_metadata``
+    log imposes); co-writers must use separate paths."""
 
     def __init__(self, options):
         self._inner = KinesisShardLogWriter(options, overwrite=False)
@@ -616,11 +639,27 @@ class KinesisShardLogStreamWriter(DataSourceStreamWriter):
                 f.flush()
                 os.fsync(f.fileno())  # marker durable BEFORE the rename
             os.replace(tmp, marker)  # atomic: the epoch's commit point
-        self._inner._apply(messages)
+            self._fsync_dir(commits)  # rename durable BEFORE any append
+        self._inner._apply(messages, fsync=True)  # appends durable pre-.done
         tmp_done = done + ".tmp"
         with open(tmp_done, "w", encoding="utf-8") as f:
             f.write("committed\n")
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp_done, done)
+        self._fsync_dir(commits)
+
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        """Flush a directory's entry table so a completed rename cannot
+        be lost under power failure while later writes survive (the
+        reordering that would turn the manifest/.done protocol's
+        exactly-once into duplicates)."""
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._inner._clean_staging(messages)

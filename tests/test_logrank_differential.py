@@ -52,6 +52,13 @@ def _ref(items):
         nb0 += not arm_a
     if na0 + nb0 == 0:
         return None
+    if all(d[0] + d[2] == 0 for d in days.values()):
+        # engine contract (both sides): a study with qualifying orders
+        # but zero EVENT days yields zero rows — every term row is
+        # filtered by `da + db > 0`, so the global aggregate's o_a is
+        # NULL and the final `o_a IS NOT NULL` drops it.  (Found by
+        # hypothesis: single all-censored one-arm study.)
+        return None
     o = e = v = 0
     na, nb = na0, nb0
     for t in sorted(days):

@@ -635,7 +635,7 @@ def test_stream_writer_crash_mid_commit_replays_exactly_once(log_dir):
     # epoch 2, attempt 1: crash after a PARTIAL append
     real_apply = writer._inner._apply
 
-    def partial_then_crash(messages):
+    def partial_then_crash(messages, fsync=False):
         # append a fragment of the epoch, then die before the .done mark
         with open(
             os.path.join(log_dir, shard_file(0)), "a", encoding="utf-8"

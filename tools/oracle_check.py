@@ -20,17 +20,24 @@ SQL on the same parquet tables, then compare
    FAILS here because it would fail the driver.
 
 Canonicalization: all signed/unsigned integer widths fold to ``int``
-(the driver's hash is integer-width-insensitive — r5 evidence: only
-decimal-vs-int mixes failed, int32-vs-int64 never did), floats fold to
-``float``, decimals keep their scale but not precision, ``string``/
-``bool``/``date``/``timestamp``/``binary`` are families, ``T[]`` lists
-recurse.  HUGEINT is its OWN family (hard fail against everything,
-including decimal): the r5 inference that HUGEINT ≡ decimal(38,0) was
-DISPROVEN by the r7 driver gate (``customer_revenue_gini`` /
-``orders_cohort_ltv`` hash-failed on raw-HUGEINT output columns while
-this mimic, then folding HUGEINT to decimal(s=0), stayed green) —
-oracles must cast HUGEINT outputs to an explicit type before the final
-SELECT.
+(driver-certified by the r8 probe pair), floats fold to ``float``
+(driver-certified by the r8 probe), ``string``/``bool``/``date``/
+``timestamp``/``binary`` are families, ``T[]`` lists recurse.
+HUGEINT is its OWN family (hard fail against everything): the r5
+inference that HUGEINT ≡ decimal(38,0) was DISPROVEN by the r7 driver
+gate — oracles must cast HUGEINT outputs before the final SELECT.
+DECIMAL is FORBIDDEN in output schemas on BOTH sides: the r8 gate
+hash-failed ``probe_hash_decimal_precision`` (precision-only mix) AND
+all three money queries whose two sides were exactly DECIMAL(38,0) —
+no decimal output column has EVER gated green.  Mechanism (verified
+locally): DuckDB's pandas transport converts DECIMAL columns to
+float64 while Spark's toPandas ships ``decimal.Decimal`` objects, so
+the driver's value hash can never agree.  Transport rule: provably
+int64-bounded exact integers leave as BIGINT; unbounded ones (corpus-
+scale ×10⁴ money totals) leave as the decimal's DIGIT STRING, which
+both engines render identically (scale-0 bare digits, scale>0 padded,
+``-`` sign, no exponent — pinned by
+``probe_hash_decimal_string_transport``).
 
 ``DESCRIBE SELECT`` only binds and plans — the type check is free even
 for the heavy unrolled-CTE oracles.
@@ -277,6 +284,19 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
         return errors
     s_types = {f.name: canon_spark(f.dataType) for f in spark_df.schema.fields}
     d_types = dict(d_schema)
+    decimal_cols = [
+        f"{c}: spark={s_types[c]} duck={d_types[c]}"
+        for c in sorted(s_cols)
+        if "decimal(" in s_types[c] or "decimal(" in d_types[c]
+    ]
+    if decimal_cols:
+        errors.append(
+            "DECIMAL OUTPUT COLUMN (forbidden: the driver hash has "
+            "rejected every decimal output ever gated, incl. the r8 "
+            "exact DECIMAL(38,0)-both-sides spellings — DuckDB's pandas "
+            "transport folds DECIMAL to float64, Spark ships Decimal "
+            "objects; transport bounded integers as BIGINT, unbounded "
+            "ones as digit strings): " + "; ".join(decimal_cols))
     unrecognized = [
         f"{c}: spark={s_types[c]} duck={d_types[c]}"
         for c in sorted(s_cols)
