@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "layout",
     "analytics_ext",
     "linalg",
+    "clustering",
     "pysource",
     "probes",
 )
