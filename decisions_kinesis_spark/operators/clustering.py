@@ -41,14 +41,23 @@ _KM_ITERS = 3  # fixed Lloyd budget (the pagerank/power-iteration rule)
 _SAMPLE_PER_CLUSTER = 5  # balanced-draw quota per final cluster
 
 
+#: the one spelling of the scan-side quantization and the pair
+#: distance — shared with the streaming mini-batch dual
+#: (tests/test_streaming_kmeans.py) so the proof can't drift
+_QV_SQL = (
+    f"transform(embedding, x -> cast(floor(cast(x as double)"
+    f" * {_KQ} + 0.5) as bigint))"
+)
+_DIST_SQL = (
+    "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+    " 0L, (acc, x) -> acc + x)"
+)
+
+
 def _quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, qv bigint[]) — the shared ×10⁴ half-up quantization."""
     return load_table(spark, "embeddings", sf_dir).select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> cast(floor(cast(x as double)"
-            f" * {_KQ} + 0.5) as bigint))"
-        ).alias("qv"),
+        "vec_id", F.expr(_QV_SQL).alias("qv")
     )
 
 
@@ -99,10 +108,7 @@ def _kmeans_loop(
         pairs = vecs.crossJoin(F.broadcast(cents)).select(
             "vec_id",
             "cent_id",
-            F.expr(
-                "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
-                " 0L, (acc, x) -> acc + x)"
-            ).alias("dist"),
+            F.expr(_DIST_SQL).alias("dist"),
         )
         assign = (
             pairs.groupBy("vec_id")
