@@ -63,10 +63,12 @@ def _quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_loop(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[DataFrame], DataFrame]:
+) -> tuple[list[DataFrame], DataFrame, DataFrame, DataFrame]:
     """Run the fixed-budget Lloyd loop once; return the per-iteration
-    stats frames and the FINAL assignment (the iteration-``_KM_ITERS``
-    argmin, i.e. membership under the last pre-update centroids).
+    stats frames, the FINAL assignment (the iteration-``_KM_ITERS``
+    argmin, i.e. membership under the last pre-update centroids), the
+    FINAL (post-update) centroid frame, and the checkpointed quantized
+    vectors.
 
     Per iteration: (1) ASSIGN — broadcast the ≤K centroid arrays
     against the corpus, distance = exact Σ(q−c)² via zip_with +
@@ -157,7 +159,7 @@ def _kmeans_loop(
                 "centroid_l1",
             )
         )
-    return stats, assign
+    return stats, assign, cents, vecs
 
 
 def embedding_kmeans_inertia(
@@ -177,7 +179,7 @@ def embedding_kmeans_inertia(
     cut by checkpointing only the assignment and the K-row centroid
     frame.  The corpus never shuffles to be assigned.
     """
-    stats, _assign = _kmeans_loop(spark, sf_dir)
+    stats, _assign, _cents, _vecs = _kmeans_loop(spark, sf_dir)
     return reduce(DataFrame.union, stats)
 
 
@@ -198,7 +200,7 @@ def embedding_kmeans_balanced_sample(
     exchange, so only K·partitions candidate rows shuffle, not the
     corpus.
     """
-    _stats, assign = _kmeans_loop(spark, sf_dir)
+    _stats, assign, _cents, _vecs = _kmeans_loop(spark, sf_dir)
     h = F.expr(
         "cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10)"
         " as bigint)"
@@ -212,6 +214,86 @@ def embedding_kmeans_balanced_sample(
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _SAMPLE_PER_CLUSTER)
         .select("cluster_id", "vec_id", "rk")
+    )
+
+
+def embedding_kmeans_ch_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calinski–Harabasz cluster-validity index over the final Lloyd
+    state — the "is this K any good" model-selection readout (CH is
+    the variance-ratio criterion: between-cluster dispersion per
+    degree of freedom over within-cluster dispersion per degree of
+    freedom; higher = tighter, better-separated clusters).  Chosen
+    over Davies–Bouldin/silhouette because CH uses SQUARED distances
+    only — every term stays an exact integer at the ×10⁴ quantization,
+    no sqrt anywhere, so both engines agree to the digit.
+
+    Definitions (final membership A = the iteration-``_KM_ITERS``
+    argmin; final centroids C = the post-update truncated means of A;
+    global centroid g = per-dim truncated mean over ALL vectors):
+    W = Σ_rows ‖q − C(cluster)‖², B = Σ_k n_k·‖C_k − g‖²,
+    ``ch_ppm = B·(N−K)·10⁶ div (W·(K−1))`` — NULL when K ≤ 1 or W = 0
+    (degenerate: one surviving cluster, or every member exactly on its
+    centroid).  W and B are corpus-scale exact integers → DECIMAL(38,0)
+    interiors transported as DIGIT STRINGS (the r8 decimal-transport
+    rule); the bounded ratio is BIGINT.  Headroom: B·(N−K)·10⁶ stays
+    under 10³⁸ to N ≈ 10¹⁰ vectors at d = 64 — past that, pre-divide
+    both dispersions by N before the ratio.
+
+    Scale: W is one broadcast-K join over the checkpointed corpus
+    reduced map-side; g is a d-group reduce; B is K·d-sized arithmetic.
+    """
+    _stats, assign, cents, vecs = _kmeans_loop(spark, sf_dir)
+    sz = assign.groupBy("cent_id").agg(F.count("*").alias("n"))
+    w = (
+        assign.drop("dist")
+        .join(vecs, "vec_id")
+        .join(F.broadcast(cents), "cent_id")
+        .select(F.expr(_DIST_SQL).alias("d2"))
+        .agg(F.sum(F.col("d2").cast("decimal(38,0)")).alias("w"))
+    )
+    g = (
+        vecs.select(F.posexplode("qv").alias("pos0", "q"))
+        .groupBy("pos0")
+        .agg(F.expr("sum(q) div count(*)").alias("gval"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos0, gval))),"
+                " s -> s.gval)"
+            ).alias("gv")
+        )
+    )
+    b = (
+        cents.join(F.broadcast(sz), "cent_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n",
+            # n × per-cluster separation exceeds int64 at corpus scale
+            # (n ≤ N, separation ≤ d·(2·10⁴)²) — lift n to decimal
+            # BEFORE the product
+            F.expr(
+                "cast(n as decimal(38,0))"
+                " * aggregate(zip_with(cv, gv, (a, c) -> (a - c)"
+                " * (a - c)), 0L, (acc, x) -> acc + x)"
+            ).alias("bk"),
+        )
+        .agg(
+            F.sum("bk").alias("b"),
+            F.count("*").alias("k_clusters"),
+            F.sum("n").alias("n_vectors"),
+        )
+    )
+    return b.crossJoin(w).select(
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.col("k_clusters").cast("bigint").alias("k_clusters"),
+        F.col("w").cast("string").alias("w_total"),
+        F.col("b").cast("string").alias("b_total"),
+        F.expr(
+            "cast(case when k_clusters <= 1 or w = 0 then null else"
+            " b * (n_vectors - k_clusters) * 1000000"
+            " div (w * (k_clusters - 1)) end as bigint)"
+        ).alias("ch_ppm"),
     )
 
 
@@ -302,12 +384,52 @@ def _kmeans_sample_oracle() -> str:
     )
 
 
+def _kmeans_ch_oracle() -> str:
+    last = _KM_ITERS
+    return (
+        _kmeans_ctes()
+        + f""",
+        sz AS (
+            SELECT cent_id, count(*)::BIGINT AS n
+            FROM a{last} GROUP BY 1
+        ),
+        wv AS (
+            SELECT sum(((e.q - c.cval) * (e.q - c.cval))::HUGEINT) AS w
+            FROM a{last} a
+            JOIN e ON e.row = a.row
+            JOIN c{last} c ON c.cent_id = a.cent_id AND c.pos = e.pos
+        ),
+        g AS (
+            SELECT pos, (sum(q) // count(*))::BIGINT AS gval
+            FROM e GROUP BY 1
+        ),
+        bv AS (
+            SELECT sum(sz.n::HUGEINT
+                       * ((c.cval - g.gval) * (c.cval - g.gval))) AS b,
+                   count(DISTINCT c.cent_id)::BIGINT AS k_clusters,
+                   (SELECT sum(n) FROM sz)::BIGINT AS n_vectors
+            FROM c{last} c
+            JOIN g USING (pos)
+            JOIN sz ON sz.cent_id = c.cent_id
+        )
+        SELECT n_vectors, k_clusters,
+               w::VARCHAR AS w_total, b::VARCHAR AS b_total,
+               (CASE WHEN k_clusters <= 1 OR w = 0 THEN NULL ELSE
+                    b * (n_vectors - k_clusters) * 1000000
+                    // (w * (k_clusters - 1)) END)::BIGINT AS ch_ppm
+        FROM bv, wv
+        """
+    )
+
+
 QUERIES = {
     "embedding_kmeans_inertia": embedding_kmeans_inertia,
     "embedding_kmeans_balanced_sample": embedding_kmeans_balanced_sample,
+    "embedding_kmeans_ch_index": embedding_kmeans_ch_index,
 }
 
 ORACLES = {
     "embedding_kmeans_inertia": _kmeans_inertia_oracle(),
     "embedding_kmeans_balanced_sample": _kmeans_sample_oracle(),
+    "embedding_kmeans_ch_index": _kmeans_ch_oracle(),
 }

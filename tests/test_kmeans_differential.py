@@ -27,6 +27,7 @@ from decisions_kinesis_spark.operators.clustering import (
     _KQ,
     _SAMPLE_PER_CLUSTER,
     embedding_kmeans_balanced_sample,
+    embedding_kmeans_ch_index,
     embedding_kmeans_inertia,
 )
 
@@ -79,7 +80,35 @@ def _ref(vectors: list[list[float]]):
                     sum(abs(c) for c in cents[cid]),
                 )
             )
-    return stats, assign
+    return stats, assign, q, cents
+
+
+def _ref_ch(q, assign, cents):
+    """Reference Calinski–Harabasz on the final state: W against the
+    POST-update centroids, g the truncated global mean, NULL when
+    K ≤ 1 or W = 0."""
+    n_vec = len(q)
+    w = sum(
+        sum((a - b) * (a - b) for a, b in zip(q[vid], cents[cid]))
+        for vid, (_d, cid) in assign.items()
+    )
+    g = [
+        tdiv(sum(qv[p] for qv in q.values()), n_vec) for p in range(_DIM)
+    ]
+    sizes: dict[int, int] = {}
+    for _vid, (_d, cid) in assign.items():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    b = sum(
+        sizes[cid] * sum((a - c) * (a - c) for a, c in zip(cv, g))
+        for cid, cv in cents.items()
+    )
+    k = len(cents)
+    ch = (
+        None
+        if k <= 1 or w == 0
+        else tdiv(b * (n_vec - k) * 1_000_000, w * (k - 1))
+    )
+    return (n_vec, k, str(w), str(b), ch)
 
 
 def _hash15(vid: int) -> int:
@@ -112,7 +141,7 @@ def test_kmeans_inertia_matches_python_reference(
         tuple(r)
         for r in embedding_kmeans_inertia(spark, str(d)).collect()
     )
-    expect, _ = _ref(vectors)
+    expect, _assign, _q, _cents = _ref(vectors)
     assert rows == sorted(expect)
 
 
@@ -127,7 +156,7 @@ def test_kmeans_balanced_sample_matches_python_reference(
         tuple(r)
         for r in embedding_kmeans_balanced_sample(spark, str(d)).collect()
     )
-    _, assign = _ref(vectors)
+    _stats, assign, _q, _cents = _ref(vectors)
     members: dict[int, list[int]] = {}
     for vid, (_d, cid) in assign.items():
         members.setdefault(cid, []).append(vid)
@@ -139,6 +168,23 @@ def test_kmeans_balanced_sample_matches_python_reference(
             for rk, v in enumerate(ordered[:_SAMPLE_PER_CLUSTER])
         )
     assert rows == sorted(expect)
+
+
+@settings(max_examples=6, deadline=None)
+@given(vectors=st.lists(_vector, min_size=1, max_size=14))
+def test_kmeans_ch_index_matches_python_reference(
+    spark, tmp_path_factory, vectors
+):
+    d = tmp_path_factory.mktemp("kmchfix")
+    _write_fixture(d, vectors)
+    rows = embedding_kmeans_ch_index(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    _stats, assign, q, cents = _ref(vectors)
+    assert (
+        r["n_vectors"], r["k_clusters"], r["w_total"], r["b_total"],
+        r["ch_ppm"],
+    ) == _ref_ch(q, assign, cents)
 
 
 def test_kmeans_structure_on_fixture(spark):
