@@ -355,6 +355,108 @@ def lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_D_NUM = 3  # absolute discount D = 3/4 (the standard 0.75) as an
+_KN_D_DEN = 4  # exact rational — all KN arithmetic multiplies through
+
+
+def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document LM predictability under INTERPOLATED KNESER–NEY — the
+    smoothing every serious n-gram stack ships (Kneser & Ney 1995;
+    Chen & Goodman 1999 found it uniformly best), completing the LM
+    quality family: raw bigram (``lm_bigram_score``) →
+    Jelinek-Mercer backoff (``lm_interpolated_score``) → THIS.  KN
+    differs from JM on exactly the continuations that matter for
+    quality filtering: the backoff mass is proportional to how many
+    DISTINCT contexts a word continues (``P_cont``), so "Francisco"
+    (frequent but only after "San") stops inflating novel-context
+    scores the way a raw unigram backoff does.
+
+    Per bigram position:
+    ``P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+                    + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)``
+    with D = 3/4 multiplied through exactly: term1 =
+    ``ratio(4·c_bi − 3, 4·c_uni)`` (the overflow-safe two-step ×10⁶
+    ratio; c_bi ≥ 1 because every scored bigram is in the corpus, so
+    the max never binds), term2 =
+    ``(3·N1f·ratio(N1b, N_types)) div (4·c_uni)`` — a fixed two-stage
+    truncating sequence BOTH engines replay verbatim (the perplexity-
+    bucket discipline: exactness here means engine AGREEMENT on the
+    declared integer recurrence, with each stage's floor documented).
+    Bounds: ratio's largest intermediate is max(n, d)·1000 ≤ ~9.2e15
+    positions; term2's is 3·N1f·10⁶ ≤ ~9.2e18 at vocabularies to
+    ~3·10¹¹ distinct continuations — beyond any real tokenizer.
+
+    Scale: the ``lm_bigram_score`` topology — per-doc TYPE-collapsed
+    counts, 8-byte hash keys through every shuffle — plus the
+    continuation-count aggregations, which reduce the DISTINCT-bigram
+    type table (vocabulary-scale, not corpus-scale); N1+(··) is a
+    1-row broadcast.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> named_struct("
+                "   'gb', concat(element_at(toks, i), char(31),"
+                "                element_at(toks, i + 1)),"
+                "   'gu', element_at(toks, i),"
+                "   'gv', element_at(toks, i + 1)))"
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        F.expr(_BIGHASH.format(e="b.gb")).alias("gb"),
+        F.expr(_BIGHASH.format(e="b.gu")).alias("gu"),
+        F.expr(_BIGHASH.format(e="b.gv")).alias("gv"),
+    )
+    doc_tf = (
+        bi.groupBy("doc_id", "gb", "gu", "gv")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    # the DISTINCT-bigram type table: gb determines (gu, gv), so this
+    # one vocabulary-scale frame feeds c_bi, c_uni, BOTH continuation
+    # counts, and the type total
+    types = (
+        doc_tf.groupBy("gb", "gu", "gv")
+        .agg(F.sum("tf").alias("c_bi"))
+        .localCheckpoint(eager=True)
+    )
+    pre = types.groupBy("gu").agg(
+        F.sum("c_bi").alias("c_uni"),
+        F.count("*").alias("n1f"),  # N1+(w1·): distinct continuations
+    )
+    post = types.groupBy("gv").agg(
+        F.count("*").alias("n1b")  # N1+(·w2): distinct left contexts
+    )
+    ntypes = types.groupBy().agg(F.count("*").alias("n_types"))
+    d_num, d_den = _KN_D_NUM, _KN_D_DEN
+    scored = (
+        doc_tf.join(types.select("gb", "c_bi"), "gb")
+        .join(pre, "gu")
+        .join(post, "gv")
+        .join(F.broadcast(ntypes))
+        .withColumn(
+            "p_int",
+            F.expr(
+                f"({_RATIO_SPARK.format(n=f'{d_den} * c_bi - {d_num}', d=f'{d_den} * c_uni')})"
+                f" + ({d_num} * n1f"
+                f"    * ({_RATIO_SPARK.format(n='n1b', d='n_types')}))"
+                f"   div ({d_den} * c_uni)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.expr("sum(tf * p_int) div sum(tf)").alias("lm_kn_scaled"),
+    )
+
+
 def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
     bucket every document by the TERCILES of the interpolated LM
@@ -1847,6 +1949,7 @@ QUERIES = {
     "quality_repetition_flags": quality_repetition_flags,
     "lm_bigram_score": lm_bigram_score,
     "lm_interpolated_score": lm_interpolated_score,
+    "lm_kneser_ney_score": lm_kneser_ney_score,
     "lm_perplexity_buckets": lm_perplexity_buckets,
     "dedup_exact_substring": dedup_exact_substring,
     "train_shuffle_shards": train_shuffle_shards,
@@ -2043,6 +2146,56 @@ ORACLES = {
         )
         SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
                (sum(tf * p_int) // sum(tf))::BIGINT AS lm_interp_scaled
+        FROM scored GROUP BY doc_id
+    """,
+    "lm_kneser_ney_score": f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        nz AS (SELECT * FROM t WHERE len(toks) >= 2),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)), i ->
+                       {_DUCK_BIGHASH.format(
+                           e="toks[i] || chr(31) || toks[i + 1]")})) AS gb,
+                   unnest(list_transform(range(1, len(toks)), i ->
+                       {_DUCK_BIGHASH.format(e="toks[i]")})) AS gu,
+                   unnest(list_transform(range(1, len(toks)), i ->
+                       {_DUCK_BIGHASH.format(e="toks[i + 1]")})) AS gv
+            FROM nz
+        ),
+        doc_tf AS (
+            SELECT doc_id, gb, gu, gv, count(*)::BIGINT AS tf
+            FROM bi GROUP BY doc_id, gb, gu, gv
+        ),
+        types AS (
+            SELECT gb, gu, gv, sum(tf)::BIGINT AS c_bi
+            FROM doc_tf GROUP BY gb, gu, gv
+        ),
+        pre AS (
+            SELECT gu, sum(c_bi)::BIGINT AS c_uni,
+                   count(*)::BIGINT AS n1f
+            FROM types GROUP BY gu
+        ),
+        post AS (
+            SELECT gv, count(*)::BIGINT AS n1b FROM types GROUP BY gv
+        ),
+        ntypes AS (SELECT count(*)::BIGINT AS n_types FROM types),
+        scored AS (
+            SELECT doc_id, tf,
+                   ({_RATIO_DUCK.format(
+                        n=f"{_KN_D_DEN} * c_bi - {_KN_D_NUM}",
+                        d=f"{_KN_D_DEN} * c_uni")})
+                   + ({_KN_D_NUM} * n1f
+                      * ({_RATIO_DUCK.format(n="n1b", d="n_types")}))
+                     // ({_KN_D_DEN} * c_uni) AS p_int
+            FROM doc_tf
+            JOIN (SELECT gb, c_bi FROM types) USING (gb)
+            JOIN pre USING (gu)
+            JOIN post USING (gv), ntypes
+        )
+        SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+               (sum(tf * p_int) // sum(tf))::BIGINT AS lm_kn_scaled
         FROM scored GROUP BY doc_id
     """,
     "dedup_exact_substring": f"""
