@@ -1476,6 +1476,55 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_TOP = 10  # heaviest join keys reported by the skew profiler
+
+
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW PROFILER — the diagnostic a pipeline runs BEFORE
+    reaching for the mitigation levers this repo ships
+    (``join_salted_skew`` / ``agg_salted_skew`` / AQE skew-join): per
+    candidate shuffle key (here ``l_orderkey``, the fact⋈fact key of
+    the q-series), the ``_SKEW_TOP`` heaviest keys with each key's row
+    count, corpus share (ppm), and skew factor ×1000 (the key's count
+    over the mean rows-per-key — the number that says how much longer
+    the hottest reducer runs than the average one).  A top key at
+    skew_x1000 ≈ 1000 means uniform; ≫1000 means salt or let AQE
+    split.  All integer-exact (counts and truncating divs).
+
+    Scale: ONE map-side-combining count per key, a 1-row moment
+    broadcast, and a TakeOrdered top-10 — no global sort, no second
+    scan; this is exactly the cardinality sketch a real engine's
+    stats collector would persist, expressed as a query.
+    """
+    per_key = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_rows_key"))
+    )
+    mom = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_rows_key").alias("n_rows"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("l_orderkey").alias("join_key"),
+            "n_rows_key",
+            "n_keys",
+            "n_rows",
+            F.expr("n_rows_key * 1000000 div n_rows").alias("share_ppm"),
+            # key_count·n_keys is ~N² at corpus scale — DECIMAL(38,0)
+            # interior (outputs stay BIGINT: the ratio is bounded)
+            F.expr(
+                "cast(cast(n_rows_key as decimal(38,0)) * n_keys * 1000"
+                " div n_rows as bigint)"
+            ).alias("skew_x1000"),
+        )
+        .orderBy(F.desc("n_rows_key"), F.asc("join_key"))
+        .limit(_SKEW_TOP)
+    )
+
+
 _KMV_K = 64  # sketch size (k minimum hash values kept)
 _KMV_BITS = 56  # hash space 2^56: (k-1)·2^56 stays inside BIGINT
 #: shared hash + estimator definitions — ONE source of truth for both
@@ -2593,6 +2642,7 @@ QUERIES = {
     "q11_important_parts": q11_important_parts,
     "q12_late_shipment_priority": q12_late_shipment_priority,
     "join_salted_skew": join_salted_skew,
+    "profile_join_skew": profile_join_skew,
     "window_rank_suite": window_rank_suite,
     "window_rolling_1h_sum": window_rolling_1h_sum,
     "window_rows_frame_stats": window_rows_frame_stats,
@@ -3096,6 +3146,25 @@ ORACLES = {
         FROM events
         JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "profile_join_skew": f"""
+        WITH per_key AS (
+            SELECT l_orderkey AS join_key,
+                   count(*)::BIGINT AS n_rows_key
+            FROM lineitem GROUP BY 1
+        ),
+        mom AS (
+            SELECT count(*)::BIGINT AS n_keys,
+                   sum(n_rows_key)::BIGINT AS n_rows
+            FROM per_key
+        )
+        SELECT join_key, n_rows_key, n_keys, n_rows,
+               (n_rows_key * 1000000 // n_rows)::BIGINT AS share_ppm,
+               (n_rows_key::HUGEINT * n_keys * 1000 // n_rows)::BIGINT
+                   AS skew_x1000
+        FROM per_key, mom
+        ORDER BY n_rows_key DESC, join_key ASC
+        LIMIT {_SKEW_TOP}
     """,
     "q22_sales_opportunity": """
         SELECT n_name, count(*) AS numcust,
