@@ -1525,6 +1525,199 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_P = 8  # register-index bits → m = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_B = 48  # rank-hash bits (md5 hex chars 3..14)
+_HLL_E0 = _HLL_B + 1  # scaled-sum exponent: S = Σ 2^(E0 − M_j)
+#: α_256 = 0.7213/(1 + 1.079/256) = 0.7182726 — the HLL bias constant
+#: (Flajolet et al. 2007) carried as an exact ppm integer; it is a
+#: MODELING constant, so 1-ulp of its decimalization is not a
+#: correctness concern — both engines use this same integer.
+_HLL_ALPHA_PPM = 718273
+
+#: register index = first 2 md5 hex chars (8 bits); rank hash = the
+#: next 12 (48 bits) — disjoint slices of ONE digest per key (the
+#: sketch-family hash-budget discipline)
+_HLL_REG_SPARK = (
+    "cast(conv(substring(md5(cast({k} as string)), 1, 2), 16, 10) as int)"
+)
+_HLL_HV_SPARK = (
+    "cast(conv(substring(md5(cast({k} as string)), 3, 12), 16, 10)"
+    " as bigint)"
+)
+_HLL_REG_DUCK = "('0x' || substr(md5({k}::VARCHAR), 1, 2))::INT"
+_HLL_HV_DUCK = "('0x' || substr(md5({k}::VARCHAR), 3, 12))::BIGINT"
+#: ρ = leading zeros in the 48-bit rank hash + 1 = 49 − bitlen(hv),
+#: computed EXACTLY via the binary-string length (both engines render
+#: minimal binary digits; hv = 0 → all zeros → ρ = 49)
+_HLL_RHO_SPARK = (
+    f"case when hv = 0 then {_HLL_E0}"
+    f" else {_HLL_E0} - length(conv(hv, 10, 2)) end"
+)
+_HLL_RHO_DUCK = (
+    f"CASE WHEN hv = 0 THEN {_HLL_E0}"
+    f" ELSE {_HLL_E0} - length(bin(hv)) END"
+)
+#: raw estimate E = α·m²·2^E0 div (S·10⁶) — numerator ≈ 2.6e25 runs in
+#: a DECIMAL(38,0)/HUGEINT interior, the output is a bounded BIGINT
+_HLL_EST_SPARK = (
+    f"cast(cast({_HLL_ALPHA_PPM} as decimal(38,0)) * {_HLL_M} * {_HLL_M}"
+    f" * shiftleft(cast(1 as bigint), {_HLL_E0})"
+    f" div (cast(s_total as decimal(38,0)) * 1000000) as bigint)"
+)
+_HLL_EST_DUCK = (
+    f"({_HLL_ALPHA_PPM}::HUGEINT * {_HLL_M} * {_HLL_M}"
+    f" * (1::HUGEINT << {_HLL_E0})"
+    f" // (s_total::HUGEINT * 1000000))::BIGINT"
+)
+
+
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch BUILT FROM SCRATCH on
+    engine-replayable md5 registers — the fourth classic mergeable
+    sketch beside KMV/count-min/Bloom.  Spark's built-in
+    ``approx_count_distinct`` is HLL++ with an engine-private register
+    layout (why the built-in suite is pytest-bound, see
+    ``agg_kmv_distinct``); THIS pipeline derives register index and
+    rank from disjoint slices of one md5 digest, so the registers —
+    and therefore the estimate — are bit-identical in any engine, and
+    the DuckDB oracle checks the VALUE.
+
+    Per ``l_returnflag``: exact distinct parts, the raw HLL estimate
+    ``E = α_m·m²/Σ2^(−M_j)`` (computed exactly as the scaled-integer
+    ``α_ppm·m²·2^49 div (S·10⁶)`` with S = Σ2^(49−M_j) ≤ m·2^49, a
+    bigint), and the signed error in ppm.  DELIBERATELY no small-range
+    linear-counting correction: it needs ln() (libm — the no-float
+    rule), and the operating envelope of HLL at 100 TB is n ≫ m where
+    the raw estimator is the right one; the err_ppm calibration column
+    makes the small-n bias VISIBLE instead of hiding it.
+
+    Scale: unlike KMV, HLL needs NO distinct pre-pass — register max
+    is duplicate-insensitive — so the only shuffle is the m-bounded
+    (group, register) max reduce, which combines map-side; the
+    register table (≤ m rows per group) is the artifact a production
+    pipeline stores per partition and merges by MAX
+    (``agg_hll_monthly_rollup``).
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_partkey"
+    )
+    regs = (
+        li.select(
+            "l_returnflag",
+            F.expr(_HLL_REG_SPARK.format(k="l_partkey")).alias("reg"),
+            F.expr(_HLL_HV_SPARK.format(k="l_partkey")).alias("hv"),
+        )
+        .select(
+            "l_returnflag", "reg", F.expr(_HLL_RHO_SPARK).alias("rho")
+        )
+        .groupBy("l_returnflag", "reg")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    sums = regs.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {_HLL_E0} - mreg)")
+        ).alias("s_present"),
+    ).select(
+        "l_returnflag",
+        F.expr(
+            f"s_present + ({_HLL_M} - n_present)"
+            f" * shiftleft(cast(1 as bigint), {_HLL_E0})"
+        ).alias("s_total"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact")
+    )
+    return (
+        sums.join(exact, "l_returnflag")
+        .withColumn("hll_estimate", F.expr(_HLL_EST_SPARK))
+        .select(
+            "l_returnflag",
+            "n_exact",
+            "hll_estimate",
+            F.expr(
+                "((hll_estimate - n_exact) * 1000000) div n_exact"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def agg_hll_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL rollup ACROSS A PARTITION AXIS in pure SQL — the KMV
+    monthly-rollup topology (store per-month sketches, merge for the
+    year) with the HLL merge, which is even simpler: per-register MAX.
+    Per year: the direct yearly estimate from raw rows and the
+    merge-of-month-registers estimate, equal BY CONSTRUCTION (max is
+    associative over any partitioning), exposed as an oracle-checked
+    ``assoc_ok`` column beside the exact distinct customer count.
+
+    Scale: the merge path reads |months|·m register rows, NOT the
+    corpus — yearly cardinalities at 100 TB come from stored
+    per-partition register tables; every reduce combines map-side.
+    """
+    ords = load_table(spark, "orders", sf_dir).select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_custkey",
+    )
+    rho = ords.select(
+        "yr",
+        "mo",
+        F.expr(_HLL_REG_SPARK.format(k="o_custkey")).alias("reg"),
+        F.expr(_HLL_HV_SPARK.format(k="o_custkey")).alias("hv"),
+    ).select("yr", "mo", "reg", F.expr(_HLL_RHO_SPARK).alias("rho"))
+    month_regs = rho.groupBy("yr", "mo", "reg").agg(
+        F.max("rho").alias("mreg")
+    )
+
+    def _year_est(regframe: DataFrame, alias: str) -> DataFrame:
+        return (
+            regframe.groupBy("yr")
+            .agg(
+                F.count("*").alias("n_present"),
+                F.sum(
+                    F.expr(
+                        f"shiftleft(cast(1 as bigint), {_HLL_E0} - mreg)"
+                    )
+                ).alias("s_present"),
+            )
+            .select(
+                "yr",
+                F.expr(
+                    f"s_present + ({_HLL_M} - n_present)"
+                    f" * shiftleft(cast(1 as bigint), {_HLL_E0})"
+                ).alias("s_total"),
+            )
+            .select("yr", F.expr(_HLL_EST_SPARK).alias(alias))
+        )
+
+    merged = _year_est(
+        month_regs.groupBy("yr", "reg").agg(F.max("mreg").alias("mreg")),
+        "merged_est",
+    )
+    direct = _year_est(
+        rho.groupBy("yr", "reg").agg(F.max("rho").alias("mreg")),
+        "direct_est",
+    )
+    exact = ords.groupBy("yr").agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    )
+    return (
+        direct.join(merged, "yr")
+        .join(exact, "yr")
+        .select(
+            "yr",
+            "n_exact",
+            "direct_est",
+            "merged_est",
+            (F.col("direct_est") == F.col("merged_est")).alias(
+                "assoc_ok"
+            ),
+        )
+    )
+
+
 _KMV_K = 64  # sketch size (k minimum hash values kept)
 _KMV_BITS = 56  # hash space 2^56: (k-1)·2^56 stays inside BIGINT
 #: shared hash + estimator definitions — ONE source of truth for both
@@ -2592,6 +2785,8 @@ QUERIES = {
     "agg_kmv_distinct": agg_kmv_distinct,
     "agg_kmv_set_ops": agg_kmv_set_ops,
     "agg_kmv_monthly_rollup": agg_kmv_monthly_rollup,
+    "agg_hll_distinct": agg_hll_distinct,
+    "agg_hll_monthly_rollup": agg_hll_monthly_rollup,
     "freq_countmin_topk": freq_countmin_topk,
     "freq_cms_monthly_rollup": freq_cms_monthly_rollup,
     "join_bloom_prefilter": join_bloom_prefilter,
@@ -3492,6 +3687,101 @@ ORACLES["agg_kmv_monthly_rollup"] = f"""
                (SELECT {_KMV_EST_DUCK} FROM merged
                 WHERE merged.yr = e.yr) AS merged_est
         FROM exact e
+    )
+    SELECT yr, n_exact, direct_est, merged_est,
+           direct_est = merged_est AS assoc_ok
+    FROM ests
+"""
+
+# HLL from scratch: register index/rank are disjoint md5 slices, ρ is
+# the exact binary-string bit length, the raw estimate is one
+# HUGEINT-interior integer division — fully replayable.
+ORACLES["agg_hll_distinct"] = f"""
+    WITH rho AS (
+        SELECT l_returnflag,
+               {_HLL_REG_DUCK.format(k="l_partkey")} AS reg,
+               {_HLL_RHO_DUCK} AS rho
+        FROM (
+            SELECT l_returnflag, l_partkey,
+                   {_HLL_HV_DUCK.format(k="l_partkey")} AS hv
+            FROM lineitem
+        )
+    ),
+    regs AS (
+        SELECT l_returnflag, reg, max(rho)::BIGINT AS mreg
+        FROM rho GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT l_returnflag,
+               (sum(1::BIGINT << ({_HLL_E0} - mreg))
+                + ({_HLL_M} - count(*))
+                  * (1::BIGINT << {_HLL_E0}))::BIGINT AS s_total
+        FROM regs GROUP BY 1
+    ),
+    exact AS (
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey)::BIGINT AS n_exact
+        FROM lineitem GROUP BY 1
+    ),
+    est AS (
+        SELECT s.l_returnflag, e.n_exact,
+               {_HLL_EST_DUCK} AS hll_estimate
+        FROM sums s JOIN exact e USING (l_returnflag)
+    )
+    SELECT l_returnflag, n_exact, hll_estimate,
+           ((hll_estimate - n_exact) * 1000000) // n_exact AS err_ppm
+    FROM est
+"""
+
+ORACLES["agg_hll_monthly_rollup"] = f"""
+    WITH rho AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               {_HLL_REG_DUCK.format(k="o_custkey")} AS reg,
+               {_HLL_RHO_DUCK} AS rho
+        FROM (
+            SELECT o_orderdate, o_custkey,
+                   {_HLL_HV_DUCK.format(k="o_custkey")} AS hv
+            FROM orders
+        )
+    ),
+    month_regs AS (
+        SELECT yr, mo, reg, max(rho)::BIGINT AS mreg
+        FROM rho GROUP BY 1, 2, 3
+    ),
+    merged_regs AS (
+        SELECT yr, reg, max(mreg)::BIGINT AS mreg
+        FROM month_regs GROUP BY 1, 2
+    ),
+    direct_regs AS (
+        SELECT yr, reg, max(rho)::BIGINT AS mreg
+        FROM rho GROUP BY 1, 2
+    ),
+    msum AS (
+        SELECT yr,
+               (sum(1::BIGINT << ({_HLL_E0} - mreg))
+                + ({_HLL_M} - count(*))
+                  * (1::BIGINT << {_HLL_E0}))::BIGINT AS s_total
+        FROM merged_regs GROUP BY 1
+    ),
+    dsum AS (
+        SELECT yr,
+               (sum(1::BIGINT << ({_HLL_E0} - mreg))
+                + ({_HLL_M} - count(*))
+                  * (1::BIGINT << {_HLL_E0}))::BIGINT AS s_total
+        FROM direct_regs GROUP BY 1
+    ),
+    exact AS (
+        SELECT year(o_orderdate) AS yr,
+               count(DISTINCT o_custkey)::BIGINT AS n_exact
+        FROM orders GROUP BY 1
+    ),
+    ests AS (
+        SELECT d.yr, e.n_exact,
+               (SELECT {_HLL_EST_DUCK} FROM dsum s
+                WHERE s.yr = d.yr) AS direct_est,
+               (SELECT {_HLL_EST_DUCK} FROM msum s
+                WHERE s.yr = d.yr) AS merged_est
+        FROM dsum d JOIN exact e USING (yr)
     )
     SELECT yr, n_exact, direct_est, merged_est,
            direct_est = merged_est AS assoc_ok
