@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from decisions_kinesis_spark.sources.tables import load_table
@@ -284,14 +284,13 @@ def documents_as_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_wav(blob: bytes) -> dict:
-    """REAL audio decode for RIFF/WAVE PCM: validate the RIFF magic
-    and size field, walk the chunk list to find ``fmt `` and ``data``,
-    validate mono PCM/16-bit, unpack the s16le samples, and reduce to
-    integer statistics (Σs, Σs², peak |s|).  A genuine byte-level
-    container parser — raises on truncation, wrong magic, or a
-    non-PCM format — exactly what a production audio pipeline wraps
-    around libsndfile, with the decode swapped for stdlib struct."""
+def _wav_pcm_samples(blob: bytes) -> tuple[int, tuple]:
+    """REAL RIFF/WAVE PCM chunk walk → (sample_rate, s16le samples).
+    Validates the RIFF magic and size field, finds ``fmt `` and
+    ``data``, enforces mono PCM/16-bit — raises on truncation, wrong
+    magic, or a non-PCM format.  Shared by the stats decode
+    (``decode_wav``) and the segmentation framing
+    (``wav_frame_energies``)."""
     import struct
 
     if len(blob) < 12 or blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
@@ -321,7 +320,15 @@ def decode_wav(blob: bytes) -> dict:
         raise ValueError(f"only mono supported (channels={channels})")
     if len(data) % 2 != 0:
         raise ValueError("data chunk not sample-aligned")
-    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    return rate, struct.unpack(f"<{len(data) // 2}h", data)
+
+
+def decode_wav(blob: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE PCM (the ``_wav_pcm_samples``
+    chunk walker) reduced to integer statistics (Σs, Σs², peak |s|) —
+    exactly what a production audio pipeline wraps around libsndfile,
+    with the decode swapped for stdlib struct."""
+    rate, samples = _wav_pcm_samples(blob)
     n = len(samples)
     return {
         "n_samples": n,
@@ -330,6 +337,21 @@ def decode_wav(blob: bytes) -> dict:
         "sq_sum": int(sum(s * s for s in samples)),
         "peak": int(max((abs(s) for s in samples), default=0)),
     }
+
+
+_SEG_FRAME = 4  # samples per energy frame (last frame may be partial)
+
+
+def wav_frame_energies(blob: bytes) -> list[int]:
+    """Per-frame energy Σs² over fixed ``_SEG_FRAME``-sample windows of
+    the decoded PCM stream (final partial frame kept as its own
+    frame) — the framing stage every VAD/energy segmenter runs after
+    decode; exact integers."""
+    _rate, samples = _wav_pcm_samples(blob)
+    return [
+        int(sum(s * s for s in samples[i : i + _SEG_FRAME]))
+        for i in range(0, len(samples), _SEG_FRAME)
+    ]
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
@@ -348,6 +370,24 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
         "media_id long, n_samples long, sample_rate long,"
         " sum_s long, sq_sum long, peak long",
     )
+
+
+def extract_audio_frame_energies(df: DataFrame) -> DataFrame:
+    """mapInPandas framing path: blob → per-frame energy list via the
+    shared RIFF walker (``wav_frame_energies``); Arrow-batched."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "energies": [
+                        wav_frame_energies(b) for b in pdf["blob"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_batches, "media_id long, energies array<long>")
 
 
 def extract_image_features(df: DataFrame) -> DataFrame:
@@ -488,6 +528,56 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENERGY SEGMENTATION of decoded audio — the VAD (voice-activity-
+    detection) pipeline shape: decode the RIFF/WAVE container (the
+    genuine chunk walker, inside Arrow-batched mapInPandas), frame the
+    PCM stream into fixed ``_SEG_FRAME``-sample windows, compute exact
+    per-frame energies Σs², threshold each clip against its own mean
+    frame energy (truncating div), and merge consecutive active frames
+    into maximal segments via gaps-and-islands — per segment: start/end
+    frame, length, energy mass, and the clip's threshold.  This is the
+    temporal-segmentation verb the media set was missing (decode /
+    features / resize / frame-sample / THIS); a production VAD swaps
+    the energy rule for a model score, the topology is identical.
+
+    The DuckDB oracle replays the GENERATOR's waveform arithmetic
+    (the ``multimodal_audio_features`` precedent) — the Spark side
+    never sees it, it parses the actual binary container.
+
+    Scale: decode+framing is one Arrow map over the blobs (no
+    shuffle); the threshold is a per-clip aggregate and the island
+    grouping a per-clip window over ≤⌈n/frame⌉ rows — partitions are
+    CLIP-bounded, never corpus-bounded.
+    """
+    fr = extract_audio_frame_energies(
+        documents_as_wav(spark, sf_dir)
+    ).select(
+        "media_id", F.posexplode("energies").alias("frame_no", "energy")
+    )
+    thr = fr.groupBy("media_id").agg(
+        F.expr("sum(energy) div count(*)").alias("thr_energy")
+    )
+    act = fr.join(thr, "media_id").where(
+        F.col("energy") > F.col("thr_energy")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    grp = act.withColumn(
+        "g", F.col("frame_no") - F.row_number().over(w)
+    )
+    return (
+        grp.groupBy("media_id", "g")
+        .agg(
+            F.min("frame_no").alias("seg_start"),
+            F.max("frame_no").alias("seg_end"),
+            F.count("*").alias("n_frames"),
+            F.sum("energy").alias("seg_energy"),
+            F.first("thr_energy").alias("thr_energy"),
+        )
+        .drop("g")
+    )
+
+
 def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize, value-checked against SQL: 2× box-downsample
     of the synthesized P6 images inside Arrow-batched mapInPandas
@@ -516,6 +606,7 @@ QUERIES = {
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_audio_segments": multimodal_audio_segments,
     "multimodal_resize_stats": multimodal_resize_stats,
 }
 
@@ -620,6 +711,58 @@ ORACLES["multimodal_audio_features"] = f"""
            (list_sum(list_transform(sig, x -> x * x))::BIGINT // n)::BIGINT
                AS energy
     FROM s
+"""
+
+# Energy segmentation: generator-replayed frames → per-clip mean
+# threshold → gaps-and-islands, mirroring the Spark topology exactly.
+ORACLES["multimodal_audio_segments"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, (16 + doc_id % 64)::BIGINT AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT media_id, n,
+               list_transform(range(0, n::INT), i ->
+                   CASE WHEN (media_id * 31 + i * 17) % 65536 >= 32768
+                        THEN (media_id * 31 + i * 17) % 65536 - 65536
+                        ELSE (media_id * 31 + i * 17) % 65536 END
+               ) AS sig
+        FROM m
+    ),
+    fr AS (
+        SELECT media_id,
+               unnest(range(0, ((n + {_SEG_FRAME} - 1)
+                               // {_SEG_FRAME})::INT))::BIGINT AS frame_no,
+               unnest(list_transform(
+                   range(0, ((n + {_SEG_FRAME} - 1) // {_SEG_FRAME})::INT),
+                   f -> list_sum(list_transform(
+                            list_slice(sig, (f * {_SEG_FRAME} + 1)::INT,
+                                       least((f + 1) * {_SEG_FRAME},
+                                             n)::INT),
+                            x -> x * x))))::BIGINT AS energy
+        FROM s
+    ),
+    thr AS (
+        SELECT media_id, (sum(energy) // count(*))::BIGINT AS thr_energy
+        FROM fr GROUP BY 1
+    ),
+    act AS (
+        SELECT f.media_id, f.frame_no, f.energy, t.thr_energy
+        FROM fr f JOIN thr t USING (media_id)
+        WHERE f.energy > t.thr_energy
+    ),
+    grp AS (
+        SELECT *, frame_no - row_number() OVER (
+                      PARTITION BY media_id ORDER BY frame_no) AS g
+        FROM act
+    )
+    SELECT media_id,
+           min(frame_no)::BIGINT AS seg_start,
+           max(frame_no)::BIGINT AS seg_end,
+           count(*)::BIGINT AS n_frames,
+           sum(energy)::BIGINT AS seg_energy,
+           any_value(thr_energy)::BIGINT AS thr_energy
+    FROM grp GROUP BY media_id, g
 """
 
 

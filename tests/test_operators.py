@@ -873,6 +873,33 @@ def test_wav_decoder_is_a_real_parser():
         decode_wav(bytes(bad_fmt))
 
 
+def test_wav_frame_energies_framing_contract():
+    """Framing: fixed _SEG_FRAME-sample windows, final PARTIAL frame
+    kept as its own frame, exact Σs² per frame — on a stdlib-written
+    WAV (independent writer)."""
+    import io
+    import struct
+    import wave
+
+    from decisions_kinesis_spark.operators.multimodal import (
+        _SEG_FRAME,
+        wav_frame_energies,
+    )
+
+    assert _SEG_FRAME == 4  # the framing the expected values encode
+    samples = [3, -4, 0, 10, 7, -7]  # 1 full frame + a 2-sample tail
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    assert wav_frame_energies(buf.getvalue()) == [
+        9 + 16 + 0 + 100,
+        49 + 49,
+    ]
+
+
 def test_generated_wav_blobs_are_format_valid(spark, sf_dir):
     """Every synthesized blob must round-trip through Python's stdlib
     wave reader with the advertised parameters."""
