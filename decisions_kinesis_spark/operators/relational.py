@@ -719,6 +719,114 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_udf_money_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: Spark 4 SQL-DEFINED FUNCTIONS (``CREATE TEMPORARY
+    FUNCTION … RETURNS … RETURN expr``) — the declarative UDF tier
+    BELOW Python: the body is a SQL expression Catalyst INLINES into
+    the plan, so it optimizes, pushes down, and codegens like any
+    built-in (no serialization boundary, no Python worker — the
+    preferred way to package the money-quantization discipline for SQL
+    users).  Two functions compose: ``dks_qmoney`` (the repo's ×100
+    half-up cents quantizer) feeding ``dks_cents_bucket`` (a CASE
+    tiering); the query buckets orders and reports count + truncating
+    mean cents.  The DuckDB oracle inlines the same bodies — which is
+    exactly the semantics the inlining tier guarantees.
+
+    Scale: after inlining this is ONE scan + a 3-group
+    map-side-combining aggregate; the decimal interior keeps the
+    corpus-scale cents sum exact before the bounded mean divides out.
+    """
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dks_qmoney(x DOUBLE)"
+        " RETURNS BIGINT RETURN cast(floor(x * 100 + 0.5) as bigint)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dks_cents_bucket(c BIGINT)"
+        " RETURNS STRING RETURN case when c < 10000000 then 'small'"
+        " when c < 20000000 then 'mid' else 'large' end"
+    )
+    return spark.sql(
+        """
+        SELECT dks_cents_bucket(dks_qmoney(o_totalprice)) AS bucket,
+               count(*) AS n_orders,
+               cast(sum(cast(dks_qmoney(o_totalprice) as decimal(38,0)))
+                    div count(*) as bigint) AS cents_avg
+        FROM orders
+        GROUP BY dks_cents_bucket(dks_qmoney(o_totalprice))
+        """
+    )
+
+
+def sql_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: PARAMETERIZED queries with named-argument binding plus
+    the ``IDENTIFIER()`` clause (Spark 4) — the injection-safe way a
+    service templates both VALUES (``:status``, ``:min_cents``) and
+    NAMES (``IDENTIFIER(:tbl)``) into SQL: values bind as typed
+    literals (never string-spliced), identifiers resolve through the
+    parser's identifier rule (never into value position).  The query
+    itself is the priority-tier revenue report under a status filter
+    and a cents floor, all money in the ×100 discipline.
+
+    Scale: binding happens at parse time — the plan is identical to
+    the constant-folded spelling (pushdown/pruning unaffected), which
+    the oracle (constants inlined) verifies value-for-value.
+    """
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               cast(sum(cast(cast(floor(o_totalprice * 100 + 0.5)
+                                  as bigint) as decimal(38,0)))
+                    div count(*) as bigint) AS cents_avg
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status
+          AND cast(floor(o_totalprice * 100 + 0.5) as bigint)
+              >= :min_cents
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders", "status": "F", "min_cents": 5_000_000},
+    )
+
+
+def sql_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API: correlated LATERAL subquery with ORDER BY + LIMIT —
+    the top-1-per-group form written the way an analyst writes it
+    ("for each customer, their single priciest order") instead of the
+    window spelling.  Catalyst DECORRELATES the lateral into a
+    ranked join (DecorrelateInnerQuery), so the executed plan is the
+    same partial-top-k topology as the window form — this query pins
+    that the surface parses, decorrelates, and agrees with the
+    oracle's identical LATERAL.  Deterministic tie-break: highest
+    cents, then smallest orderkey.
+
+    Scale: post-decorrelation the per-customer top-1 is a
+    WindowGroupLimit-style partial rank — no per-row re-execution of
+    the subquery (the rewrite is the whole point of the surface).
+    """
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.top_orderkey, l.top_cents
+        FROM (SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING') c,
+        LATERAL (
+            SELECT o_orderkey AS top_orderkey,
+                   cast(floor(o_totalprice * 100 + 0.5) as bigint)
+                       AS top_cents
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY top_cents DESC, o_orderkey ASC
+            LIMIT 1
+        ) l
+        """
+    )
+
+
 #: cents-exact retail price (money-quantization discipline)
 _P_CENTS_SPARK = "cast(floor(p_retailprice * 100 + 0.5) as bigint)"
 _P_CENTS_DUCK = "floor(p_retailprice * 100 + 0.5)::BIGINT"
@@ -2838,6 +2946,9 @@ QUERIES = {
     "q12_late_shipment_priority": q12_late_shipment_priority,
     "join_salted_skew": join_salted_skew,
     "profile_join_skew": profile_join_skew,
+    "sql_udf_money_buckets": sql_udf_money_buckets,
+    "sql_parameterized_revenue": sql_parameterized_revenue,
+    "sql_lateral_top_order": sql_lateral_top_order,
     "window_rank_suite": window_rank_suite,
     "window_rolling_1h_sum": window_rolling_1h_sum,
     "window_rows_frame_stats": window_rows_frame_stats,
@@ -3341,6 +3452,44 @@ ORACLES = {
         FROM events
         JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
+    """,
+    # SQL-UDF bodies inlined — exactly what Spark's inlining tier does
+    "sql_udf_money_buckets": """
+        WITH q AS (
+            SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+            FROM orders
+        )
+        SELECT CASE WHEN cents < 10000000 THEN 'small'
+                    WHEN cents < 20000000 THEN 'mid'
+                    ELSE 'large' END AS bucket,
+               count(*) AS n_orders,
+               (sum(cents::HUGEINT) // count(*))::BIGINT AS cents_avg
+        FROM q
+        GROUP BY 1
+    """,
+    # named parameters constant-folded — the binding-equivalence check
+    "sql_parameterized_revenue": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               (sum(floor(o_totalprice * 100 + 0.5)::BIGINT::HUGEINT)
+                // count(*))::BIGINT AS cents_avg
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND floor(o_totalprice * 100 + 0.5)::BIGINT >= 5000000
+        GROUP BY o_orderpriority
+    """,
+    "sql_lateral_top_order": """
+        SELECT c.c_custkey, l.top_orderkey, l.top_cents
+        FROM (SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING') c,
+        LATERAL (
+            SELECT o_orderkey AS top_orderkey,
+                   floor(o_totalprice * 100 + 0.5)::BIGINT AS top_cents
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY top_cents DESC, o_orderkey ASC
+            LIMIT 1
+        ) l
     """,
     "profile_join_skew": f"""
         WITH per_key AS (
