@@ -516,14 +516,157 @@ _TRIANGLE_ORACLE = f"""
 """
 
 
+_HITS_SCALE = 1_000_000  # per-half-step max-abs renormalization target
+_HITS_ITERS = 3
+_HITS_TOPK = 20
+
+
+def graph_hits_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the BIPARTITE
+    order→part graph — the second classic link-analysis algorithm next
+    to PageRank, and a structurally different one: TWO mutually
+    recursive score vectors on a bipartite structure (hub orders
+    endorse authority parts; authoritative parts make their orders
+    hubbier), where PageRank is one vector on a homogeneous graph.
+    Output: the top-20 AUTHORITY parts with their order-degree — the
+    "endorsed by the broadest baskets" prior, complementary to
+    PageRank's co-occurrence centrality.
+
+    Integer recurrence (the linalg power-iteration renorm discipline —
+    HITS *is* power iteration on AᵀA, which is why the same trick
+    lands): a₀ = SCALE for every part; each iteration computes the RAW
+    hub sum h = Σ_{p∈o} a(p) (no mid-iteration renorm: with a ≤ SCALE
+    always, h is bounded by basket_size·SCALE — baskets are small
+    constants in any retail schema, ≤ 7 here), then
+    a = renorm(Σ_{o∋p} h(o)) — ONE max-abs truncating renormalization
+    per iteration (normalization placement is a free choice in HITS;
+    every value stays an exact bigint: a_raw ≤ deg_p·basket·SCALE ≈
+    10¹⁷ at 10⁹-order part degrees).  The unrolled-CTE DuckDB oracle
+    replays the same recurrence to the digit.  Measured levers at
+    sf0.1: once-per-iteration renorm + pre-partitioning the edge
+    frame by the order key (shuffle-free hub pass) took the loop
+    3.6 → 2.4 s warm.
+
+    Scale: the distinct (order, part) edge frame is checkpointed ONCE;
+    the part-side score frame (dimension-bounded, the pagerank
+    |parts|-frame argument) broadcasts into the hub pass, while the
+    ORDER-side hub frame — corpus-grain, NOT broadcastable at 100 TB —
+    is consumed ONCE by the a-update equi-join (no checkpoint, no
+    second pass), co-partitioned with the edge frame; both reductions
+    combine map-side.  The per-iteration max-abs is a 1-row broadcast.
+    """
+    edges = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        # pre-partition ONCE by the order key: localCheckpoint preserves
+        # the hash partitioning, so every iteration's hub groupBy("o")
+        # AND the h⋈edges equi-join run shuffle-free — the only
+        # per-iteration exchange left is the unavoidable part-keyed
+        # message reduce
+        .repartition("o")
+        .localCheckpoint(eager=True)
+    )
+    pdeg = (
+        edges.groupBy("p")
+        .agg(F.count("*").alias("n_orders"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    a = pdeg.select("p", F.lit(_HITS_SCALE).alias("a"))
+
+    def _renorm(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.max(F.abs(F.col(col))).alias("m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            *[c for c in df.columns if c != col],
+            F.expr(
+                f"case when m = 0 then 0L"
+                f" else ({col} * {_HITS_SCALE}) div m end"
+            ).alias(col),
+        )
+
+    for _ in range(_HITS_ITERS):
+        h = (
+            edges.join(F.broadcast(a.coalesce(1)), "p")
+            .groupBy("o")
+            .agg(F.sum("a").alias("h"))
+        )
+        # checkpoint the RAW part sums (one materialization per
+        # iteration — the only corpus-pass job); the renorm is a lazy
+        # select over the checkpointed |parts|-row frame, so its
+        # double evaluation (max agg + projection) costs two trivial
+        # single-partition reads, not two edge passes
+        araw = (
+            edges.join(h, "o")
+            .groupBy("p")
+            .agg(F.sum("h").alias("a"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        a = _renorm(araw, "a")
+    return (
+        a.join(F.broadcast(pdeg), "p")
+        .select(
+            F.col("p").alias("part_key"),
+            F.col("a").alias("authority_scaled"),
+            "n_orders",
+        )
+        .orderBy(F.desc("authority_scaled"), F.asc("part_key"))
+        .limit(_HITS_TOPK)
+    )
+
+
+def _hits_oracle() -> str:
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        pdeg AS MATERIALIZED (
+            SELECT p, count(*)::BIGINT AS n_orders FROM e GROUP BY p
+        ),
+        a0 AS MATERIALIZED (
+            SELECT p, {_HITS_SCALE}::BIGINT AS a FROM pdeg
+        )"""
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""",
+        h{i} AS MATERIALIZED (
+            SELECT e.o, sum(a.a)::BIGINT AS h
+            FROM e JOIN a{i - 1} a USING (p) GROUP BY e.o
+        ),
+        araw{i} AS MATERIALIZED (
+            SELECT e.p, sum(h.h)::BIGINT AS a
+            FROM e JOIN h{i} h USING (o) GROUP BY e.p
+        ),
+        a{i} AS MATERIALIZED (
+            SELECT p, CASE WHEN m = 0 THEN 0::BIGINT
+                           ELSE (a * {_HITS_SCALE}) // m END AS a
+            FROM araw{i}, (SELECT max(abs(a))::BIGINT AS m FROM araw{i})
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT a.p AS part_key, a.a AS authority_scaled, d.n_orders
+        FROM a{_HITS_ITERS} a JOIN pdeg d USING (p)
+        ORDER BY a.a DESC, a.p ASC
+        LIMIT {_HITS_TOPK}
+        """
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "graph_pagerank_copurchase": graph_pagerank_copurchase,
     "orders_market_basket_lift": orders_market_basket_lift,
     "graph_triangle_knn_copurchase": graph_triangle_knn_copurchase,
+    "graph_hits_order_part": graph_hits_order_part,
 }
 
 ORACLES = {
     "graph_pagerank_copurchase": _pagerank_oracle(),
     "orders_market_basket_lift": _MARKET_BASKET_ORACLE,
     "graph_triangle_knn_copurchase": _TRIANGLE_ORACLE,
+    "graph_hits_order_part": _hits_oracle(),
 }

@@ -1058,6 +1058,64 @@ def test_triangle_counts_tie_degrees_bowtie(spark):
     assert got == {0: (2, 4), 1: (1, 2), 2: (1, 2), 3: (1, 2), 4: (1, 2)}
 
 
+def test_hits_matches_integer_recurrence_on_bipartite_fixture(
+    spark, tmp_path_factory
+):
+    """Exact differential: the HITS query vs a pure-Python mirror of
+    the same renormalized integer recurrence on a hand-built bipartite
+    basket set — order 10 = {1, 2}, 11 = {1}, 12 = {2, 3}: part 2
+    tops (its second basket, 12, holds two parts so it is hubbier
+    than part 1's singleton basket 11 — the mutual-reinforcement
+    semantics that distinguish HITS from a plain degree count, since
+    parts 1 and 2 have EQUAL degree), part 3 ranks last."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.graphs import (
+        _HITS_ITERS,
+        _HITS_SCALE,
+        graph_hits_order_part,
+    )
+
+    baskets = {10: [1, 2], 11: [1], 12: [2, 3]}
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    d = tmp_path_factory.mktemp("hitsfix")
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+                "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+                "l_shipdate": pa.array(
+                    [None] * len(rows), pa.timestamp("us")
+                ),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+
+    a = {p: _HITS_SCALE for p in {p for ps in baskets.values() for p in ps}}
+    for _ in range(_HITS_ITERS):
+        h = {o: sum(a[p] for p in ps) for o, ps in baskets.items()}
+        a = {
+            p: sum(h[o] for o, ps in baskets.items() if p in ps)
+            for p in a
+        }
+        ma = max(abs(v) for v in a.values())
+        a = {p: (v * _HITS_SCALE) // ma for p, v in a.items()}
+
+    got = [
+        (r["part_key"], r["authority_scaled"], r["n_orders"])
+        for r in graph_hits_order_part(spark, str(d)).collect()
+    ]
+    ndeg = {1: 2, 2: 2, 3: 1}
+    expect = sorted(
+        ((p, a[p], ndeg[p]) for p in a),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == expect
+    assert a[2] > a[1] > a[3]
+
+
 def test_pagerank_uniform_on_symmetric_triangle(spark):
     """K3 is vertex-transitive: all ranks must be exactly equal, and
     total mass stays within integer-floor slack of _PR_SCALE."""
