@@ -1680,6 +1680,29 @@ _HLL_EST_DUCK = (
 )
 
 
+def _hll_est_frame(regs: DataFrame, keys: list[str], alias: str) -> DataFrame:
+    """(keys…, mreg) register frame → (keys…, <alias> estimate): the
+    one spelling of S = Σ2^(E0−M) + empties and the α·m²·2^E0 div S
+    raw estimator, shared by every HLL query."""
+    return (
+        regs.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_present"),
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {_HLL_E0} - mreg)")
+            ).alias("s_present"),
+        )
+        .select(
+            *keys,
+            F.expr(
+                f"s_present + ({_HLL_M} - n_present)"
+                f" * shiftleft(cast(1 as bigint), {_HLL_E0})"
+            ).alias("s_total"),
+        )
+        .select(*keys, F.expr(_HLL_EST_SPARK).alias(alias))
+    )
+
+
 def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch BUILT FROM SCRATCH on
     engine-replayable md5 registers — the fourth classic mergeable
@@ -1722,24 +1745,12 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "reg")
         .agg(F.max("rho").alias("mreg"))
     )
-    sums = regs.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_present"),
-        F.sum(
-            F.expr(f"shiftleft(cast(1 as bigint), {_HLL_E0} - mreg)")
-        ).alias("s_present"),
-    ).select(
-        "l_returnflag",
-        F.expr(
-            f"s_present + ({_HLL_M} - n_present)"
-            f" * shiftleft(cast(1 as bigint), {_HLL_E0})"
-        ).alias("s_total"),
-    )
+    ests = _hll_est_frame(regs, ["l_returnflag"], "hll_estimate")
     exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_exact")
     )
     return (
-        sums.join(exact, "l_returnflag")
-        .withColumn("hll_estimate", F.expr(_HLL_EST_SPARK))
+        ests.join(exact, "l_returnflag")
         .select(
             "l_returnflag",
             "n_exact",
@@ -1779,33 +1790,14 @@ def agg_hll_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rho").alias("mreg")
     )
 
-    def _year_est(regframe: DataFrame, alias: str) -> DataFrame:
-        return (
-            regframe.groupBy("yr")
-            .agg(
-                F.count("*").alias("n_present"),
-                F.sum(
-                    F.expr(
-                        f"shiftleft(cast(1 as bigint), {_HLL_E0} - mreg)"
-                    )
-                ).alias("s_present"),
-            )
-            .select(
-                "yr",
-                F.expr(
-                    f"s_present + ({_HLL_M} - n_present)"
-                    f" * shiftleft(cast(1 as bigint), {_HLL_E0})"
-                ).alias("s_total"),
-            )
-            .select("yr", F.expr(_HLL_EST_SPARK).alias(alias))
-        )
-
-    merged = _year_est(
+    merged = _hll_est_frame(
         month_regs.groupBy("yr", "reg").agg(F.max("mreg").alias("mreg")),
+        ["yr"],
         "merged_est",
     )
-    direct = _year_est(
+    direct = _hll_est_frame(
         rho.groupBy("yr", "reg").agg(F.max("rho").alias("mreg")),
+        ["yr"],
         "direct_est",
     )
     exact = ords.groupBy("yr").agg(
@@ -1823,6 +1815,99 @@ def agg_hll_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "assoc_ok"
             ),
         )
+    )
+
+
+def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations on HLL sketches: UNION is the lossless
+    per-register MAX merge; INTERSECTION falls out by
+    inclusion–exclusion, |A∩B| ≈ E(A) + E(B) − E(A∪B) — the standard
+    HLL practice, and the family's documented WEAKNESS relative to
+    KMV's Jaccard rule (``agg_kmv_set_ops``): I−E subtracts three
+    noisy estimates, so small intersections can even come out
+    NEGATIVE; the signed estimate is reported as-is next to the exact
+    count so the calibration shows the trade honestly (HLL buys the
+    cheaper duplicate-insensitive build and the lossless union; KMV
+    buys the better intersection).
+
+    Per returnflag pair: exact union/intersection distinct-part counts
+    beside ``union_est`` and the signed ``inter_est`` — all register
+    arithmetic exactly replayable in DuckDB.
+
+    Scale: ONE (flag, register) max reduce is shared by all pairs; the
+    per-pair union is a ≤ 2m-row register merge (never touches raw
+    data — the mergeability point); exact counts are one pass over the
+    pair-expanded distinct (flag, part) frame.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_partkey"
+    )
+    pairs = spark.createDataFrame(list(_KMV_PAIRS), "fa string, fb string")
+    regs = (
+        li.select(
+            "l_returnflag",
+            F.expr(_HLL_REG_SPARK.format(k="l_partkey")).alias("reg"),
+            F.expr(_HLL_HV_SPARK.format(k="l_partkey")).alias("hv"),
+        )
+        .select(
+            "l_returnflag", "reg", F.expr(_HLL_RHO_SPARK).alias("rho")
+        )
+        .groupBy("l_returnflag", "reg")
+        .agg(F.max("rho").alias("mreg"))
+        .localCheckpoint(eager=True)
+    )
+    singles = _hll_est_frame(regs, ["l_returnflag"], "e")
+    union_regs = (
+        regs.join(
+            F.broadcast(pairs),
+            (F.col("l_returnflag") == F.col("fa"))
+            | (F.col("l_returnflag") == F.col("fb")),
+        )
+        .groupBy("fa", "fb", "reg")
+        .agg(F.max("mreg").alias("mreg"))
+    )
+    u_est = _hll_est_frame(union_regs, ["fa", "fb"], "union_est")
+    ests = (
+        u_est.join(
+            singles.select(
+                F.col("l_returnflag").alias("fa"), F.col("e").alias("ea")
+            ),
+            "fa",
+        )
+        .join(
+            singles.select(
+                F.col("l_returnflag").alias("fb"), F.col("e").alias("eb")
+            ),
+            "fb",
+        )
+        .select(
+            "fa",
+            "fb",
+            "union_est",
+            F.expr("ea + eb - union_est").alias("inter_est"),
+        )
+    )
+    fp = li.distinct().join(
+        F.broadcast(pairs),
+        (F.col("l_returnflag") == F.col("fa"))
+        | (F.col("l_returnflag") == F.col("fb")),
+    )
+    exact = (
+        fp.groupBy("fa", "fb", "l_partkey")
+        .agg(F.count_distinct("l_returnflag").alias("nf"))
+        .groupBy("fa", "fb")
+        .agg(
+            F.count("*").alias("n_union_exact"),
+            F.sum(F.expr("if(nf = 2, 1L, 0L)")).alias("n_inter_exact"),
+        )
+    )
+    return ests.join(exact, ["fa", "fb"]).select(
+        "fa",
+        "fb",
+        "n_union_exact",
+        "union_est",
+        "n_inter_exact",
+        "inter_est",
     )
 
 
@@ -2895,6 +2980,7 @@ QUERIES = {
     "agg_kmv_monthly_rollup": agg_kmv_monthly_rollup,
     "agg_hll_distinct": agg_hll_distinct,
     "agg_hll_monthly_rollup": agg_hll_monthly_rollup,
+    "agg_hll_set_ops": agg_hll_set_ops,
     "freq_countmin_topk": freq_countmin_topk,
     "freq_cms_monthly_rollup": freq_cms_monthly_rollup,
     "join_bloom_prefilter": join_bloom_prefilter,
@@ -3935,6 +4021,73 @@ ORACLES["agg_hll_monthly_rollup"] = f"""
     SELECT yr, n_exact, direct_est, merged_est,
            direct_est = merged_est AS assoc_ok
     FROM ests
+"""
+
+ORACLES["agg_hll_set_ops"] = f"""
+    WITH pairs AS (SELECT * FROM (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _KMV_PAIRS)}) AS v(fa, fb)),
+    rho AS (
+        SELECT l_returnflag,
+               {_HLL_REG_DUCK.format(k="l_partkey")} AS reg,
+               {_HLL_RHO_DUCK} AS rho
+        FROM (
+            SELECT l_returnflag, l_partkey,
+                   {_HLL_HV_DUCK.format(k="l_partkey")} AS hv
+            FROM lineitem
+        )
+    ),
+    regs AS (
+        SELECT l_returnflag, reg, max(rho)::BIGINT AS mreg
+        FROM rho GROUP BY 1, 2
+    ),
+    single_sums AS (
+        SELECT l_returnflag,
+               (sum(1::BIGINT << ({_HLL_E0} - mreg))
+                + ({_HLL_M} - count(*))
+                  * (1::BIGINT << {_HLL_E0}))::BIGINT AS s_total
+        FROM regs GROUP BY 1
+    ),
+    singles AS (
+        SELECT l_returnflag, {_HLL_EST_DUCK} AS e FROM single_sums
+    ),
+    union_regs AS (
+        SELECT p.fa, p.fb, r.reg, max(r.mreg)::BIGINT AS mreg
+        FROM regs r JOIN pairs p
+          ON r.l_returnflag = p.fa OR r.l_returnflag = p.fb
+        GROUP BY 1, 2, 3
+    ),
+    union_sums AS (
+        SELECT fa, fb,
+               (sum(1::BIGINT << ({_HLL_E0} - mreg))
+                + ({_HLL_M} - count(*))
+                  * (1::BIGINT << {_HLL_E0}))::BIGINT AS s_total
+        FROM union_regs GROUP BY 1, 2
+    ),
+    ests AS (
+        SELECT u.fa, u.fb, {_HLL_EST_DUCK} AS union_est,
+               sa.e AS ea, sb.e AS eb
+        FROM union_sums u
+        JOIN singles sa ON sa.l_returnflag = u.fa
+        JOIN singles sb ON sb.l_returnflag = u.fb
+    ),
+    fp AS (
+        SELECT DISTINCT p.fa, p.fb, l.l_returnflag, l.l_partkey
+        FROM lineitem l JOIN pairs p
+          ON l.l_returnflag = p.fa OR l.l_returnflag = p.fb
+    ),
+    exact AS (
+        SELECT fa, fb, count(*)::BIGINT AS n_union_exact,
+               sum(CASE WHEN nf = 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_inter_exact
+        FROM (
+            SELECT fa, fb, l_partkey,
+                   count(DISTINCT l_returnflag) AS nf
+            FROM fp GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+    )
+    SELECT e.fa, e.fb, x.n_union_exact, e.union_est,
+           x.n_inter_exact, (e.ea + e.eb - e.union_est)::BIGINT
+               AS inter_est
+    FROM ests e JOIN exact x USING (fa, fb)
 """
 
 # Count-min: cell counts are exact sums under deterministic salted
