@@ -865,6 +865,176 @@ def events_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Poisson bootstrap machinery.  B = 15 deterministic replicates; each
+#: row's per-replicate weight is a Poisson(1) draw taken by inverting
+#: the EXACT 24-bit integer CDF table below on a 6-hex-char slice of a
+#: salted md5 digest (3 digests × 5 slices — the sketch family's
+#: digest-budget discipline; 24-bit inversion bias is only the CDF
+#: rounding, ~6e-8 per cell, unlike a mod-10000 fold of 16 bits).
+#: Thresholds are round(CDF_k·2²⁴) for k = 0..7 (tail P(w ≥ 8) ≈ 1e-5
+#: maps to w = 8): e⁻¹-derived constants, hardcoded so both engines
+#: share the exact integers.
+_BOOT_B = 15
+_POIS_CDF_24 = (
+    6171993,
+    12343986,
+    15429982,
+    16458648,
+    16715814,
+    16767247,
+    16775819,
+    16777044,
+)
+
+
+def _pois_w(u: str) -> str:
+    """SQL CASE: 24-bit uniform ``u`` → Poisson(1) weight (dialect-
+    neutral: only CASE/comparison syntax, valid in Spark and DuckDB)."""
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF_24)
+    )
+    return f"(CASE {branches} ELSE 8 END)"
+
+
+def events_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP of the per-type mean — the at-scale
+    uncertainty method (each row enters replicate b with an i.i.d.
+    Poisson(1) multiplicity, so replicates are computed in ONE pass
+    with no resample shuffle — the trick that makes bootstrap viable
+    on data too large to draw n-out-of-n samples from), made fully
+    DETERMINISTIC: weights invert an exact 24-bit integer Poisson(1)
+    CDF on disjoint 6-hex slices of salted md5 digests, so both
+    engines replay the identical replicate weights and the DuckDB
+    oracle checks the VALUES.
+
+    Per event_type: row count, the ×10⁴-quantized mean, and the
+    bootstrap spread of the replicate means — min / lower-median /
+    max over the valid replicates (a replicate whose total weight is
+    0 — possible only on near-empty types — is excluded and counted).
+    The spread is the CI-flavored readout a dashboard wants next to
+    every mean at 100 TB, where a second data pass for error bars is
+    unaffordable.
+
+    Scale: ONE scan; the B-way explode reduces map-side to
+    |types|·B cells before the only shuffle; order statistics run on
+    B-element arrays per type.  Weight draws cost 3 md5 per row
+    (amortized over 15 replicates — the digest-budget lesson).
+    """
+    base = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "cast(floor(cast(value as double) * 10000 + 0.5) as bigint)"
+        ).alias("q"),
+    )
+    # digests live ONLY on the replicate branch — the exact branch
+    # scans without them (separate consumers re-derive the plan, so
+    # hanging the md5 columns on the shared frame would run them twice)
+    ev = base
+    n_digests = (_BOOT_B + 4) // 5
+    for s in range(n_digests):
+        ev = ev.withColumn(
+            f"d{s}",
+            F.expr(f"md5(concat(cast(event_id as string), ':bs{s}'))"),
+        )
+    # one PARAMETERIZED slice expression after exploding the bare
+    # replicate index — 15 inlined struct/CASE copies made the
+    # expression tree so large that Catalyst ANALYSIS alone cost
+    # ~2.8 s per fresh plan (execution was 0.1 s); this form analyzes
+    # in ~0.1 s with identical values
+    digests = ", ".join(f"d{s}" for s in range(n_digests))
+    u = (
+        f"cast(conv(substring(element_at(array({digests}),"
+        f" cast(b div 5 as int) + 1), cast(1 + 6 * (b % 5) as int), 6),"
+        f" 16, 10) as bigint)"
+    )
+    cells = (
+        ev.select(
+            "event_type",
+            "q",
+            *[f"d{s}" for s in range(n_digests)],
+            F.expr(f"explode(sequence(0, {_BOOT_B - 1}))").alias("b"),
+        )
+        .select(
+            "event_type",
+            "q",
+            "b",
+            F.expr(f"cast({_pois_w(u)} as bigint)").alias("w"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum(F.expr("w * q")).alias("num"), F.sum("w").alias("den"))
+        .where(F.col("den") > 0)
+        .select("event_type", F.expr("num div den").alias("mb"))
+    )
+    boot = cells.groupBy("event_type").agg(
+        F.expr("array_sort(collect_list(mb))").alias("arr")
+    )
+    exact = base.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr("sum(q) div count(*)").alias("mean_x10000"),
+    )
+    return exact.join(boot, "event_type").select(
+        "event_type",
+        "n_events",
+        "mean_x10000",
+        F.expr("size(arr)").cast("bigint").alias("n_boot_valid"),
+        F.expr("element_at(arr, 1)").alias("boot_min"),
+        F.expr(
+            "element_at(arr, cast((size(arr) + 1) div 2 as int))"
+        ).alias("boot_med"),
+        F.expr("element_at(arr, size(arr))").alias("boot_max"),
+    )
+
+
+def _poisson_bootstrap_oracle() -> str:
+    n_digests = (_BOOT_B + 4) // 5
+    dcols = ", ".join(
+        f"md5(event_id::VARCHAR || ':bs{s}') AS d{s}"
+        for s in range(n_digests)
+    )
+    digests = ", ".join(f"d{s}" for s in range(n_digests))
+    u = (
+        f"('0x' || substr([{digests}][(b // 5)::INT + 1],"
+        f" (1 + 6 * (b % 5))::INT, 6))::BIGINT"
+    )
+    return f"""
+        WITH ev AS MATERIALIZED (
+            SELECT event_type,
+                   floor(value::DOUBLE * 10000 + 0.5)::BIGINT AS q,
+                   {dcols}
+            FROM events
+        ),
+        reps AS (
+            SELECT event_type, q, t.b, {_pois_w(u)}::BIGINT AS w
+            FROM ev, (SELECT unnest(range(0, {_BOOT_B})) AS b) t
+        ),
+        cells AS (
+            SELECT event_type, b, sum(w * q)::BIGINT AS num,
+                   sum(w)::BIGINT AS den
+            FROM reps GROUP BY 1, 2
+        ),
+        mb AS (
+            SELECT event_type, (num // den)::BIGINT AS mb
+            FROM cells WHERE den > 0
+        ),
+        boot AS (
+            SELECT event_type, list_sort(list(mb)) AS arr
+            FROM mb GROUP BY 1
+        ),
+        exact AS (
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   (sum(q) // count(*))::BIGINT AS mean_x10000
+            FROM ev GROUP BY 1
+        )
+        SELECT e.event_type, e.n_events, e.mean_x10000,
+               len(arr)::BIGINT AS n_boot_valid,
+               arr[1]::BIGINT AS boot_min,
+               arr[(len(arr) + 1) // 2]::BIGINT AS boot_med,
+               arr[len(arr)]::BIGINT AS boot_max
+        FROM exact e JOIN boot USING (event_type)
+    """
+
+
 def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail — the first thing an
     experimentation platform checks before reading ANY metric: do the
@@ -2021,6 +2191,7 @@ QUERIES = {
     "orders_km_logrank": orders_km_logrank,
     "events_cuped_ab": events_cuped_ab,
     "events_srm_check": events_srm_check,
+    "events_poisson_bootstrap": events_poisson_bootstrap,
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_revenue_gini": customer_revenue_gini,
     "events_hourly_trend_ols": events_hourly_trend_ols,
@@ -3071,3 +3242,5 @@ ORACLES["events_ccf_hourly"] = f"""
     JOIN den da ON da.event_type = n.type_lead
     JOIN den db ON db.event_type = n.type_lag
 """
+
+ORACLES["events_poisson_bootstrap"] = _poisson_bootstrap_oracle()
