@@ -1127,6 +1127,73 @@ def split_group_aware(
 
 
 # cheap scan-shaped queries first, pair pipelines after, the iterative
+def dedup_source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-SOURCE duplication matrix — the governance report a
+    corpus pipeline runs on top of near-dup detection: for every
+    unordered source pair, how many verified near-dup pairs
+    (``dedup_minhash_lsh_pairs``, exact-Jaccard ≥ 0.5) span it, with
+    the min/max pair Jaccard.  Off-diagonal mass answers "which feeds
+    copy which" (license leaks, mirror sites, syndication) — the
+    decision input for source-level dedup and mixture weights, where
+    doc-level pairs alone are too granular to act on.
+
+    Injected-dup ids map back to their origin's source (the
+    ``_with_injected_dups`` +100000 contract), so the fixture's known
+    duplicates land in the matrix deterministically.  min/max of the
+    per-pair rounded Jaccard are order-free (unlike a float mean) —
+    exact cross-engine.
+
+    Scale: reuses the full LSH-verify topology (banded candidates,
+    never all-pairs); the matrix reduce is |sources|²-bounded and the
+    source map joins on the pair frame, which is near-dup-sized, not
+    corpus-sized.
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source"
+    )
+    base = pairs.select(
+        F.expr(
+            "if(doc_a >= 100000, doc_a - 100000, doc_a)"
+        ).alias("orig_a"),
+        F.expr(
+            "if(doc_b >= 100000, doc_b - 100000, doc_b)"
+        ).alias("orig_b"),
+        "jaccard",
+    )
+    joined = (
+        base.join(
+            src.select(
+                F.col("doc_id").alias("orig_a"),
+                F.col("source").alias("sa"),
+            ),
+            "orig_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("orig_b"),
+                F.col("source").alias("sb"),
+            ),
+            "orig_b",
+        )
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 # components query (which contains the LSH pipeline) last
 QUERIES = {
     "dedup_exact": dedup_exact,
@@ -1143,6 +1210,7 @@ QUERIES = {
     "dedup_quality_keeper": dedup_quality_keeper,
     "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_incremental_lsh": dedup_incremental_lsh,
+    "dedup_source_overlap_matrix": dedup_source_overlap_matrix,
 }
 
 _DUCK_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
@@ -1621,4 +1689,31 @@ ORACLES["dedup_containment_pairs"] = f"""
     SELECT doc_a, doc_b, n_inter, jaccard, containment,
            (containment >= {_CONTAIN_T} AND jaccard < 0.8) AS partial_dup
     FROM m WHERE containment >= 0.5
+"""
+
+# composes the pairs oracle verbatim (nested WITH is valid DuckDB), so
+# the matrix can never drift from the pair semantics it reports on
+ORACLES["dedup_source_overlap_matrix"] = f"""
+    WITH pr AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
+    srcmap AS (SELECT doc_id, source FROM documents),
+    base AS (
+        SELECT CASE WHEN doc_a >= 100000 THEN doc_a - 100000
+                    ELSE doc_a END AS orig_a,
+               CASE WHEN doc_b >= 100000 THEN doc_b - 100000
+                    ELSE doc_b END AS orig_b,
+               jaccard
+        FROM pr
+    ),
+    joined AS (
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b,
+               b.jaccard
+        FROM base b
+        JOIN srcmap sa ON sa.doc_id = b.orig_a
+        JOIN srcmap sb ON sb.doc_id = b.orig_b
+    )
+    SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+           min(jaccard) AS min_jaccard,
+           max(jaccard) AS max_jaccard
+    FROM joined GROUP BY 1, 2
 """
