@@ -210,7 +210,7 @@ def embedding_kmeans_balanced_sample(
     )
     return (
         assign.select(F.col("cent_id").alias("cluster_id"), "vec_id")
-        .withColumn("h", h.alias("h"))
+        .withColumn("h", h)
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _SAMPLE_PER_CLUSTER)
         .select("cluster_id", "vec_id", "rk")
