@@ -291,6 +291,97 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HW_M = 24  # season length (hourly series, daily cycle)
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT–WINTERS additive triple-exponential smoothing
+    (α = β = γ = ½, season length 24) over each event type's hourly
+    mean series — the seasonal completion of the smoothing family
+    (EWMA → Holt level+trend → THIS), the forecast shape a daily-cycle
+    capacity monitor actually needs: next-hour forecast =
+    level + trend + the hour's seasonal component.
+
+    Determinism (the ``events_holt_linear`` contract, extended with a
+    seasonal VECTOR in the accumulator): exact-decimal hourly means
+    divided once; then a SEQUENTIAL fold with state (l, t, s[24], j) —
+    seed (x₀, 0, zeros, 1); step at series position j (seasonal slot
+    j mod 24, position-based per the textbook recurrence — calendar
+    alignment is not assumed for gappy series):
+    ``l' = (x − s[slot] + l + t)/2;  t' = (t + (l' − l))/2;
+    s'[slot] = (s[slot] + (x − l'))/2`` — every coefficient dyadic, so
+    both engines run the identical IEEE sequence in the identical
+    order: bitwise equality, no tolerance.  Simple zero seasonal init
+    (decays geometrically; documented instead of hidden).  NULL-mean
+    buckets are skipped on both sides (the Holt lesson).  Output adds
+    the seasonal AMPLITUDE (max − min of the final seasonal vector) —
+    the "does this signal even have a daily cycle" readout.
+
+    Scale: the fold runs over the per-type calendar-bounded rollup
+    series with an m-element array rebuilt per step (m·|series| ops,
+    thousands); the hourly aggregation map-side combines.  The DuckDB
+    oracle replays the recursion with a RECURSIVE CTE carrying the
+    seasonal LIST (indexed-lambda update — DuckDB lists are 1-based
+    where Spark's transform index is 0-based; each dialect spells its
+    own offset).
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b"), "value"
+    )
+    hourly = ev.groupBy("event_type", "b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sdec"),
+    )
+    series = (
+        hourly.withColumn("mean", F.expr("cast(sdec as double) / n"))
+        .where(F.col("mean").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(b, mean))),"
+                " s -> s.mean)"
+            ).alias("xs"),
+        )
+    )
+    lp = (
+        f"(x - element_at(acc.s, (acc.j % {_HW_M}) + 1) + acc.l + acc.t)"
+        f" / 2.0"
+    )
+    fold = (
+        "aggregate(xs,"
+        " named_struct('l', cast(null as double),"
+        "              't', cast(0.0 as double),"
+        f"             's', array_repeat(cast(0.0 as double), {_HW_M}),"
+        "              'j', 0),"
+        " (acc, x) -> if(acc.l is null,"
+        "   named_struct('l', x, 't', cast(0.0 as double),"
+        "                's', acc.s, 'j', 1),"
+        "   named_struct("
+        f"    'l', {lp},"
+        f"    't', (acc.t + ({lp} - acc.l)) / 2.0,"
+        f"    's', transform(acc.s, (v, i) -> if(i = acc.j % {_HW_M},"
+        f"           (v + (x - {lp})) / 2.0, v)),"
+        "     'j', acc.j + 1)))"
+    )
+    return series.withColumn("hw", F.expr(fold)).select(
+        "event_type",
+        "n_buckets",
+        fl4(F.col("hw.l")).alias("hw_level"),
+        fl4(F.col("hw.t")).alias("hw_trend"),
+        fl4(
+            F.expr("array_max(hw.s) - array_min(hw.s)")
+        ).alias("hw_season_amp"),
+        fl4(
+            F.expr(
+                f"hw.l + hw.t"
+                f" + element_at(hw.s, cast(n_buckets % {_HW_M} as int)"
+                f"              + 1)"
+            )
+        ).alias("forecast_next"),
+    )
+
+
 def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across every FK relationship in the
     schema: child rows whose foreign key has no parent — the
@@ -2180,6 +2271,7 @@ QUERIES = {
     "orders_pareto_abc": orders_pareto_abc,
     "events_ewma_hourly": events_ewma_hourly,
     "events_holt_linear": events_holt_linear,
+    "events_holt_winters": events_holt_winters,
     "audit_fk_orphans": audit_fk_orphans,
     "customer_rfm_segments": customer_rfm_segments,
     "events_markov_transitions": events_markov_transitions,
@@ -2903,6 +2995,59 @@ ORACLES = {
                floor(r.t * 10000 + 0.5) / 10000.0 AS holt_trend,
                floor((r.l + r.t) * 10000 + 0.5) / 10000.0
                    AS forecast_next
+        FROM rec r JOIN nb
+          ON r.event_type = nb.event_type AND r.i = nb.n_buckets
+    """,
+    # seasonal recursion: the Holt oracle pattern with a LIST column in
+    # the recursive state (1-based DuckDB indexing; slot = (i−1) % m)
+    "events_holt_winters": f"""
+        WITH RECURSIVE hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS b,
+                   count(*)::BIGINT AS n,
+                   sum(value::DECIMAL(18,4)) AS sdec
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        pts AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY b)::BIGINT AS i,
+                   sdec::DOUBLE / n AS x
+            FROM hourly
+            WHERE sdec IS NOT NULL
+        ),
+        rec AS (
+            SELECT event_type, i, x AS l, 0.0::DOUBLE AS t,
+                   list_transform(range(0, {_HW_M}), z -> 0.0::DOUBLE)
+                       AS s
+            FROM pts WHERE i = 1
+            UNION ALL
+            SELECT p.event_type, p.i,
+                   (p.x - r.s[((p.i - 1) % {_HW_M})::INT + 1]
+                    + r.l + r.t) / 2.0,
+                   (r.t + ((p.x - r.s[((p.i - 1) % {_HW_M})::INT + 1]
+                            + r.l + r.t) / 2.0 - r.l)) / 2.0,
+                   list_transform(r.s, (v, ix) ->
+                       CASE WHEN ix = ((p.i - 1) % {_HW_M})::INT + 1
+                            THEN (v + (p.x
+                                 - (p.x - r.s[((p.i - 1) % {_HW_M})::INT
+                                              + 1]
+                                    + r.l + r.t) / 2.0)) / 2.0
+                            ELSE v END)
+            FROM rec r JOIN pts p
+              ON p.event_type = r.event_type AND p.i = r.i + 1
+        ),
+        nb AS (
+            SELECT event_type, max(i)::BIGINT AS n_buckets
+            FROM pts GROUP BY event_type
+        )
+        SELECT r.event_type, nb.n_buckets,
+               floor(r.l * 10000 + 0.5) / 10000.0 AS hw_level,
+               floor(r.t * 10000 + 0.5) / 10000.0 AS hw_trend,
+               floor((list_max(r.s) - list_min(r.s)) * 10000 + 0.5)
+                   / 10000.0 AS hw_season_amp,
+               floor((r.l + r.t
+                      + r.s[(nb.n_buckets % {_HW_M})::INT + 1])
+                     * 10000 + 0.5) / 10000.0 AS forecast_next
         FROM rec r JOIN nb
           ON r.event_type = nb.event_type AND r.i = nb.n_buckets
     """,
