@@ -457,6 +457,81 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COLLOC_MIN_N = 3  # minimum bigram occurrences for a reported pair
+_COLLOC_TOPK = 50
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION extraction (Manning & Schütze ch. 5, the lift/PMI
+    family): adjacent token pairs that co-occur far more than their
+    unigram frequencies predict — the multi-word-expression detector a
+    tokenizer-vocabulary or phrase-mining pipeline runs ("new york",
+    "machine learning").  The association score is exact-integer LIFT
+    ``c₁₂·N·10⁶ div (c₁·c₂)`` over bigram POSITIONS (the monotone
+    integer twin of PMI = log lift — ranking by lift avoids the log,
+    which is the no-libm rule), with a minimum-support floor so
+    singleton flukes (lift ≈ N) don't crowd the table; ties break on
+    the pair hash.  Directional adjacency at the TOKEN grain — the NLP
+    counterpart of ``orders_market_basket_lift``'s unordered
+    order-grain rules.
+
+    Overflow: c₁₂·N·10⁶ ≤ N²·10⁶ exceeds bigint at ~3·10⁶ positions —
+    the numerator runs in a DECIMAL(38,0) interior (good to N ≈ 10¹⁶),
+    the bounded ratio leaves as BIGINT.
+
+    Scale: the ``lm_bigram_score`` topology — one explode to 60-bit
+    hashed (pair, left, right) keys, map-side-combining counts, two
+    vocabulary-sized joins, TakeOrdered top-k.  Hash keys mean the
+    report carries hashes, not strings: the consumer joins the top-k
+    back to text by re-hashing (documented; keeps every shuffle at
+    8-byte keys).
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    toks = docs.select(F.expr(_TOKS).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> named_struct("
+                "   'gb', concat(element_at(toks, i), char(31),"
+                "                element_at(toks, i + 1)),"
+                "   'gu', element_at(toks, i),"
+                "   'gv', element_at(toks, i + 1)))"
+            )
+        ).alias("b")
+    ).select(
+        F.expr(_BIGHASH.format(e="b.gb")).alias("gb"),
+        F.expr(_BIGHASH.format(e="b.gu")).alias("gu"),
+        F.expr(_BIGHASH.format(e="b.gv")).alias("gv"),
+    )
+    cnt = bi.groupBy("gb", "gu", "gv").agg(F.count("*").alias("c12"))
+    left = cnt.groupBy("gu").agg(F.sum("c12").alias("c1"))
+    right = cnt.groupBy("gv").agg(F.sum("c12").alias("c2"))
+    total = cnt.groupBy().agg(F.sum("c12").alias("n_pos"))
+    return (
+        cnt.where(F.col("c12") >= _COLLOC_MIN_N)
+        .join(left, "gu")
+        .join(right, "gv")
+        .join(F.broadcast(total))
+        .select(
+            F.col("gb").alias("pair_hash"),
+            "c12",
+            "c1",
+            "c2",
+            # the divisor c1·c2 is ~N² too — decimal on BOTH sides of
+            # the div, or the product overflows before the division
+            F.expr(
+                "cast(cast(c12 as decimal(38,0)) * n_pos * 1000000"
+                " div (cast(c1 as decimal(38,0)) * c2) as bigint)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), F.asc("pair_hash"))
+        .limit(_COLLOC_TOPK)
+    )
+
+
 def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
     bucket every document by the TERCILES of the interpolated LM
@@ -1950,6 +2025,7 @@ QUERIES = {
     "lm_bigram_score": lm_bigram_score,
     "lm_interpolated_score": lm_interpolated_score,
     "lm_kneser_ney_score": lm_kneser_ney_score,
+    "text_collocations": text_collocations,
     "lm_perplexity_buckets": lm_perplexity_buckets,
     "dedup_exact_substring": dedup_exact_substring,
     "train_shuffle_shards": train_shuffle_shards,
@@ -2147,6 +2223,38 @@ ORACLES = {
         SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
                (sum(tf * p_int) // sum(tf))::BIGINT AS lm_interp_scaled
         FROM scored GROUP BY doc_id
+    """,
+    "text_collocations": f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        nz AS (SELECT * FROM t WHERE len(toks) >= 2),
+        bi AS (
+            SELECT
+                unnest(list_transform(range(1, len(toks)), i ->
+                    {_DUCK_BIGHASH.format(
+                        e="toks[i] || chr(31) || toks[i + 1]")})) AS gb,
+                unnest(list_transform(range(1, len(toks)), i ->
+                    {_DUCK_BIGHASH.format(e="toks[i]")})) AS gu,
+                unnest(list_transform(range(1, len(toks)), i ->
+                    {_DUCK_BIGHASH.format(e="toks[i + 1]")})) AS gv
+            FROM nz
+        ),
+        cnt AS (
+            SELECT gb, gu, gv, count(*)::BIGINT AS c12
+            FROM bi GROUP BY gb, gu, gv
+        ),
+        lft AS (SELECT gu, sum(c12)::BIGINT AS c1 FROM cnt GROUP BY gu),
+        rgt AS (SELECT gv, sum(c12)::BIGINT AS c2 FROM cnt GROUP BY gv),
+        tot AS (SELECT sum(c12)::BIGINT AS n_pos FROM cnt)
+        SELECT gb AS pair_hash, c12, c1, c2,
+               (c12::HUGEINT * n_pos * 1000000
+                // (c1::HUGEINT * c2))::BIGINT AS lift_ppm
+        FROM cnt
+        JOIN lft USING (gu) JOIN rgt USING (gv), tot
+        WHERE c12 >= {_COLLOC_MIN_N}
+        ORDER BY lift_ppm DESC, pair_hash ASC
+        LIMIT {_COLLOC_TOPK}
     """,
     "lm_kneser_ney_score": f"""
         WITH t AS (
