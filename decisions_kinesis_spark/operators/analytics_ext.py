@@ -2165,6 +2165,75 @@ def supplier_otif_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_split_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOTAL-VARIATION distance between the two sides of the
+    deterministic HASH split (md5(doc_id) mod 2 — the
+    ``split_train_val`` axis; doc_id PARITY would be aliased with the
+    fixture's deterministic source assignment and measure TV = 1
+    vacuously) over the (lang, source) cell distribution — the
+    one-number "is my holdout distributionally representative" gate a
+    split pipeline runs before trusting eval numbers.  TV = ½Σ|p_c − q_c| is
+    the exact-integer drift metric (PSI needs ln — the no-libm rule;
+    TV is the standard distribution distance that doesn't): with side
+    totals n_a/n_b and cell counts a_c/b_c,
+    ``tv_ppm = Σ|a_c·n_b − b_c·n_a|·10⁶ div (2·n_a·n_b)`` — every
+    product ~N² runs in a DECIMAL(38,0) interior.  Alongside: the
+    WORST cell (largest contribution; ties resolve to the
+    lexicographically larger cell label via the struct max) and its
+    own ppm share — where to look when the gate trips.
+
+    Scale: one |cells|-bounded count pivot (map-side combining), a
+    1-row totals broadcast, and a |cells|-row reduction; the corpus is
+    scanned once.
+    """
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang",
+        "source",
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+            " 16, 10) as bigint) % 2"
+        ).alias("side"),
+    )
+    cells = docs.groupBy("lang", "source").agg(
+        F.sum(F.expr("if(side = 0, 1L, 0L)")).alias("a_c"),
+        F.sum(F.expr("if(side = 1, 1L, 0L)")).alias("b_c"),
+    )
+    tot = cells.groupBy().agg(
+        F.sum("a_c").alias("n_a"), F.sum("b_c").alias("n_b")
+    )
+    contrib = cells.crossJoin(F.broadcast(tot)).select(
+        F.expr("concat(lang, '/', source)").alias("cell"),
+        "n_a",
+        "n_b",
+        F.expr(
+            "abs(cast(a_c as decimal(38,0)) * n_b"
+            " - cast(b_c as decimal(38,0)) * n_a)"
+        ).alias("dev"),
+    )
+    return contrib.groupBy().agg(
+        F.count("*").alias("n_cells"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.sum("dev").alias("sdev"),
+        F.max(F.struct("dev", "cell")).alias("w"),
+    ).select(
+        "n_cells",
+        "n_a",
+        "n_b",
+        F.expr(
+            "cast(case when n_a = 0 or n_b = 0 then null else"
+            " sdev * 1000000 div (2 * cast(n_a as decimal(38,0)) * n_b)"
+            " end as bigint)"
+        ).alias("tv_ppm"),
+        F.col("w.cell").alias("worst_cell"),
+        F.expr(
+            "cast(case when n_a = 0 or n_b = 0 then null else"
+            " w.dev * 1000000 div (2 * cast(n_a as decimal(38,0)) * n_b)"
+            " end as bigint)"
+        ).alias("worst_cell_ppm"),
+    )
+
+
 def docs_language_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset drift monitor: per ingest-order bucket (doc_id div
     100) and language, the bucket's language share vs the corpus-wide
@@ -2392,6 +2461,7 @@ QUERIES = {
     "events_seasonal_profile_anomalies": events_seasonal_profile_anomalies,
     "supplier_otif_scorecard": supplier_otif_scorecard,
     "docs_language_mix_drift": docs_language_mix_drift,
+    "docs_split_drift_tv": docs_split_drift_tv,
     "events_chi2_ab_types": events_chi2_ab_types,
     "events_acf_hourly": events_acf_hourly,
     "events_ccf_hourly": events_ccf_hourly,
@@ -3096,6 +3166,48 @@ ORACLES = {
                    AS forecast_next
         FROM rec r JOIN nb
           ON r.event_type = nb.event_type AND r.i = nb.n_buckets
+    """,
+    "docs_split_drift_tv": """
+        WITH sided AS (
+            SELECT lang, source,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                       ::BIGINT % 2 AS side
+            FROM documents
+        ),
+        cells AS (
+            SELECT lang, source,
+                   sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                       ::BIGINT AS a_c,
+                   sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                       ::BIGINT AS b_c
+            FROM sided GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT sum(a_c)::BIGINT AS n_a, sum(b_c)::BIGINT AS n_b
+            FROM cells
+        ),
+        contrib AS (
+            SELECT lang || '/' || source AS cell, t.n_a, t.n_b,
+                   abs(a_c::HUGEINT * t.n_b - b_c::HUGEINT * t.n_a)
+                       AS dev
+            FROM cells, tot t
+        ),
+        agg AS (
+            SELECT count(*)::BIGINT AS n_cells,
+                   any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+                   sum(dev) AS sdev,
+                   max({'dev': dev, 'cell': cell}) AS w
+            FROM contrib
+        )
+        SELECT n_cells, n_a, n_b,
+               (CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+                    sdev * 1000000 // (2 * n_a::HUGEINT * n_b)
+                END)::BIGINT AS tv_ppm,
+               (w).cell AS worst_cell,
+               (CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+                    (w).dev * 1000000 // (2 * n_a::HUGEINT * n_b)
+                END)::BIGINT AS worst_cell_ppm
+        FROM agg
     """,
     # the Holt recursion, with the per-step one-step-ahead residual
     # carried on each rec row; conformal rank = exact integer ceil
