@@ -9,6 +9,7 @@ across all queries.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -127,6 +128,13 @@ def main() -> None:
                 if best <= 2.0 * floor:
                     break
         timings[name] = best
+        # free THIS query's localCheckpoint blocks before the next one:
+        # checkpointed RDDs release only when their Python DataFrame is
+        # garbage-collected, so a 244-query session otherwise accretes
+        # executor-memory blocks and the run AGES (measured: median
+        # warm-time ratio vs the floors grew 1.20 → 1.23 → 1.41 across
+        # the run's thirds before this collect)
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     # The stdout line must stay COMPACT: the driver's tail-capture window
