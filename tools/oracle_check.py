@@ -386,6 +386,13 @@ def main() -> int:
         else:
             print(f"✓ {name}")
         sys.stdout.flush()
+        # free this query's localCheckpoint blocks before the next —
+        # the bench session-aging fix (blocks release only when their
+        # Python DataFrames are collected; a 244-query sweep otherwise
+        # accretes executor memory and slows as it runs)
+        import gc
+
+        gc.collect()
     print(f"\n{'FAIL' if n_fail else 'OK'} ({n_fail} failures)")
     return 1 if n_fail else 0
 
