@@ -1411,6 +1411,113 @@ def orders_scd2_ship_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LL_SAMPLE_DAYS = 7  # snapshot cadence of the audited WIP measurement
+
+
+def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITTLE'S LAW audit of WIP measurement methodology: L = λ·W ties
+    average open orders (L) to arrival rate (λ) and average time open
+    (W).  With day-granular opens/closes the TIME-AVERAGE L over the
+    horizon is EXACTLY Σduration div horizon (the backlog curve's
+    integral), so the law holds identically — what a real dashboard
+    reports instead is the WEEKLY-SNAPSHOT average (the backlog
+    sampled every ``_LL_SAMPLE_DAYS`` days), and THE question is how
+    much that sampling distorts L.  This query computes all three —
+    λ, W, exact L — plus the weekly-snapshot L and the signed
+    ``sampling_gap_ppm`` between snapshot and exact: the one-number
+    answer to "is weekly WIP sampling adequate here".
+
+    Exact integers throughout (×10⁶ fixed point, truncating div);
+    snapshot counts come from the backlog sweep-line's cumulative
+    deltas evaluated AT the grid days (grid markers merged into the
+    delta series and swept by one cumulative window — the gap-fill
+    LOCF trick on the calendar axis).
+
+    Scale: order-grain reductions map-side combine; the sweep window
+    runs over the calendar-bounded (delta ∪ grid) day axis — the
+    documented bounded-frame exception; everything else is one-row
+    arithmetic.
+    """
+    li = load_table(spark, "lineitem", sf_dir).groupBy(
+        F.col("l_orderkey").alias("o_key")
+    ).agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("o_key"),
+        F.to_date("o_orderdate").alias("open_day"),
+    )
+    iv = o.join(li, "o_key")
+    mom = iv.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.expr("datediff(close_day, open_day) + 1").cast(
+                "decimal(38,0)"
+            )
+        ).alias("sdur"),
+        F.min("open_day").alias("d0"),
+        F.max("close_day").alias("d1"),
+    )
+    deltas = (
+        iv.select(F.col("open_day").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            iv.select(
+                F.expr("date_add(close_day, 1)").alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("net"))
+        .select("day", "net", F.lit(0).alias("marker"))
+    )
+    grid = (
+        mom.select(
+            F.explode(
+                F.expr(
+                    f"sequence(d0, d1, interval {_LL_SAMPLE_DAYS} days)"
+                )
+            ).alias("day")
+        )
+        .select("day", F.lit(0).alias("net"), F.lit(1).alias("marker"))
+    )
+    w = (
+        Window.orderBy("day", "marker")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    snap = (
+        deltas.unionByName(grid)
+        .withColumn("open_cnt", F.sum("net").over(w))
+        .where(F.col("marker") == 1)
+        .agg(
+            F.count("*").alias("n_snapshots"),
+            F.sum(F.col("open_cnt").cast("decimal(38,0)")).alias("ssnap"),
+        )
+    )
+    return mom.crossJoin(snap).select(
+        "n_orders",
+        F.expr("datediff(d1, d0) + 1").cast("bigint").alias(
+            "horizon_days"
+        ),
+        "n_snapshots",
+        F.expr(
+            "cast(n_orders * 1000000 div (datediff(d1, d0) + 1)"
+            " as bigint)"
+        ).alias("lambda_per_day_x1e6"),
+        F.expr("cast(sdur * 1000000 div n_orders as bigint)").alias(
+            "w_days_x1e6"
+        ),
+        F.expr(
+            "cast(sdur * 1000000 div (datediff(d1, d0) + 1) as bigint)"
+        ).alias("l_exact_x1e6"),
+        F.expr(
+            "cast(ssnap * 1000000 div n_snapshots as bigint)"
+        ).alias("l_snapshot_x1e6"),
+        F.expr(
+            "cast(case when sdur = 0 then null else"
+            " (ssnap * (datediff(d1, d0) + 1) - sdur * n_snapshots)"
+            " * 1000000 div (sdur * n_snapshots) end as bigint)"
+        ).alias("sampling_gap_ppm"),
+    )
+
+
 def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval SWEEP-LINE: how many orders are open (placed, not yet
     fully shipped) on each day — the operational backlog series.  An
@@ -2457,6 +2564,7 @@ QUERIES = {
     "events_hourly_trend_ols": events_hourly_trend_ols,
     "events_theil_sen_trend": events_theil_sen_trend,
     "orders_open_backlog_daily": orders_open_backlog_daily,
+    "orders_littles_law_audit": orders_littles_law_audit,
     "events_cusum_change": events_cusum_change,
     "events_seasonal_profile_anomalies": events_seasonal_profile_anomalies,
     "supplier_otif_scorecard": supplier_otif_scorecard,
@@ -3166,6 +3274,66 @@ ORACLES = {
                    AS forecast_next
         FROM rec r JOIN nb
           ON r.event_type = nb.event_type AND r.i = nb.n_buckets
+    """,
+    "orders_littles_law_audit": f"""
+        WITH iv AS (
+            SELECT o.o_orderkey AS o_key,
+                   o.o_orderdate::DATE AS open_day,
+                   li.close_day
+            FROM orders o
+            JOIN (SELECT l_orderkey, max(l_shipdate::DATE) AS close_day
+                  FROM lineitem GROUP BY 1) li
+              ON li.l_orderkey = o.o_orderkey
+        ),
+        mom AS (
+            SELECT count(*)::BIGINT AS n_orders,
+                   sum((date_diff('day', open_day, close_day) + 1)
+                       ::HUGEINT) AS sdur,
+                   min(open_day) AS d0, max(close_day) AS d1
+            FROM iv
+        ),
+        deltas AS (
+            SELECT day, sum(d)::BIGINT AS net, 0 AS marker FROM (
+                SELECT open_day AS day, 1 AS d FROM iv
+                UNION ALL
+                SELECT close_day + 1 AS day, -1 AS d FROM iv
+            ) GROUP BY day
+        ),
+        grid AS (
+            SELECT unnest(generate_series(d0, d1,
+                       INTERVAL {_LL_SAMPLE_DAYS} DAY))::DATE AS day,
+                   0::BIGINT AS net, 1 AS marker
+            FROM mom
+        ),
+        swept AS (
+            SELECT day, marker,
+                   sum(net) OVER (ORDER BY day, marker
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS open_cnt
+            FROM (SELECT * FROM deltas UNION ALL SELECT * FROM grid)
+        ),
+        snap AS (
+            SELECT count(*)::BIGINT AS n_snapshots,
+                   sum(open_cnt::HUGEINT) AS ssnap
+            FROM swept WHERE marker = 1
+        )
+        SELECT n_orders,
+               (date_diff('day', d0, d1) + 1)::BIGINT AS horizon_days,
+               n_snapshots,
+               (n_orders::HUGEINT * 1000000
+                // (date_diff('day', d0, d1) + 1))::BIGINT
+                   AS lambda_per_day_x1e6,
+               (sdur * 1000000 // n_orders)::BIGINT AS w_days_x1e6,
+               (sdur * 1000000 // (date_diff('day', d0, d1) + 1))
+                   ::BIGINT AS l_exact_x1e6,
+               (ssnap * 1000000 // n_snapshots)::BIGINT
+                   AS l_snapshot_x1e6,
+               (CASE WHEN sdur = 0 THEN NULL ELSE
+                    (ssnap * (date_diff('day', d0, d1) + 1)
+                     - sdur * n_snapshots) * 1000000
+                    // (sdur * n_snapshots) END)::BIGINT
+                   AS sampling_gap_ppm
+        FROM mom, snap
     """,
     "docs_split_drift_tv": """
         WITH sided AS (

@@ -1058,6 +1058,28 @@ def test_triangle_counts_tie_degrees_bowtie(spark):
     assert got == {0: (2, 4), 1: (1, 2), 2: (1, 2), 3: (1, 2), 4: (1, 2)}
 
 
+def test_littles_law_identity_and_sampling(spark, sf_dir):
+    """L = λ·W must hold to truncation-level slack on the exact
+    time-average (they are algebraically identical before the two
+    independent floor divisions), and the weekly-snapshot L must sit
+    within a few percent of the exact L on the fixture (the audit's
+    whole point is that the gap column measures sampling error, not a
+    formula discrepancy)."""
+    from decisions_kinesis_spark.operators.analytics_ext import (
+        orders_littles_law_audit,
+    )
+
+    r = orders_littles_law_audit(spark, sf_dir).collect()[0]
+    lam_w = r["lambda_per_day_x1e6"] * r["w_days_x1e6"] / 1_000_000
+    assert abs(lam_w - r["l_exact_x1e6"]) / r["l_exact_x1e6"] < 0.001
+    assert abs(r["sampling_gap_ppm"]) < 50_000  # within 5%
+    assert (
+        abs(r["l_snapshot_x1e6"] - r["l_exact_x1e6"])
+        / r["l_exact_x1e6"]
+        < 0.05
+    )
+
+
 def test_hits_matches_integer_recurrence_on_bipartite_fixture(
     spark, tmp_path_factory
 ):
