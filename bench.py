@@ -40,6 +40,29 @@ def main() -> None:
     # warm up the JVM + parquet footer cache outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Untimed WHOLE-REGISTRY warm-up at the smallest fixture: the
+    # thirds-gradient instrumentation showed the first third of a
+    # fresh session running 1.37x its floors (17.3s excess vs 6.8/3.0
+    # in later thirds) — start-of-session cost in SHARED
+    # infrastructure (janino/codegen compiler, Arrow serializers,
+    # parquet reader classes, the Python worker daemon pool), not in
+    # any query's plan.  One cheap sf0.001 pass per query JIT-warms
+    # those paths for ~30s outside the timed region, so the timed
+    # loop measures plans, not session youth.  Guarded: any warm-up
+    # failure is ignored (the timed loop re-reports it properly).
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and os.path.abspath(
+        warm_dir
+    ) != os.path.abspath(sf_dir):
+        for _name, _fn in entry_mod.queries().items():
+            try:
+                _fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 - warm-up must never sink
+                pass
+            gc.collect()
+
     # Deliberately-alternate implementations (kept in queries() for
     # correctness coverage of the extension-point API, not the
     # recommended execution path) are excluded from the headline total.
@@ -80,10 +103,19 @@ def main() -> None:
         except (OSError, ValueError):
             pass
 
+    def _jvm_heap_mb() -> int:
+        """Driver-JVM used heap, MB — the aging observable (retained
+        status-store/plan objects and uncollected blocks show up here
+        before they show up as wall-clock)."""
+        rt = spark._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
+        return int((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     reprobed: dict[str, float] = {}
+    heap_mb: list[int] = [_jvm_heap_mb()]
+    run_order: list[str] = []
     for name, fn in entry_mod.queries().items():
         if name in alternates:
             continue
@@ -128,6 +160,7 @@ def main() -> None:
                 if best <= 2.0 * floor:
                     break
         timings[name] = best
+        run_order.append(name)
         # free THIS query's localCheckpoint blocks before the next one:
         # checkpointed RDDs release only when their Python DataFrame is
         # garbage-collected, so a 244-query session otherwise accretes
@@ -135,6 +168,36 @@ def main() -> None:
         # warm-time ratio vs the floors grew 1.20 → 1.23 → 1.41 across
         # the run's thirds before this collect)
         gc.collect()
+        if len(run_order) % 40 == 0:
+            heap_mb.append(_jvm_heap_mb())
+    heap_mb.append(_jvm_heap_mb())
+
+    # Session-aging gradient, measurable from the artifact alone
+    # (VERDICT r9 #1): split the run order into thirds and report the
+    # MEDIAN best/floor ratio per third.  A flat gradient means the
+    # session is not aging; a rising one localizes the drift to
+    # session state rather than plans (plans don't know their run
+    # position).  Queries without a prior floor are skipped — the
+    # ratio needs a same-sf reference.
+    def _median(xs: list[float]) -> float | None:
+        if not xs:
+            return None
+        s = sorted(xs)
+        n = len(s)
+        mid = n // 2
+        return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+    ratios = [
+        (i, timings[n] / prior[n])
+        for i, n in enumerate(run_order)
+        if prior.get(n)
+    ]
+    third = max(1, len(run_order) // 3)
+    gradient = [
+        _median([r for i, r in ratios if lo <= i < lo + third])
+        for lo in (0, third, 2 * third)
+    ]
+    gradient = [round(g, 3) if g is not None else None for g in gradient]
 
     total = round(sum(timings.values()), 3)
     # The stdout line must stay COMPACT: the driver's tail-capture window
@@ -163,6 +226,11 @@ def main() -> None:
         "n_queries": len(timings),
         "cold_total_sec": round(sum(cold.values()), 3),
         "n_errors": len(errors),
+        # aging observables: median best/floor ratio per third of the
+        # run, and driver-JVM used-heap samples (start, every 40
+        # queries, end) — flat gradient + bounded heap = healthy run
+        "warm_ratio_thirds": gradient,
+        "jvm_heap_mb": heap_mb,
     }
     line = json.dumps(payload)
     full = dict(payload, queries=timings)

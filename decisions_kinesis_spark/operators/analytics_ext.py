@@ -296,16 +296,21 @@ _CONF_PCT_DEN = 10
 
 
 def events_holt_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPLIT-CONFORMAL prediction interval around the Holt forecast —
-    the distribution-free error bar (Vovk et al.; Angelopoulos & Bates
-    2023 tutorial): run the Holt fold over each type's hourly series,
-    score every one-step-ahead forecast against the actual
+    """SEQUENTIAL (online-style) conformal prediction interval around
+    the Holt forecast — the distribution-free error bar in the spirit
+    of split conformal (Vovk et al.; Angelopoulos & Bates 2023
+    tutorial): run the Holt fold over each type's hourly series, score
+    every one-step-ahead forecast against the actual
     (|x_j − (l_{j−1}+t_{j−1})|), and take the conformal quantile
-    ``k = ⌈0.9·(m+1)⌉`` of the m absolute residuals — the interval
-    ``forecast ± q`` then carries a finite-sample ≥90% coverage
-    guarantee under exchangeability of the residuals, with NO
-    distributional assumption (the honest contrast to the Gaussian
-    bands a naive monitor draws).
+    ``k = ⌈0.9·(m+1)⌉`` of the m absolute residuals.  HONEST CAVEAT:
+    the residuals are in-sample sequential errors from the same series
+    the fold fits — there is no held-out calibration split, so the
+    finite-sample split-conformal coverage theorem does not strictly
+    apply; the interval is the standard online/sequential conformal
+    heuristic (asymptotically calibrated when residuals are
+    exchangeable), still assumption-light versus the Gaussian bands a
+    naive monitor draws.  For the strict guarantee, compute q over a
+    held-out suffix of residuals only.
 
     Determinism: the level/trend fold is the ``events_holt_linear``
     dyadic IEEE sequence (bitwise cross-engine — proof #9 established

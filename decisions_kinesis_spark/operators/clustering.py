@@ -61,10 +61,21 @@ def _quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: single-slot memo for the Lloyd loop: the three kmeans queries share
+#: one (spark, sf_dir) loop result within a sweep instead of re-running
+#: the 3-iteration crossJoin+checkpoint chain three times.  Keyed on
+#: applicationId so a restarted SparkContext can never serve stale
+#: checkpointed frames; bounded to ONE entry so the retained
+#: localCheckpoint blocks (the session-aging lesson) stay a single
+#: bounded set rather than accumulating across sf_dirs.
+_KM_LOOP_CACHE: dict = {}
+
+
 def _kmeans_loop(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[DataFrame], DataFrame, DataFrame, DataFrame]:
-    """Run the fixed-budget Lloyd loop once; return the per-iteration
+    """Run the fixed-budget Lloyd loop once per (session, sf_dir) —
+    memoized, see _KM_LOOP_CACHE; return the per-iteration
     stats frames, the FINAL assignment (the iteration-``_KM_ITERS``
     argmin, i.e. membership under the last pre-update centroids), the
     FINAL (post-update) centroid frame, and the checkpointed quantized
@@ -93,6 +104,10 @@ def _kmeans_loop(
     interior, transported as the bounded per-member MEAN (bigint);
     update sums |Σq| ≤ n·2·10⁴ stay in bigint to ~10¹⁴ members.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KM_LOOP_CACHE.get(key)
+    if hit is not None:
+        return hit
     vecs = _quantized_vectors(spark, sf_dir).localCheckpoint(eager=True)
     cents = (
         vecs.filter(F.col("vec_id") < _K)
@@ -159,7 +174,10 @@ def _kmeans_loop(
                 "centroid_l1",
             )
         )
-    return stats, assign, cents, vecs
+    result = (stats, assign, cents, vecs)
+    _KM_LOOP_CACHE.clear()  # single slot: evict any other (app, sf_dir)
+    _KM_LOOP_CACHE[key] = result
+    return result
 
 
 def embedding_kmeans_inertia(

@@ -19,7 +19,8 @@ Cross-engine determinism: every hash is
 check VALUES, not just shapes.
 
 The fixture corpus has no natural duplicates, so the dedup queries
-inject 20 exact copies (doc_id+100000 for doc_id<20) on BOTH sides —
+inject _DUP_N exact copies (doc_id+_DUP_OFFSET, one shared constant
+pair) on BOTH sides —
 making the detected-duplicate set non-trivially verifiable.
 """
 
@@ -69,17 +70,28 @@ def _seeded(seed_col: str, h_col: str) -> str:
         for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
     )
     return f"(CASE {seed_col} {arms} END)"
-_DUP_SQL_CORPUS = """
+#: the injected-copy fixture contract, in ONE place: the first _DUP_N
+#: documents are duplicated at doc_id + _DUP_OFFSET.  Everything that
+#: maps an injected id back to its origin (the source-overlap matrix)
+#: derives from these constants AND tests membership in the exact
+#: injected window [_DUP_OFFSET, _DUP_OFFSET + _DUP_N) — a genuine
+#: corpus document with doc_id ≥ _DUP_OFFSET is never remapped.
+_DUP_OFFSET = 100_000
+_DUP_N = 20
+
+_DUP_SQL_CORPUS = f"""
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+        SELECT doc_id + {_DUP_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id < {_DUP_N}
 """
 
 
 def _with_injected_dups(docs: DataFrame) -> DataFrame:
-    """documents ∪ 20 exact copies (doc_id+100000) — see module doc."""
-    copies = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    """documents ∪ _DUP_N exact copies (doc_id+_DUP_OFFSET) — see
+    module doc."""
+    copies = docs.filter(F.col("doc_id") < _DUP_N).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
     )
     return docs.select("doc_id", "text").unionByName(copies)
 
@@ -1140,7 +1152,9 @@ def dedup_source_overlap_matrix(
     doc-level pairs alone are too granular to act on.
 
     Injected-dup ids map back to their origin's source (the
-    ``_with_injected_dups`` +100000 contract), so the fixture's known
+    ``_with_injected_dups`` _DUP_OFFSET contract — the remap tests
+    membership in the exact injected window, so a genuine document
+    with a large doc_id is never touched), so the fixture's known
     duplicates land in the matrix deterministically.  min/max of the
     per-pair rounded Jaccard are order-free (unlike a float mean) —
     exact cross-engine.
@@ -1154,12 +1168,15 @@ def dedup_source_overlap_matrix(
     src = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source"
     )
+    lo, hi = _DUP_OFFSET, _DUP_OFFSET + _DUP_N
     base = pairs.select(
         F.expr(
-            "if(doc_a >= 100000, doc_a - 100000, doc_a)"
+            f"if(doc_a >= {lo} and doc_a < {hi},"
+            f" doc_a - {_DUP_OFFSET}, doc_a)"
         ).alias("orig_a"),
         F.expr(
-            "if(doc_b >= 100000, doc_b - 100000, doc_b)"
+            f"if(doc_b >= {lo} and doc_b < {hi},"
+            f" doc_b - {_DUP_OFFSET}, doc_b)"
         ).alias("orig_b"),
         "jaccard",
     )
@@ -1371,7 +1388,8 @@ ORACLES = {
         aug AS (
             SELECT doc_id FROM documents
             UNION ALL
-            SELECT doc_id + 100000 FROM documents WHERE doc_id < 20
+            SELECT doc_id + {_DUP_OFFSET} FROM documents
+            WHERE doc_id < {_DUP_N}
         ),
         g AS (
             SELECT a.doc_id,
@@ -1697,9 +1715,13 @@ ORACLES["dedup_source_overlap_matrix"] = f"""
     WITH pr AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
     srcmap AS (SELECT doc_id, source FROM documents),
     base AS (
-        SELECT CASE WHEN doc_a >= 100000 THEN doc_a - 100000
+        SELECT CASE WHEN doc_a >= {_DUP_OFFSET}
+                     AND doc_a < {_DUP_OFFSET + _DUP_N}
+                    THEN doc_a - {_DUP_OFFSET}
                     ELSE doc_a END AS orig_a,
-               CASE WHEN doc_b >= 100000 THEN doc_b - 100000
+               CASE WHEN doc_b >= {_DUP_OFFSET}
+                     AND doc_b < {_DUP_OFFSET + _DUP_N}
+                    THEN doc_b - {_DUP_OFFSET}
                     ELSE doc_b END AS orig_b,
                jaccard
         FROM pr

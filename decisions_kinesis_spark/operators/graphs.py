@@ -111,7 +111,14 @@ def pagerank(pairs: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     as a src (symmetric graphs satisfy this by construction).  Returns
     (node, r, deg) with r at the exact integer _PR_SCALE recurrence
     documented on the query; shared by the query and the hand-computed
-    fixture tests."""
+    fixture tests.
+
+    The per-iteration contrib broadcast is valid while the NODE set is
+    dimension-bounded — ~10⁸ nodes (≈1.6 GB at 16 B/row) is the
+    ceiling; past that, drop the F.broadcast()/coalesce(1) wrappers so
+    the contribution pass becomes a src-keyed co-partitioned shuffle
+    join against the pre-partitioned edge frame (one extra exchange
+    per iteration, no other change)."""
     # The edge frame stays (src, dst) ONLY: degree lives on the
     # |nodes|-row frame and the per-iteration contribution
     # ``c = r div deg`` is computed there BEFORE the broadcast, so no
@@ -539,21 +546,30 @@ def graph_hits_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     always, h is bounded by basket_size·SCALE — baskets are small
     constants in any retail schema, ≤ 7 here), then
     a = renorm(Σ_{o∋p} h(o)) — ONE max-abs truncating renormalization
-    per iteration (normalization placement is a free choice in HITS;
-    every value stays an exact bigint: a_raw ≤ deg_p·basket·SCALE ≈
-    10¹⁷ at 10⁹-order part degrees).  The unrolled-CTE DuckDB oracle
-    replays the same recurrence to the digit.  Measured levers at
+    per iteration (normalization placement is a free choice in HITS).
+    Headroom: a_raw ≤ deg_p·basket·SCALE ≈ 10¹⁷ at 10⁹-order part
+    degrees fits bigint, but the renorm NUMERATOR a_raw·SCALE ≈ 10²³
+    does not — so the renorm interior runs in DECIMAL(38,0)/HUGEINT
+    (headroom to 10³⁸; past ~10³² part degrees, pre-divide a_raw);
+    the quotient ≤ SCALE lands back in bigint exactly.  The
+    unrolled-CTE DuckDB oracle replays the same recurrence to the
+    digit.  Measured levers at
     sf0.1: once-per-iteration renorm + pre-partitioning the edge
     frame by the order key (shuffle-free hub pass) took the loop
     3.6 → 2.4 s warm.
 
     Scale: the distinct (order, part) edge frame is checkpointed ONCE;
     the part-side score frame (dimension-bounded, the pagerank
-    |parts|-frame argument) broadcasts into the hub pass, while the
-    ORDER-side hub frame — corpus-grain, NOT broadcastable at 100 TB —
-    is consumed ONCE by the a-update equi-join (no checkpoint, no
-    second pass), co-partitioned with the edge frame; both reductions
-    combine map-side.  The per-iteration max-abs is a 1-row broadcast.
+    |parts|-frame argument) broadcasts into the hub pass — VALID up to
+    ~10⁸ parts (a 16-byte-row score frame ≈ 1.6 GB at 10⁸; past that
+    the broadcast dies and the one-line alternative is to drop the
+    F.broadcast()/coalesce(1) wrappers so the hub pass becomes a
+    part-keyed co-partitioned shuffle join, one extra exchange per
+    iteration) — while the ORDER-side hub frame — corpus-grain, NOT
+    broadcastable at 100 TB at ANY dimension size — is consumed ONCE
+    by the a-update equi-join (no checkpoint, no second pass),
+    co-partitioned with the edge frame; both reductions combine
+    map-side.  The per-iteration max-abs is a 1-row broadcast.
     """
     edges = (
         load_table(spark, "lineitem", sf_dir)
@@ -579,9 +595,17 @@ def graph_hits_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = df.agg(F.max(F.abs(F.col(col))).alias("m"))
         return df.crossJoin(F.broadcast(m)).select(
             *[c for c in df.columns if c != col],
+            # the renorm NUMERATOR a_raw·SCALE is the overflow point:
+            # a_raw ≤ deg_p·basket·SCALE ≈ 10¹⁷ at 10⁹-order part
+            # degrees, so ×10⁶ would wrap int64 silently (non-ANSI)
+            # while the DuckDB oracle's BIGINT multiply errors — run
+            # the interior in DECIMAL(38,0)/HUGEINT (the skew_x1000 /
+            # CH-index discipline); the QUOTIENT is ≤ SCALE by
+            # construction (a ≤ m), so the bigint output is exact
             F.expr(
                 f"case when m = 0 then 0L"
-                f" else ({col} * {_HITS_SCALE}) div m end"
+                f" else cast(cast({col} as decimal(38,0))"
+                f" * {_HITS_SCALE} div m as bigint) end"
             ).alias(col),
         )
 
@@ -642,7 +666,8 @@ def _hits_oracle() -> str:
         ),
         a{i} AS MATERIALIZED (
             SELECT p, CASE WHEN m = 0 THEN 0::BIGINT
-                           ELSE (a * {_HITS_SCALE}) // m END AS a
+                           ELSE ((a::HUGEINT * {_HITS_SCALE}) // m)::BIGINT
+                           END AS a
             FROM araw{i}, (SELECT max(abs(a))::BIGINT AS m FROM araw{i})
         )"""
         )

@@ -53,6 +53,24 @@ def get_session(
         # normalizes from TimestampNTZ to the session timestamp type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Long many-query sessions (the 244-query bench/oracle sweeps)
+        # age without these: even with the UI off, the app status
+        # store retains up to 1000 jobs/stages + 100k tasks and the
+        # SQL status store up to 1000 executions WITH full plan
+        # graphs — steady driver-heap growth and GC pressure across a
+        # sweep.  An interactive engine session needs recent history
+        # only; trim retention to a working set.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "5000")
+        .config("spark.sql.ui.retainedExecutions", "20")
+        # ContextCleaner relies on JVM GC to discover unreferenced
+        # RDDs/broadcasts/shuffles; the default periodic System.gc()
+        # every 30min never fires inside a minutes-long sweep, so
+        # shuffle files and broadcast blocks from hundreds of queries
+        # linger.  5min keeps cleanup flowing in long sessions at
+        # negligible cost (it is a no-op when nothing is collectable).
+        .config("spark.cleaner.periodicGC.interval", "5min")
         # keep stdout machine-parseable (bench/driver protocols): the
         # console progress bar writes \r-frames to fd 1
         .config("spark.ui.showConsoleProgress", "false")

@@ -47,6 +47,7 @@ Usage:  python tools/oracle_check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import gc
 import math
 import re
 import sys
@@ -390,8 +391,6 @@ def main() -> int:
         # the bench session-aging fix (blocks release only when their
         # Python DataFrames are collected; a 244-query sweep otherwise
         # accretes executor memory and slows as it runs)
-        import gc
-
         gc.collect()
     print(f"\n{'FAIL' if n_fail else 'OK'} ({n_fail} failures)")
     return 1 if n_fail else 0
