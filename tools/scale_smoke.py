@@ -159,6 +159,13 @@ def build_replica(spark, k: int) -> str:
 
 
 def run(spark, queries, name: str, sf_dir: str) -> float:
+    # the kmeans family memoizes its Lloyd loop per (session, sf_dir)
+    # — correct for a sweep, but THIS tool times the loop itself, so
+    # drop the memo before every pass (otherwise the second pass and
+    # every sibling op time only the post-loop stage)
+    from decisions_kinesis_spark.operators import clustering
+
+    clustering._KM_LOOP_CACHE.clear()
     t0 = time.perf_counter()
     queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
