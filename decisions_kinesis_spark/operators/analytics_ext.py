@@ -1262,13 +1262,21 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.expr("(n_a + n_b) div 2").alias("exp_a"),
         F.expr("n_a + n_b - (n_a + n_b) div 2").alias("exp_b"),
+        # diff²·10⁶ wraps int64 once the arm imbalance exceeds ~3·10⁶
+        # users (0.3% at 10⁹ users — a realistic broken split, the
+        # very case SRM exists to catch) — DECIMAL(38,0) interior
+        # (the HITS-renorm class); chi2 output is diff²·10⁶/exp ≤
+        # n·10⁶, exact back in bigint
         F.expr(
-            "case when (n_a + n_b) div 2 = 0 then null else"
-            " (n_a - (n_a + n_b) div 2) * (n_a - (n_a + n_b) div 2)"
+            "cast(case when (n_a + n_b) div 2 = 0 then null else"
+            " cast(n_a - (n_a + n_b) div 2 as decimal(38,0))"
+            " * (n_a - (n_a + n_b) div 2)"
             " * 1000000 div ((n_a + n_b) div 2)"
-            " + (n_b - (n_a + n_b - (n_a + n_b) div 2))"
+            " + cast(n_b - (n_a + n_b - (n_a + n_b) div 2)"
+            "        as decimal(38,0))"
             "   * (n_b - (n_a + n_b - (n_a + n_b) div 2))"
             "   * 1000000 div (n_a + n_b - (n_a + n_b) div 2) end"
+            " as bigint)"
         ).alias("srm_chi2_ppm"),
     )
 
@@ -2892,10 +2900,10 @@ ORACLES = {
                ((n_a + n_b) // 2)::BIGINT AS exp_a,
                (n_a + n_b - (n_a + n_b) // 2)::BIGINT AS exp_b,
                (CASE WHEN (n_a + n_b) // 2 = 0 THEN NULL ELSE
-                    (n_a - (n_a + n_b) // 2)
+                    (n_a - (n_a + n_b) // 2)::HUGEINT
                     * (n_a - (n_a + n_b) // 2) * 1000000
                     // ((n_a + n_b) // 2)
-                    + (n_b - (n_a + n_b - (n_a + n_b) // 2))
+                    + (n_b - (n_a + n_b - (n_a + n_b) // 2))::HUGEINT
                       * (n_b - (n_a + n_b - (n_a + n_b) // 2)) * 1000000
                       // (n_a + n_b - (n_a + n_b) // 2)
                 END)::BIGINT AS srm_chi2_ppm

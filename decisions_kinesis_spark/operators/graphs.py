@@ -282,9 +282,15 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.expr(f"(n_ab * 1000000) div {n_orders}").alias("support_ppm"),
             F.expr("(n_ab * 1000000) div n_a").alias("conf_a_to_b_ppm"),
-            F.expr(f"(n_ab * {n_orders} * 1000000) div (n_a * n_b)").alias(
-                "lift_ppm"
-            ),
+            # lift numerator n_ab·N·10⁶ (~10²⁵ at 10¹¹ orders) AND
+            # denominator n_a·n_b (~10²²) both wrap int64 at scale —
+            # DECIMAL(38,0)/HUGEINT interior (the HITS-renorm class);
+            # the quotient is ≤ N·10⁶ (~10¹⁷), exact back in bigint
+            F.expr(
+                f"cast(cast(n_ab as decimal(38,0)) * {n_orders}"
+                f" * 1000000 div (cast(n_a as decimal(38,0)) * n_b)"
+                f" as bigint)"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.col("lift_ppm").desc(), "part_a", "part_b")
         .limit(_MB_TOPK)
@@ -306,7 +312,8 @@ _MARKET_BASKET_ORACLE = f"""
     SELECT p.part_a, p.part_b, p.n_ab, ca.n AS n_a, cb.n AS n_b,
            (p.n_ab * 1000000) // total AS support_ppm,
            (p.n_ab * 1000000) // ca.n AS conf_a_to_b_ppm,
-           (p.n_ab * total * 1000000) // (ca.n * cb.n) AS lift_ppm
+           ((p.n_ab::HUGEINT * total * 1000000)
+               // (ca.n::HUGEINT * cb.n))::BIGINT AS lift_ppm
     FROM pairs p
     JOIN cnt ca ON ca.p = p.part_a
     JOIN cnt cb ON cb.p = p.part_b, n

@@ -1387,6 +1387,38 @@ def test_market_basket_metrics_are_consistent(spark, sf_dir):
         last = r["lift_ppm"]
 
 
+def test_scaled_ratio_interiors_survive_corpus_scale(spark):
+    """The DECIMAL(38,0)-interior ratio spellings (HITS renorm,
+    market-basket lift, SRM chi2) stay exact at magnitudes where the
+    plain-bigint numerator wraps int64 — Python ints are the
+    arbitrary-precision oracle.  Pin the 100 TB regime: 10¹¹ orders,
+    10⁸ co-occurrences, 10⁹-user arms with a 10⁷ imbalance."""
+    n_ab, n_orders, n_a, n_b = 10**8, 10**11, 10**9, 10**9
+    got = spark.sql(
+        f"SELECT cast(cast({n_ab} as decimal(38,0)) * {n_orders}"
+        f" * 1000000 div (cast({n_a} as decimal(38,0)) * {n_b})"
+        f" as bigint) AS v"
+    ).collect()[0]["v"]
+    assert got == n_ab * n_orders * 1_000_000 // (n_a * n_b)
+    assert n_ab * n_orders * 1_000_000 >= 2**63  # the wrap regime
+
+    diff, exp = 10**7, 10**9
+    got = spark.sql(
+        f"SELECT cast(cast({diff} as decimal(38,0)) * {diff}"
+        f" * 1000000 div {exp} as bigint) AS v"
+    ).collect()[0]["v"]
+    assert got == diff * diff * 1_000_000 // exp
+    assert diff * diff * 1_000_000 >= 2**63
+
+    a_raw, m, scale = 10**17, 3 * 10**17, 1_000_000
+    got = spark.sql(
+        f"SELECT cast(cast({a_raw} as decimal(38,0)) * {scale}"
+        f" div {m} as bigint) AS v"
+    ).collect()[0]["v"]
+    assert got == a_raw * scale // m
+    assert a_raw * scale >= 2**63
+
+
 def test_rfm_segments_cover_all_customers(spark, sf_dir):
     """Scores stay in 1-3, the 27-cell table partitions the customer
     base, and the best segment's average LTV dominates the worst's."""
