@@ -1156,9 +1156,21 @@ def events_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"cast({_pois_w(u)} as bigint)").alias("w"),
         )
         .groupBy("event_type", "b")
-        .agg(F.sum(F.expr("w * q")).alias("num"), F.sum("w").alias("den"))
+        # Σ w·q is a SUM OF VALUES over the corpus (w ≤ 8, q the
+        # ×10⁴-quantized value) — ~8·q̄·n wraps int64 near 10¹¹
+        # rows/type at large value scales, so the sum runs in
+        # DECIMAL(38,0) (the audit rule: ppm/means over value sums
+        # need the wide interior; the mean mb is bounded and lands
+        # back in bigint via div)
+        .agg(
+            F.sum(F.expr("w * cast(q as decimal(38,0))")).alias("num"),
+            F.sum("w").alias("den"),
+        )
         .where(F.col("den") > 0)
-        .select("event_type", F.expr("num div den").alias("mb"))
+        .select(
+            "event_type",
+            F.expr("cast(num div den as bigint)").alias("mb"),
+        )
     )
     boot = cells.groupBy("event_type").agg(
         F.expr("array_sort(collect_list(mb))").alias("arr")
@@ -1203,7 +1215,7 @@ def _poisson_bootstrap_oracle() -> str:
             FROM ev, (SELECT unnest(range(0, {_BOOT_B})) AS b) t
         ),
         cells AS (
-            SELECT event_type, b, sum(w * q)::BIGINT AS num,
+            SELECT event_type, b, sum(w * q::HUGEINT) AS num,
                    sum(w)::BIGINT AS den
             FROM reps GROUP BY 1, 2
         ),

@@ -400,7 +400,14 @@ def ann_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same signal a queryable number on any corpus.
 
     Scale: two scan-side bucket projections, two |buckets|-key
-    map-side-combining counts, constant-row output.
+    map-side-combining counts, constant-row output.  Output-range
+    bound: ``directed_pairs`` = Σc² is emitted as bigint, exact while
+    every bucket holds ≤ ~3·10⁹ vectors (c² ≤ 9.2·10¹⁸); a corpus
+    pathological enough to exceed that in ONE bucket is precisely
+    what this audit exists to flag, and the skew_ppm column (already
+    computed in a DECIMAL(38,0) interior) still reports it correctly
+    — widen directed_pairs to a digit-string transport if the raw
+    count past that bound is ever needed.
     """
     emb = (
         load_table(spark, "embeddings", sf_dir)
@@ -420,16 +427,22 @@ def ann_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("buckets_used"),
             F.sum("c").alias("n_vectors"),
             F.max("c").alias("max_bucket"),
-            F.sum(F.expr("c * c")).alias("directed_pairs"),
+            # the Σc² SUM runs in decimal(38,0) — one ~3·10⁹-row
+            # bucket would wrap an int64 c² term, and skew_ppm
+            # derives from this sum; only the OUTPUT column narrows
+            # to bigint (bound documented above)
+            F.sum(F.expr("cast(c as decimal(38,0)) * c")).alias("dp_wide"),
         ).withColumn(
             # decimal(38,0): pairs·buckets·10⁶ reaches ~10³⁴ at N=10⁶
             "skew_ppm",
             F.expr(
-                "cast(cast(directed_pairs as decimal(38,0)) * n_buckets"
+                "cast(dp_wide * n_buckets"
                 " * 1000000 div (cast(n_vectors as decimal(38,0))"
                 " * n_vectors) as bigint)"
             ),
-        )
+        ).withColumn(
+            "directed_pairs", F.expr("cast(dp_wide as bigint)")
+        ).drop("dp_wide")
         out = row if out is None else out.unionByName(row)
     return out
 
@@ -1722,8 +1735,8 @@ ORACLES = {
                count(*)::BIGINT AS buckets_used,
                sum(c)::BIGINT AS n_vectors,
                max(c)::BIGINT AS max_bucket,
-               sum(c * c)::BIGINT AS directed_pairs,
-               (sum(c * c)::HUGEINT
+               sum(c::HUGEINT * c)::BIGINT AS directed_pairs,
+               (sum(c::HUGEINT * c)
                 * (1::BIGINT << (SELECT nbits FROM p)) * 1000000
                 // (sum(c)::HUGEINT * sum(c)))::BIGINT AS skew_ppm
         FROM counts GROUP BY scheme
