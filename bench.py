@@ -51,9 +51,11 @@ def main() -> None:
     # loop measures plans, not session youth.  Guarded: any warm-up
     # failure is ignored (the timed loop re-reports it properly).
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warmup_sec = 0.0
     if os.path.isdir(warm_dir) and os.path.abspath(
         warm_dir
     ) != os.path.abspath(sf_dir):
+        t0 = time.perf_counter()
         for _name, _fn in entry_mod.queries().items():
             try:
                 _fn(spark, warm_dir).write.format("noop").mode(
@@ -62,6 +64,7 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - warm-up must never sink
                 pass
             gc.collect()
+        warmup_sec = round(time.perf_counter() - t0, 3)
 
     # Deliberately-alternate implementations (kept in queries() for
     # correctness coverage of the extension-point API, not the
@@ -231,6 +234,7 @@ def main() -> None:
         # queries, end) — flat gradient + bounded heap = healthy run
         "warm_ratio_thirds": gradient,
         "jvm_heap_mb": heap_mb,
+        "warmup_sec": warmup_sec,
     }
     line = json.dumps(payload)
     full = dict(payload, queries=timings)
