@@ -1177,7 +1177,12 @@ def events_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = base.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.expr("sum(q) div count(*)").alias("mean_x10000"),
+        # same value-sum class as the replicate numerator (E[w]=1 ⇒
+        # Σq ~ Σw·q): DECIMAL(38,0) interior, bounded mean back in
+        # bigint — DuckDB's sum(q) already accumulates in HUGEINT
+        F.expr(
+            "cast(sum(cast(q as decimal(38,0))) div count(*) as bigint)"
+        ).alias("mean_x10000"),
     )
     return exact.join(boot, "event_type").select(
         "event_type",
