@@ -13,6 +13,7 @@ import gc
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -173,7 +174,8 @@ def main() -> None:
         gc.collect()
         if len(run_order) % 40 == 0:
             heap_mb.append(_jvm_heap_mb())
-    heap_mb.append(_jvm_heap_mb())
+    if len(run_order) % 40 != 0:  # end sample, unless the loop just took one
+        heap_mb.append(_jvm_heap_mb())
 
     # Session-aging gradient, measurable from the artifact alone
     # (VERDICT r9 #1): split the run order into thirds and report the
@@ -182,23 +184,18 @@ def main() -> None:
     # session state rather than plans (plans don't know their run
     # position).  Queries without a prior floor are skipped — the
     # ratio needs a same-sf reference.
-    def _median(xs: list[float]) -> float | None:
-        if not xs:
-            return None
-        s = sorted(xs)
-        n = len(s)
-        mid = n // 2
-        return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
-
     ratios = [
         (i, timings[n] / prior[n])
         for i, n in enumerate(run_order)
         if prior.get(n)
     ]
     third = max(1, len(run_order) // 3)
+    # the LAST bucket absorbs the len % 3 remainder — the run tail is
+    # where aging signal is strongest, so it must not fall off the end
+    bounds = [(0, third), (third, 2 * third), (2 * third, max(3 * third, len(run_order)))]
     gradient = [
-        _median([r for i, r in ratios if lo <= i < lo + third])
-        for lo in (0, third, 2 * third)
+        statistics.median(vals) if (vals := [r for i, r in ratios if lo <= i < hi]) else None
+        for lo, hi in bounds
     ]
     gradient = [round(g, 3) if g is not None else None for g in gradient]
 

@@ -604,8 +604,10 @@ def graph_hits_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[c for c in df.columns if c != col],
             # the renorm NUMERATOR a_raw·SCALE is the overflow point:
             # a_raw ≤ deg_p·basket·SCALE ≈ 10¹⁷ at 10⁹-order part
-            # degrees, so ×10⁶ would wrap int64 silently (non-ANSI)
-            # while the DuckDB oracle's BIGINT multiply errors — run
+            # degrees, so ×10⁶ exceeds int64 — under this engine's
+            # ANSI default the narrow multiply raises
+            # ARITHMETIC_OVERFLOW loudly (and the DuckDB oracle's
+            # BIGINT multiply errors too), killing the query — run
             # the interior in DECIMAL(38,0)/HUGEINT (the skew_x1000 /
             # CH-index discipline); the QUOTIENT is ≤ SCALE by
             # construction (a ≤ m), so the bigint output is exact

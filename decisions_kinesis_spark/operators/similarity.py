@@ -404,10 +404,13 @@ def ann_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound: ``directed_pairs`` = Σc² is emitted as bigint, exact while
     every bucket holds ≤ ~3·10⁹ vectors (c² ≤ 9.2·10¹⁸); a corpus
     pathological enough to exceed that in ONE bucket is precisely
-    what this audit exists to flag, and the skew_ppm column (already
-    computed in a DECIMAL(38,0) interior) still reports it correctly
-    — widen directed_pairs to a digit-string transport if the raw
-    count past that bound is ever needed.
+    what this audit exists to flag, so the narrowing is a TRY_CAST on
+    both engines — past the bound directed_pairs reports NULL (under
+    ANSI a plain cast would RAISE and kill the whole audit) while the
+    skew_ppm column (computed in the DECIMAL(38,0) interior) still
+    reports the collapse exactly.  Widen directed_pairs to a
+    digit-string transport if the raw count past that bound is ever
+    needed.
     """
     emb = (
         load_table(spark, "embeddings", sf_dir)
@@ -441,7 +444,10 @@ def ann_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * n_vectors) as bigint)"
             ),
         ).withColumn(
-            "directed_pairs", F.expr("cast(dp_wide as bigint)")
+            # try_cast: past ~3e9 vectors in one bucket the exact Σc²
+            # exceeds int64 — NULL, not an ANSI CAST_OVERFLOW error,
+            # so the audit still delivers skew_ppm (contract above)
+            "directed_pairs", F.expr("try_cast(dp_wide as bigint)")
         ).drop("dp_wide")
         out = row if out is None else out.unionByName(row)
     return out
@@ -1735,7 +1741,7 @@ ORACLES = {
                count(*)::BIGINT AS buckets_used,
                sum(c)::BIGINT AS n_vectors,
                max(c)::BIGINT AS max_bucket,
-               sum(c::HUGEINT * c)::BIGINT AS directed_pairs,
+               TRY_CAST(sum(c::HUGEINT * c) AS BIGINT) AS directed_pairs,
                (sum(c::HUGEINT * c)
                 * (1::BIGINT << (SELECT nbits FROM p)) * 1000000
                 // (sum(c)::HUGEINT * sum(c)))::BIGINT AS skew_ppm

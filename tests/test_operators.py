@@ -1419,6 +1419,34 @@ def test_scaled_ratio_interiors_survive_corpus_scale(spark):
     assert a_raw * scale >= 2**63
 
 
+def test_bucket_balance_directed_pairs_null_past_int64(spark):
+    """The audit's directed_pairs output narrows via try_cast on BOTH
+    engines: a bucket of ~3.04e9+ vectors pushes the exact Σc² interior
+    past int64, where a plain cast would RAISE under ANSI and kill the
+    whole audit — the contract is NULL for the raw count while skew_ppm
+    (the DECIMAL(38,0) interior) still reports the collapse exactly."""
+    import duckdb
+
+    c = 4 * 10**9  # one pathological bucket
+    assert c * c >= 2**63  # the wrap/overflow regime
+    got = spark.sql(
+        f"SELECT try_cast(cast({c} as decimal(38,0)) * {c} as bigint) AS v"
+    ).collect()[0]["v"]
+    assert got is None
+    dk = duckdb.connect().execute(
+        f"SELECT TRY_CAST({c}::HUGEINT * {c} AS BIGINT)"
+    ).fetchone()[0]
+    assert dk is None
+    # the in-range side stays exact and non-NULL on both engines
+    small = 3 * 10**9
+    assert small * small < 2**63
+    got = spark.sql(
+        f"SELECT try_cast(cast({small} as decimal(38,0)) * {small}"
+        f" as bigint) AS v"
+    ).collect()[0]["v"]
+    assert got == small * small
+
+
 def test_rfm_segments_cover_all_customers(spark, sf_dir):
     """Scores stay in 1-3, the 27-cell table partitions the customer
     base, and the best segment's average LTV dominates the worst's."""
