@@ -1941,6 +1941,66 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LANGUAGE DIVERSITY via the exact-integer Simpson
+    index — the composition-concentration gauge a mixture pipeline
+    reads next to ``mix_domain_weights``: Simpson's λ (probability two
+    docs drawn WITHOUT replacement share a language — the unbiased
+    finite-sample form λ = Σ n_l(n_l−1) / (N(N−1))), its Gini–Simpson
+    complement 1−λ (the "diversity" orientation), and the
+    inverse-Simpson EFFECTIVE language count N(N−1)/Σn_l(n_l−1) (Hill
+    number of order 2 — "this source behaves like q.x equally-likely
+    languages", the number that exposes a nominally-10-language source
+    dominated by one).  Shannon entropy needs ln (the no-libm rule);
+    Simpson is the standard diversity metric that doesn't — every
+    ratio here is a truncating integer div both engines replay.
+
+    Overflow class (NOTES canon): Σn_l(n_l−1) and N(N−1) are
+    PRODUCTS of counts (~N²), so the ppm/×1000 numerators run in
+    DECIMAL(38,0)/HUGEINT interiors; outputs are bounded bigints
+    (λ ≤ 10⁶; effective count ≤ |langs|·1000).  Degenerate contracts:
+    N < 2 has no pair to draw — λ NULL; Σ = 0 (all singletons) has an
+    infinite Hill number — NULL, with gini_simpson_ppm = 10⁶ still
+    reporting perfect diversity.
+
+    Scale: one |source × lang|-cell map-side-combining count, then a
+    |sources|-row reduction — the corpus is scanned once; output is
+    |sources| rows.
+    """
+    cells = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    per = cells.groupBy("source").agg(
+        F.count("*").alias("n_langs"),
+        F.sum("n").alias("n_docs"),
+        # coincidence numerator Σ n(n−1): product of counts → decimal
+        F.sum(F.expr("cast(n as decimal(38,0)) * (n - 1)")).alias("coin"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.expr(
+            "case when n_docs < 2 then null else"
+            " cast(coin * 1000000 div (cast(n_docs as decimal(38,0))"
+            " * (n_docs - 1)) as bigint) end"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "case when n_docs < 2 then null else"
+            " 1000000 - cast(coin * 1000000 div"
+            " (cast(n_docs as decimal(38,0)) * (n_docs - 1)) as bigint)"
+            " end"
+        ).alias("gini_simpson_ppm"),
+        F.expr(
+            "case when coin = 0 then null else"
+            " cast(cast(n_docs as decimal(38,0)) * (n_docs - 1) * 1000"
+            " div coin as bigint) end"
+        ).alias("eff_langs_x1000"),
+    )
+
+
 _PACK_LEN = 256  #: tokens per packed training sequence
 
 
@@ -2047,12 +2107,40 @@ QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "corpus_funnel_report": corpus_funnel_report,
     "corpus_novelty_curve": corpus_novelty_curve,
+    "docs_simpson_diversity": docs_simpson_diversity,
     "train_sequence_packing": train_sequence_packing,
 }
 
 _DUCK_FL4 = "floor(({e}) * 10000 + 0.5) / 10000.0"
 
 ORACLES = {
+    "docs_simpson_diversity": """
+        WITH cells AS (
+            SELECT source, lang, count(*)::BIGINT AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT source,
+                   count(*)::BIGINT AS n_langs,
+                   sum(n)::BIGINT AS n_docs,
+                   sum(n::HUGEINT * (n - 1)) AS coin
+            FROM cells GROUP BY source
+        )
+        SELECT source, n_docs, n_langs,
+               CASE WHEN n_docs < 2 THEN NULL ELSE
+                    (coin * 1000000
+                     // (n_docs::HUGEINT * (n_docs - 1)))::BIGINT
+               END AS simpson_ppm,
+               CASE WHEN n_docs < 2 THEN NULL ELSE
+                    1000000 - (coin * 1000000
+                     // (n_docs::HUGEINT * (n_docs - 1)))::BIGINT
+               END AS gini_simpson_ppm,
+               CASE WHEN coin = 0 THEN NULL ELSE
+                    (n_docs::HUGEINT * (n_docs - 1) * 1000
+                     // coin)::BIGINT
+               END AS eff_langs_x1000
+        FROM per
+    """,
     "quality_gopher_flags": f"""
         WITH words AS (
             SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents

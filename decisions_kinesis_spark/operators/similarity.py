@@ -384,6 +384,67 @@ def ann_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENTERED_TOPK_K = 5  # neighbors returned per query vector
+
+
+def ann_lsh_centered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k ANN over the MEAN-CENTERED integer LSH index — the
+    production posture of the sign-hyperplane family, promoted from
+    the documented upgrade path to a first-class query (the raw-float
+    ``ann_lsh_bucketed``/``ann_lsh_multiprobe`` definitions stay as
+    the family's calibration baseline; ``ann_bucket_balance_audit``
+    measures the cost gap between the two index builds on any corpus).
+
+    Why this is the scale posture: raw sign-LSH collapses a corpus
+    with a dominant mean direction into one giant bucket (measured
+    77% of a shifted corpus → ~10⁹ candidate pairs at the 20× smoke),
+    and its float ``dot > 0`` bits are a cross-engine tie risk near
+    zero.  Centering removes the mean direction, and the exact
+    integer projections make both engines compute IDENTICAL buckets.
+
+    Scale: bucket key is exact-integer scan-side arithmetic; the
+    candidate join is an equi-join on bucket with the plane count
+    DERIVED FROM CORPUS SIZE (clamp(ceil(log2(N/64)), 2, 16)), so
+    expected bucket population stays ~constant as N grows; the
+    per-query top-k is a bounded window over each query's candidate
+    list (broadcast query side, ≤ |queries|·bucket rows expanded).
+    """
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nv", F.expr(_NORM.format(v="v")))
+    )
+    nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))
+    bucketed = _centered_int_buckets(emb, nbits)
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "cos",
+        F.expr(
+            _PAIR_COS.format(dot=_DOT.format(a="v", b="qv"), na="nv", nb="qnv")
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= _CENTERED_TOPK_K)
+        .select(
+            "query_id",
+            "nn_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos",
+        )
+    )
+
+
 def ann_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket-balance DIAGNOSTIC: for the raw float sign-LSH and
     the mean-centered integer LSH (both at the adaptive plane count),
@@ -1172,6 +1233,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_centered_topk": ann_lsh_centered_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
@@ -1712,6 +1774,35 @@ ORACLES = {
         FROM knn e1 JOIN knn e2
           ON e1.a_id = e2.b_id AND e1.b_id = e2.a_id
         WHERE e1.a_id < e1.b_id
+    """,
+    "ann_lsh_centered_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+            SELECT least({_MAX_PLANES}, greatest(2,
+                   ceil(log2(count(*) / {_DEDUP_TARGET_BUCKET}.0))::INT)) AS nbits
+            FROM embeddings
+        ),
+        {_DUCK_CENTERED_CTES},
+        bucketed AS (
+            SELECT vec_id, v,
+                   (({_duck_centered_bucket()})
+                    % (1::BIGINT << (SELECT nbits FROM p)))::BIGINT AS bucket
+            FROM cb
+        ),
+        d AS (
+            SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   round(list_dot_product(a.v, q.v) /
+                         (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+            FROM bucketed a JOIN bucketed q
+              ON a.bucket = q.bucket AND a.vec_id <> q.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        )
+        SELECT query_id, nn_rank, neighbor_id, cos
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS nn_rank
+              FROM d)
+        WHERE nn_rank <= {_CENTERED_TOPK_K}
     """,
     "ann_bucket_balance_audit": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

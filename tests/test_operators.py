@@ -2859,6 +2859,50 @@ def test_mutual_knn_pairs_invariants(spark, sf_dir):
         assert -1.0 <= r["cos"] <= 1.0
 
 
+def test_lsh_centered_topk_invariants(spark, sf_dir):
+    """Centered-integer LSH top-k contract: per query the ranks are
+    contiguous from 1 with non-increasing cosine (ties broken by
+    neighbor id ascending), no self-matches, at most k rows, cosine in
+    [-1, 1], and every returned neighbor genuinely shares the query's
+    centered bucket (recomputed independently)."""
+    from decisions_kinesis_spark.operators.similarity import (
+        _CENTERED_TOPK_K,
+        _adaptive_nbits,
+        _as_double,
+        _centered_int_buckets,
+        ann_lsh_centered_topk,
+    )
+    from decisions_kinesis_spark.sources.tables import load_table, table_count
+
+    rows = ann_lsh_centered_topk(spark, sf_dir).collect()
+    assert rows, "no candidates at this SF"
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        assert -1.0 <= r["cos"] <= 1.0
+        per_q.setdefault(r["query_id"], []).append(r)
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))
+    bucket_of = {
+        r["vec_id"]: r["bucket"]
+        for r in _centered_int_buckets(emb, nbits)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    for qid, rs in per_q.items():
+        rs.sort(key=lambda r: r["nn_rank"])
+        assert len(rs) <= _CENTERED_TOPK_K
+        assert [r["nn_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a["cos"] > b["cos"] or (
+                a["cos"] == b["cos"] and a["neighbor_id"] < b["neighbor_id"]
+            )
+        for r in rs:
+            assert bucket_of[r["neighbor_id"]] == bucket_of[qid]
+
+
 def test_gapfill_interp_hand_fixture_both_engines(spark, tmp_path):
     """Linear interpolation across a real 2-hour gap: interior gap
     ticks get the straight line between surrounding observed buckets
@@ -2924,6 +2968,71 @@ def test_gapfill_interp_hand_fixture_both_engines(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == rows
+
+
+def test_simpson_diversity_hand_fixture_both_engines(spark, tmp_path):
+    """Four sources with textbook diversity shapes: a 2+2 bilingual
+    source (unbiased λ = 4/12 = 1/3; Hill-2 effective count 3.000 —
+    the without-replacement estimator exceeds the plug-in 2.0 at tiny
+    N, documenting the unbiased form), a monolingual source (λ = 1,
+    diversity 0, effective 1.000), an all-singletons source (λ = 0,
+    diversity 10⁶, INFINITE Hill number → NULL), and a single-doc
+    source (no pair to draw → λ/diversity NULL).  Both engines must
+    produce identical integer rows."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.corpus import (
+        ORACLES,
+        docs_simpson_diversity,
+    )
+
+    rows_in = (
+        [("bi", lang) for lang in ("en", "en", "de", "de")]
+        + [("mono", "en")] * 5
+        + [("sing", lang) for lang in ("en", "de", "fr")]
+        + [("one", "en")]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows_in)), pa.int64()),
+            "source": pa.array([s for s, _ in rows_in]),
+            "lang": pa.array([l for _, l in rows_in]),
+            "text": pa.array(["x"] * len(rows_in)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_langs"],
+            r["simpson_ppm"],
+            r["gini_simpson_ppm"],
+            r["eff_langs_x1000"],
+        )
+        for r in docs_simpson_diversity(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "bi": (4, 2, 333333, 666667, 3000),
+        "mono": (5, 1, 1_000_000, 0, 1000),
+        "sing": (3, 3, 0, 1_000_000, None),
+        "one": (1, 1, None, None, None),
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet')"
+    )
+    oracle = {
+        s: (nd, nl, sp, gs, ef)
+        for s, nd, nl, sp, gs, ef in con.execute(
+            ORACLES["docs_simpson_diversity"]
+        ).fetchall()
+    }
+    assert oracle == got
 
 
 def test_kaplan_meier_hand_fixture_both_engines(spark, tmp_path):
