@@ -460,6 +460,18 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COLLOC_MIN_N = 3  # minimum bigram occurrences for a reported pair
 _COLLOC_TOPK = 50
 
+#: directional adjacent-bigram (pair, left, right) extraction over a
+#: ``toks`` column — ONE spelling shared by ``text_collocations`` and
+#: its streaming maintenance proof, so the two cannot silently diverge
+_BIGRAM_STRUCTS = (
+    "transform(sequence(1, size(toks) - 1),"
+    " i -> named_struct("
+    "   'gb', concat(element_at(toks, i), char(31),"
+    "                element_at(toks, i + 1)),"
+    "   'gu', element_at(toks, i),"
+    "   'gv', element_at(toks, i + 1)))"
+)
+
 
 def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLLOCATION extraction (Manning & Schütze ch. 5, the lift/PMI
@@ -476,8 +488,14 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-grain rules.
 
     Overflow: c₁₂·N·10⁶ ≤ N²·10⁶ exceeds bigint at ~3·10⁶ positions —
-    the numerator runs in a DECIMAL(38,0) interior (good to N ≈ 10¹⁶),
-    the bounded ratio leaves as BIGINT.
+    the numerator runs in a DECIMAL(38,0) interior (good to N ≈ 10¹⁶).
+    The QUOTIENT is not bounded either (≈ N·10⁶/min_support for an
+    always-co-occurring floor-support pair — int64 ends at N ≈
+    2.7·10¹³ positions, inside the 100 TB regime), so the lift leaves
+    through the subtract-mod decimal division + try_cast/TRY_CAST:
+    exact BIGINT in range, NULL past the bound, identically on both
+    engines (`div` would coerce to LONG and wrap silently — NOTES
+    canon).
 
     Scale: the ``lm_bigram_score`` topology — one explode to 60-bit
     hashed (pair, left, right) keys, map-side-combining counts, two
@@ -491,16 +509,7 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks") >= 2
     )
     bi = toks.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> named_struct("
-                "   'gb', concat(element_at(toks, i), char(31),"
-                "                element_at(toks, i + 1)),"
-                "   'gu', element_at(toks, i),"
-                "   'gv', element_at(toks, i + 1)))"
-            )
-        ).alias("b")
+        F.explode(F.expr(_BIGRAM_STRUCTS)).alias("b")
     ).select(
         F.expr(_BIGHASH.format(e="b.gb")).alias("gb"),
         F.expr(_BIGHASH.format(e="b.gu")).alias("gu"),
@@ -515,16 +524,26 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(left, "gu")
         .join(right, "gv")
         .join(F.broadcast(total))
+        # the divisor c1·c2 is ~N² too — decimal on BOTH sides of the
+        # division, or the product overflows before it
+        .withColumn(
+            "lnum", F.expr("cast(c12 as decimal(38,0)) * n_pos * 1000000")
+        )
+        .withColumn("lden", F.expr("cast(c1 as decimal(38,0)) * c2"))
         .select(
             F.col("gb").alias("pair_hash"),
             "c12",
             "c1",
             "c2",
-            # the divisor c1·c2 is ~N² too — decimal on BOTH sides of
-            # the div, or the product overflows before the division
+            # the QUOTIENT is unbounded too: a pair at the support
+            # floor that always co-occurs has lift ≈ N·10⁶/min_support,
+            # which exceeds int64 at N ≈ 2.7·10¹³ positions — inside
+            # the 100 TB regime (~25T tokens).  `div` would coerce to
+            # LONG and silently wrap there (measured), so the lift
+            # takes the subtract-mod decimal division + try_cast:
+            # exact in range, NULL past the bound on BOTH engines.
             F.expr(
-                "cast(cast(c12 as decimal(38,0)) * n_pos * 1000000"
-                " div (cast(c1 as decimal(38,0)) * c2) as bigint)"
+                "try_cast((lnum - lnum % lden) / lden as bigint)"
             ).alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), F.asc("pair_hash"))
@@ -1956,12 +1975,17 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio here is a truncating integer div both engines replay.
 
     Overflow class (NOTES canon): Σn_l(n_l−1) and N(N−1) are
-    PRODUCTS of counts (~N²), so the ppm/×1000 numerators run in
-    DECIMAL(38,0)/HUGEINT interiors; outputs are bounded bigints
-    (λ ≤ 10⁶; effective count ≤ |langs|·1000).  Degenerate contracts:
-    N < 2 has no pair to draw — λ NULL; Σ = 0 (all singletons) has an
-    infinite Hill number — NULL, with gini_simpson_ppm = 10⁶ still
-    reporting perfect diversity.
+    PRODUCTS of counts (~N²), so the ×10⁶/×1000 numerators run in
+    DECIMAL(38,0)/HUGEINT interiors.  λ and its complement are
+    division-bounded ratios (≤ 10⁶) — plain bigint outputs.  The
+    effective count is NOT bounded: a near-all-singletons source has
+    coin ≪ N, so N(N−1)·1000/coin grows ~N²·500 (a 1.4·10⁸-doc source
+    with one repeated language already exceeds int64) — it narrows
+    via try_cast/TRY_CAST, NULL past the bound, per the
+    narrowing-cast canon (the ann_bucket_balance_audit discipline).
+    Degenerate contracts: N < 2 has no pair to draw — λ NULL; Σ = 0
+    (all singletons) has an infinite Hill number — NULL, with
+    gini_simpson_ppm = 10⁶ still reporting perfect diversity.
 
     Scale: one |source × lang|-cell map-side-combining count, then a
     |sources|-row reduction — the corpus is scanned once; output is
@@ -1977,6 +2001,9 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_docs"),
         # coincidence numerator Σ n(n−1): product of counts → decimal
         F.sum(F.expr("cast(n as decimal(38,0)) * (n - 1)")).alias("coin"),
+    ).withColumn(
+        # Hill-2 numerator N(N−1)·1000, kept wide for the division below
+        "num", F.expr("cast(n_docs as decimal(38,0)) * (n_docs - 1) * 1000")
     )
     return per.select(
         "source",
@@ -1993,10 +2020,17 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (cast(n_docs as decimal(38,0)) * (n_docs - 1)) as bigint)"
             " end"
         ).alias("gini_simpson_ppm"),
+        # NOT `div`: Spark's IntegralDivide coerces decimal to LONG and
+        # silently WRAPS past int64 (measured, even under ANSI), so a
+        # try_cast around it never sees the wide value.  The
+        # subtract-mod decimal division keeps the exact quotient wide
+        # (integer-valued, so the scale round is exact), and try_cast
+        # delivers the NULL-past-bound contract; truncation direction
+        # matches DuckDB's HUGEINT `//` (both toward zero — operands
+        # non-negative here).
         F.expr(
             "case when coin = 0 then null else"
-            " cast(cast(n_docs as decimal(38,0)) * (n_docs - 1) * 1000"
-            " div coin as bigint) end"
+            " try_cast((num - num % coin) / coin as bigint) end"
         ).alias("eff_langs_x1000"),
     )
 
@@ -2136,8 +2170,8 @@ ORACLES = {
                      // (n_docs::HUGEINT * (n_docs - 1)))::BIGINT
                END AS gini_simpson_ppm,
                CASE WHEN coin = 0 THEN NULL ELSE
-                    (n_docs::HUGEINT * (n_docs - 1) * 1000
-                     // coin)::BIGINT
+                    TRY_CAST(n_docs::HUGEINT * (n_docs - 1) * 1000
+                     // coin AS BIGINT)
                END AS eff_langs_x1000
         FROM per
     """,
@@ -2336,8 +2370,8 @@ ORACLES = {
         rgt AS (SELECT gv, sum(c12)::BIGINT AS c2 FROM cnt GROUP BY gv),
         tot AS (SELECT sum(c12)::BIGINT AS n_pos FROM cnt)
         SELECT gb AS pair_hash, c12, c1, c2,
-               (c12::HUGEINT * n_pos * 1000000
-                // (c1::HUGEINT * c2))::BIGINT AS lift_ppm
+               TRY_CAST(c12::HUGEINT * n_pos * 1000000
+                // (c1::HUGEINT * c2) AS BIGINT) AS lift_ppm
         FROM cnt
         JOIN lft USING (gu) JOIN rgt USING (gv), tot
         WHERE c12 >= {_COLLOC_MIN_N}

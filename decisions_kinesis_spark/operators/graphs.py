@@ -284,8 +284,14 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_ab * 1000000) div n_a").alias("conf_a_to_b_ppm"),
             # lift numerator n_ab·N·10⁶ (~10²⁵ at 10¹¹ orders) AND
             # denominator n_a·n_b (~10²²) both wrap int64 at scale —
-            # DECIMAL(38,0)/HUGEINT interior (the HITS-renorm class);
-            # the quotient is ≤ N·10⁶ (~10¹⁷), exact back in bigint
+            # DECIMAL(38,0)/HUGEINT interior (the HITS-renorm class).
+            # QUOTIENT bound (the silent-wrap guard — `div` coerces
+            # to LONG and wraps past int64 with no error, NOTES
+            # canon): lift ≤ N·10⁶/n_b ≤ N·10⁶/2 with the support
+            # floor, exact in bigint to N ≈ 1.8·10¹³ orders — two
+            # orders of magnitude past the 10¹¹-order 100 TB regime;
+            # switch to the subtract-mod try_cast spelling
+            # (text_collocations) if order counts ever approach that
             F.expr(
                 f"cast(cast(n_ab as decimal(38,0)) * {n_orders}"
                 f" * 1000000 div (cast(n_a as decimal(38,0)) * n_b)"

@@ -3021,6 +3021,35 @@ def test_simpson_diversity_hand_fixture_both_engines(spark, tmp_path):
         "one": (1, 1, None, None, None),
     }
 
+    # eff_langs_x1000 is NOT ratio-bounded (divisor coin can be ≪ the
+    # N(N−1)·1000 numerator): past int64 both engines must yield NULL
+    # via try_cast, not an error — the wrap regime is a
+    # near-all-singletons source with one repeated language
+    n, coin = 140_000_000, 2
+    true_q = n * (n - 1) * 1000 // coin
+    assert true_q >= 2**63
+    # the naive `div` spelling is NOT usable here: Spark's
+    # IntegralDivide coerces the decimal to LONG and silently WRAPS
+    # past int64 even under ANSI — pin the hazard so the operator's
+    # subtract-mod spelling can't regress back to it
+    wrapped = spark.sql(
+        f"SELECT cast({n} as decimal(38,0)) * ({n} - 1) * 1000"
+        f" div {coin} AS v"
+    ).collect()[0]["v"]
+    assert wrapped != true_q  # silent wrap, no error
+    # the operator's spelling: exact wide quotient, NULL past int64
+    got_eff = spark.sql(
+        f"SELECT try_cast((num - num % {coin}) / {coin} as bigint) AS v"
+        f" FROM (SELECT cast({n} as decimal(38,0)) * ({n} - 1) * 1000"
+        f" AS num)"
+    ).collect()[0]["v"]
+    assert got_eff is None
+    dk_eff = duckdb.connect().execute(
+        f"SELECT TRY_CAST({n}::HUGEINT * ({n} - 1) * 1000"
+        f" // {coin} AS BIGINT)"
+    ).fetchone()[0]
+    assert dk_eff is None
+
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM read_parquet("

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from _helpers import stage_file as _stage_file
 from decisions_kinesis_spark.operators.corpus import (
+    _BIGRAM_STRUCTS,
     _COLLOC_MIN_N,
     _COLLOC_TOPK,
     text_collocations,
@@ -60,18 +61,7 @@ def test_streaming_collocations_match_batch(spark, tmp_path):
         part = (
             batch_df.select(F.expr(_TOKS).alias("toks"))
             .filter(F.size("toks") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(toks) - 1),"
-                        " i -> named_struct("
-                        "   'gb', concat(element_at(toks, i), char(31),"
-                        "                element_at(toks, i + 1)),"
-                        "   'gu', element_at(toks, i),"
-                        "   'gv', element_at(toks, i + 1)))"
-                    )
-                ).alias("b")
-            )
+            .select(F.explode(F.expr(_BIGRAM_STRUCTS)).alias("b"))
             .select(
                 F.expr(_BIGHASH.format(e="b.gb")).alias("gb"),
                 F.expr(_BIGHASH.format(e="b.gu")).alias("gu"),
@@ -109,6 +99,10 @@ def test_streaming_collocations_match_batch(spark, tmp_path):
         for (gb, gu, gv), c in c12.items()
         if c >= _COLLOC_MIN_N
     ]
+    # the operator's lift contract is NULL past int64 (try_cast); the
+    # regime needs ~2.7e13 positions, unreachable at this SF — assert
+    # that so the ordered compare below stays well-defined
+    assert all(r[4] < 2**63 for r in scored)
     scored.sort(key=lambda r: (-r[4], r[0]))
     got = scored[:_COLLOC_TOPK]
 
