@@ -212,6 +212,20 @@ def main() -> None:
         "text_token_stats",
         "pipeline_clean_corpus",
     )
+    # BOX-NOISE GUARD: a real plan regression is per-query; a slow BOX
+    # inflates the whole run.  When a large fraction of floored queries
+    # breach simultaneously (measured: a contended session reset 32
+    # floors at once, incl. a 6.5x on an unchanged plan — erasing the
+    # history the stall detection depends on), this run's evidence is
+    # environmental: suppress ALL floor resets (mins still update —
+    # a min is valid evidence on any box) and say so in the artifact.
+    breached = [
+        n for n, b in timings.items()
+        if prior.get(n) and b > 2.0 * prior[n] and b > 0.3
+    ]
+    n_floored = sum(1 for n in timings if prior.get(n))
+    noisy_box = n_floored >= 20 and len(breached) > 0.05 * n_floored
+
     # metric label says what the protocol IS: best pass per query
     # (2 passes always; up to 3 more only when a stall is detected by
     # pass-disagreement or the historical floor) — calling it
@@ -232,6 +246,11 @@ def main() -> None:
         "warm_ratio_thirds": gradient,
         "jvm_heap_mb": heap_mb,
         "warmup_sec": warmup_sec,
+        # >5% of floored queries breaching together = environmental
+        # (a real code regression touches ~1-5 queries; the measured
+        # contended run breached 21/244 post-reprobe);
+        # this run's breaches did NOT reset floors (see floor update)
+        "box_noise_floor_resets_suppressed": noisy_box,
     }
     line = json.dumps(payload)
     full = dict(payload, queries=timings)
@@ -255,6 +274,7 @@ def main() -> None:
     # THIS run keeps its prior floor (a transient OOM must not erase the
     # history the next run's stall detection needs); only queries gone
     # from the registry are pruned.
+    #
     registered = set(entry_mod.queries())
     new_floor = {
         n: f0 for n, f0 in prior.items()
@@ -262,7 +282,7 @@ def main() -> None:
     }
     for name, best in timings.items():
         f0 = prior.get(name)
-        if f0 and best > 2.0 * f0 and best > 0.3:
+        if f0 and best > 2.0 * f0 and best > 0.3 and not noisy_box:
             new_floor[name] = best  # persistent regression: reset floor
         else:
             new_floor[name] = min(f0, best) if f0 else best
