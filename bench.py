@@ -114,11 +114,32 @@ def main() -> None:
         rt = spark._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
         return int((rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
 
+    def _mem_bw_gbps() -> float:
+        """Single-stream memory-copy bandwidth, GB/s — the box-health
+        gauge that attributes a slow run.  A host-level bandwidth
+        squeeze (hypervisor neighbor) inflates shuffle-bound queries
+        ~2x while leaving CPU-bound work, tiny cache-resident probes,
+        load average, and /proc CPU-steal all looking healthy — it was
+        measured at 0.2 GB/s (vs ~10+ healthy) during exactly such an
+        episode.  One 100 MB copy keeps the probe under ~1 s even on a
+        starved box."""
+        import array
+
+        buf = array.array("d", bytes(100 * 1024 * 1024))
+        t0 = time.perf_counter()
+        # tobytes copies once (read+write), the array constructor
+        # copies again — 4 × 100 MB crosses the memory bus
+        buf2 = array.array("d", buf.tobytes())
+        dt = time.perf_counter() - t0
+        del buf2
+        return round(4 * 100 * 1024 * 1024 / dt / 1e9, 2)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     reprobed: dict[str, float] = {}
     heap_mb: list[int] = [_jvm_heap_mb()]
+    mem_bw: list[float] = [_mem_bw_gbps()]
     run_order: list[str] = []
     for name, fn in entry_mod.queries().items():
         if name in alternates:
@@ -176,6 +197,7 @@ def main() -> None:
             heap_mb.append(_jvm_heap_mb())
     if len(run_order) % 40 != 0:  # end sample, unless the loop just took one
         heap_mb.append(_jvm_heap_mb())
+    mem_bw.append(_mem_bw_gbps())
 
     # Session-aging gradient, measurable from the artifact alone
     # (VERDICT r9 #1): split the run order into thirds and report the
@@ -251,6 +273,10 @@ def main() -> None:
         # contended run breached 21/244 post-reprobe);
         # this run's breaches did NOT reset floors (see floor update)
         "box_noise_floor_resets_suppressed": noisy_box,
+        # box-health gauge: single-stream copy bandwidth at run start
+        # and end (healthy ~10+; a hypervisor bandwidth squeeze reads
+        # ~0.2-1 and explains a uniformly slow run by itself)
+        "mem_bw_gbps": mem_bw,
     }
     line = json.dumps(payload)
     full = dict(payload, queries=timings)
