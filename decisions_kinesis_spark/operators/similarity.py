@@ -1157,12 +1157,12 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each method frame reduces to per-method scalar counts via
     equi-joins on (query_id, neighbor_id) + global aggregates; the
-    expensive inputs (ground truth + 7 method pipelines) come through
+    expensive inputs (ground truth + 8 method pipelines) come through
     the session ``stage_cache`` (localCheckpoint'd on first use), so
     repeated constructions — and the funnel-style composition with the
     standalone queries in one report session — pay each pipeline once
     (cache misses run those jobs at construction time).  The oracle
-    composes the eight method/truth oracles as CTEs: one source of
+    composes the nine method/truth oracles as CTEs: one source of
     truth per index definition.
 
     Empirical note (sf0.1, uniform-random embeddings): the capped-64
@@ -1200,6 +1200,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_refined", top_k(ann_ivf_refined)),
         ("ivf_pq", top_k(ann_ivf_pq)),
         ("ivf_capped", top_k(ann_ivf_capped_topk)),
+        ("lsh_centered", top_k(ann_lsh_centered_topk)),
     )
     n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
     out = None
@@ -1972,6 +1973,11 @@ _RECALL_METHODS = (
     # the fixed-64-centroid production posture: bigger cells trade
     # per-query probe cost for recall — this row quantifies the trade
     ("ivf_capped", "ann_ivf_capped_topk", "topk"),
+    # the centered-integer sign-LSH production posture (r10): its
+    # recall beside the raw-float LSH rows quantifies what centering
+    # buys on a given corpus (on a MEAN-SHIFTED one, everything —
+    # raw sign-LSH collapses into one bucket)
+    ("lsh_centered", "ann_lsh_centered_topk", "topk"),
 )
 
 def _recall_oracle() -> str:
