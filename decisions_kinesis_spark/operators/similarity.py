@@ -1170,7 +1170,11 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     though its cells are 3× larger — on an ANN-hostile isotropic
     corpus directional cells are weak predictors of top-k membership
     and the 10-query sample is small; the row exists so a REAL corpus
-    measures its own trade instead of inheriting this one.
+    measures its own trade instead of inheriting this one.  Same
+    caveat for ``lsh_centered`` (12% recall@5 here): on an isotropic
+    fixture centering buys nothing BY CONSTRUCTION (the mean is ~0
+    already) — its value shows on mean-shifted corpora, where the
+    raw rows collapse (see ``ann_bucket_balance_audit``).
     """
     from decisions_kinesis_spark.operators import stage_cache
 
