@@ -121,18 +121,23 @@ def main() -> None:
         ~2x while leaving CPU-bound work, tiny cache-resident probes,
         load average, and /proc CPU-steal all looking healthy — it was
         measured at 0.2 GB/s (vs ~10+ healthy) during exactly such an
-        episode.  One 100 MB copy keeps the probe under ~1 s even on a
-        starved box."""
+        episode.  Buffer sizing (ADVICE r10 asked for a smaller probe;
+        measured on this box): the working set must EXCEED L3 (105 MiB
+        here) or the probe reads cache bandwidth — a 25 MB buffer's
+        ~75 MB set went cache-resident and read 10.6 GB/s on a box
+        simultaneously measuring 1.9 at 64 MB.  64 MB → ~192 MB
+        streamed set, 256 MB timed traffic: ~1.3 s even at 0.2 GB/s
+        (vs ~2 s for the old 400 MB), stable ±10% across passes."""
         import array
 
-        buf = array.array("d", bytes(100 * 1024 * 1024))
+        buf = array.array("d", bytes(64 * 1024 * 1024))
         t0 = time.perf_counter()
         # tobytes copies once (read+write), the array constructor
-        # copies again — 4 × 100 MB crosses the memory bus
+        # copies again — 4 × 64 MB crosses the memory bus
         buf2 = array.array("d", buf.tobytes())
         dt = time.perf_counter() - t0
         del buf2
-        return round(4 * 100 * 1024 * 1024 / dt / 1e9, 2)
+        return round(4 * 64 * 1024 * 1024 / dt / 1e9, 2)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -140,6 +145,39 @@ def main() -> None:
     reprobed: dict[str, float] = {}
     heap_mb: list[int] = [_jvm_heap_mb()]
     mem_bw: list[float] = [_mem_bw_gbps()]
+    if mem_bw[0] < 8.0:
+        # pre-flight gauge (VERDICT r10 #1): a starved box produces a
+        # uniformly-inflated artifact that must not become the round's
+        # certifying number — say so up front so the operator can
+        # retry later instead of shipping this run.
+        print(
+            f"bench WARNING: memory bandwidth {mem_bw[0]} GB/s < 8"
+            " (healthy ~10+) — this run will be box-inflated;"
+            " prefer re-running when the box is quiet",
+            file=sys.stderr,
+        )
+
+    def _clear_memos() -> None:
+        """Memo hygiene before EVERY timed pass (VERDICT r10 #2):
+        floors must measure OPERATORS, not memos.  Without this, the
+        warm pass of any stage_cache/_KM_LOOP_CACHE consumer is a
+        cache read (measured: kmeans trio floors 0.06-0.17 s vs ~1-3 s
+        standalone), and a regression in the memoized loop would hide
+        behind whichever query runs first."""
+        from decisions_kinesis_spark.operators import stage_cache
+        from decisions_kinesis_spark.operators.clustering import (
+            _KM_LOOP_CACHE,
+        )
+
+        stage_cache.clear()
+        _KM_LOOP_CACHE.clear()
+
+    def _one_pass(fn) -> float:
+        _clear_memos()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     run_order: list[str] = []
     for name, fn in entry_mod.queries().items():
         if name in alternates:
@@ -149,12 +187,8 @@ def main() -> None:
         # both are reported.  One failing query must not sink the whole
         # bench: record the error and keep walking.
         try:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            cold[name] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            warm = round(time.perf_counter() - t0, 3)
+            cold[name] = _one_pass(fn)
+            warm = _one_pass(fn)
         except Exception as exc:  # noqa: BLE001 - report, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"bench error in {name}: {errors[name]}", file=sys.stderr)
@@ -169,19 +203,14 @@ def main() -> None:
         # re-probed to their historical tier) — take a third pass and
         # keep the best so the artifact records the query, not the box
         if max(cold[name], warm) > 2.0 * best:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, round(time.perf_counter() - t0, 3))
+            best = min(best, _one_pass(fn))
         # historical-floor breach: both passes stalled together — up to
         # two more passes; skip sub-0.3s queries where 2.0x is noise
         floor = prior.get(name)
         if floor and best > 2.0 * floor and best > 0.3:
             reprobed[name] = best
             for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite").save()
-                best = min(best, round(time.perf_counter() - t0, 3))
+                best = min(best, _one_pass(fn))
                 if best <= 2.0 * floor:
                     break
         timings[name] = best
@@ -246,7 +275,17 @@ def main() -> None:
         if prior.get(n) and b > 2.0 * prior[n] and b > 0.3
     ]
     n_floored = sum(1 for n in timings if prior.get(n))
-    noisy_box = n_floored >= 20 and len(breached) > 0.05 * n_floored
+    # The broad-breach heuristic alone would classify a genuinely broad
+    # code regression (a shared helper slowing 13+ queries) as
+    # environmental forever (ADVICE r10): require the independently-
+    # measured bandwidth gauge to CORROBORATE before suppressing floor
+    # resets.  min() over start+end samples: a squeeze present at
+    # either edge of a 200+-query run inflated part of it.
+    noisy_box = (
+        n_floored >= 20
+        and len(breached) > 0.05 * n_floored
+        and min(mem_bw) < 8.0
+    )
 
     # metric label says what the protocol IS: best pass per query
     # (2 passes always; up to 3 more only when a stall is detected by
@@ -293,6 +332,11 @@ def main() -> None:
         # transparency: queries whose first best-of-2 breached 2.0x the
         # prior-run floor, with the pre-re-probe number for the record
         full["floor_reprobed_first_best"] = reprobed
+    if breached:
+        # the post-all-probes breach list BY NAME (ADVICE r10): a
+        # persistent cluster of the same names across rounds is a code
+        # regression even when each individual run read as noisy
+        full["floor_breached_final"] = sorted(breached)
     # Update the rolling floor: min(prior, this run) per query.  A query
     # that STILL breaches 2.0x after all probes is a real regression —
     # accept its new time as the floor so later runs measure against the

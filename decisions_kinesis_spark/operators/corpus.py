@@ -495,7 +495,11 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the subtract-mod decimal division + try_cast/TRY_CAST:
     exact BIGINT in range, NULL past the bound, identically on both
     engines (`div` would coerce to LONG and wrap silently — NOTES
-    canon).
+    canon).  NULL-past-bound itself holds up to quotients of ~10³²
+    (the decimal(38,6) division result's ceiling — past it Spark's
+    ANSI decimal divide raises where DuckDB TRY_CASTs to NULL); see
+    ``docs_simpson_diversity`` for the full statement of this
+    residual, ~3 orders of magnitude past the 100 TB regime.
 
     Scale: the ``lm_bigram_score`` topology — one explode to 60-bit
     hashed (pair, left, right) keys, map-side-combining counts, two
@@ -1983,6 +1987,14 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one repeated language already exceeds int64) — it narrows
     via try_cast/TRY_CAST, NULL past the bound, per the
     narrowing-cast canon (the ann_bucket_balance_audit discipline).
+    The NULL-past-bound guarantee itself has a ceiling (ADVICE r10):
+    the subtract-mod division's `(num - num % coin) / coin` result is
+    decimal(38,6), so once the quotient exceeds ~10³² Spark's
+    ANSI-mode decimal divide RAISES where DuckDB's TRY_CAST yields
+    NULL — ~3 orders of magnitude past the 100 TB regime (a 10¹⁶-doc
+    single-repeat source), documented here so the contract isn't read
+    as unconditional.  The same ceiling applies to the
+    ``text_collocations`` lift, which shares this division shape.
     Degenerate contracts: N < 2 has no pair to draw — λ NULL; Σ = 0
     (all singletons) has an infinite Hill number — NULL, with
     gini_simpson_ppm = 10⁶ still reporting perfect diversity.
