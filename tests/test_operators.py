@@ -2903,6 +2903,73 @@ def test_lsh_centered_topk_invariants(spark, sf_dir):
             assert bucket_of[r["neighbor_id"]] == bucket_of[qid]
 
 
+def test_ann_recall_mean_shifted_contract(spark, sf_dir):
+    """Mean-shifted recall calibration (VERDICT r10 #3): two rows with
+    exact count algebra, and the promotion claim itself — on a corpus
+    with a dominant mean direction the centered index beats the
+    budget-matched raw index on hits, uses every bucket where the raw
+    index collapses into a few, and generates fewer unbudgeted
+    candidates (the cost the collapse would charge an unbounded
+    scorer)."""
+    from decisions_kinesis_spark.operators.similarity import (
+        _RECALL_SCALE,
+        ann_recall_mean_shifted,
+    )
+
+    rows = {
+        r["method"]: r
+        for r in ann_recall_mean_shifted(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"raw_float_budgeted", "centered_int"}
+    raw, cen = rows["raw_float_budgeted"], rows["centered_int"]
+    assert raw["n_truth"] == cen["n_truth"] > 0
+    for r in rows.values():
+        assert 0 <= r["n_hits"] <= r["n_pred"] <= r["n_truth"]
+        assert r["recall_scaled"] == r["n_hits"] * _RECALL_SCALE // r["n_truth"]
+        assert r["buckets_used"] >= 1
+        assert r["cand_unbudgeted"] >= r["n_pred"]
+    # the collapse observables and the budget-matched recall win
+    assert cen["buckets_used"] > raw["buckets_used"]
+    assert cen["cand_unbudgeted"] < raw["cand_unbudgeted"]
+    assert cen["n_hits"] > raw["n_hits"]
+
+
+def test_ann_recall_degenerate_corpora_defined(spark, tmp_path):
+    """Empty and single-vector corpora: both recall calibrations must
+    deliver rows with NULL recall (no truth to grade against), not a
+    divide-by-zero — the contract the ANSI `div` would otherwise
+    break."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from decisions_kinesis_spark.operators.similarity import (
+        ann_recall_at_k,
+        ann_recall_mean_shifted,
+    )
+
+    for sub, ids in (("empty", []), ("one", [0])):
+        d = tmp_path / sub
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[0.01 * k for k in range(64)]] * len(ids),
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, str(d / "embeddings.parquet"))
+        shifted = ann_recall_mean_shifted(spark, str(d)).collect()
+        assert len(shifted) == 2
+        assert all(
+            r["n_truth"] == 0 and r["recall_scaled"] is None for r in shifted
+        )
+        atk = ann_recall_at_k(spark, str(d)).collect()
+        assert atk and all(r["recall_scaled"] is None for r in atk)
+
+
 def test_gapfill_interp_hand_fixture_both_engines(spark, tmp_path):
     """Linear interpolation across a real 2-hour gap: interior gap
     ticks get the straight line between surrounding observed buckets
