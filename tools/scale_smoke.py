@@ -160,12 +160,15 @@ def build_replica(spark, k: int) -> str:
 
 def run(spark, queries, name: str, sf_dir: str) -> float:
     # the kmeans family memoizes its Lloyd loop per (session, sf_dir)
-    # — correct for a sweep, but THIS tool times the loop itself, so
-    # drop the memo before every pass (otherwise the second pass and
-    # every sibling op time only the post-loop stage)
-    from decisions_kinesis_spark.operators import clustering
+    # and composition queries memoize stage frames — correct for a
+    # sweep, but THIS tool times the operators themselves, so drop
+    # both memos before every pass (otherwise the second pass and
+    # every sibling op time only the post-memo stage; same rule as
+    # bench.py's _clear_memos)
+    from decisions_kinesis_spark.operators import clustering, stage_cache
 
     clustering._KM_LOOP_CACHE.clear()
+    stage_cache.clear()
     t0 = time.perf_counter()
     queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
