@@ -145,17 +145,43 @@ def main() -> None:
     reprobed: dict[str, float] = {}
     heap_mb: list[int] = [_jvm_heap_mb()]
     mem_bw: list[float] = [_mem_bw_gbps()]
+    bw_waited_sec = 0
     if mem_bw[0] < 8.0:
         # pre-flight gauge (VERDICT r10 #1): a starved box produces a
         # uniformly-inflated artifact that must not become the round's
-        # certifying number — say so up front so the operator can
-        # retry later instead of shipping this run.
+        # certifying number — say so up front, then wait a BOUNDED
+        # window for the squeeze to lift (re-probe every 2 min up to
+        # $SPARK_GRAFT_BW_WAIT_SEC, default 6 min; 0 disables).  The
+        # hypervisor squeezes observed in r10/r11 persist for hours,
+        # so this is a cheap shot at a quiet window, not a guarantee —
+        # a run that proceeds starved still self-diagnoses via the
+        # gauge + suppression fields below.
         print(
             f"bench WARNING: memory bandwidth {mem_bw[0]} GB/s < 8"
             " (healthy ~10+) — this run will be box-inflated;"
             " prefer re-running when the box is quiet",
             file=sys.stderr,
         )
+        wait_budget = int(os.environ.get("SPARK_GRAFT_BW_WAIT_SEC", "360"))
+        while bw_waited_sec < wait_budget:
+            time.sleep(120)
+            bw_waited_sec += 120
+            bw = _mem_bw_gbps()
+            mem_bw.append(bw)
+            if bw >= 8.0:
+                print(
+                    f"bench: bandwidth recovered to {bw} GB/s after"
+                    f" {bw_waited_sec}s — proceeding",
+                    file=sys.stderr,
+                )
+                break
+        else:
+            if wait_budget:
+                print(
+                    f"bench: still starved after {bw_waited_sec}s"
+                    f" (last {mem_bw[-1]} GB/s) — proceeding anyway",
+                    file=sys.stderr,
+                )
 
     def _clear_memos() -> None:
         """Memo hygiene before EVERY timed pass (VERDICT r10 #2):
@@ -313,9 +339,13 @@ def main() -> None:
         # this run's breaches did NOT reset floors (see floor update)
         "box_noise_floor_resets_suppressed": noisy_box,
         # box-health gauge: single-stream copy bandwidth at run start
-        # and end (healthy ~10+; a hypervisor bandwidth squeeze reads
-        # ~0.2-1 and explains a uniformly slow run by itself)
+        # (plus any wait-for-quiet re-probes) and end (healthy ~10+;
+        # a hypervisor bandwidth squeeze reads ~0.2-1 and explains a
+        # uniformly slow run by itself)
         "mem_bw_gbps": mem_bw,
+        # seconds spent waiting for the squeeze to lift before the
+        # timed loop (0 = box was healthy at pre-flight)
+        "bw_wait_sec": bw_waited_sec,
     }
     line = json.dumps(payload)
     full = dict(payload, queries=timings)
