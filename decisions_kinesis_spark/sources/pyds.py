@@ -694,5 +694,12 @@ class KinesisEnvelopeDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of ``format("dks_kinesis")``."""
+    """Idempotent registration of ``format("dks_kinesis")`` — truly
+    once per SparkSession.  Re-registering on every query call is
+    accepted by Spark but logs a ``DataSourceManager: The data source
+    dks_kinesis replaced...`` WARN each time, which dominated the
+    post-WindowExec-fix bench log tail (VERDICT r11 hygiene nit)."""
+    if getattr(spark, "_dks_kinesis_registered", False):
+        return
     spark.dataSource.register(KinesisEnvelopeDataSource)
+    spark._dks_kinesis_registered = True  # noqa: SLF001

@@ -52,6 +52,10 @@ def main() -> int:
     fixture = build_fixture(src, rows)
 
     import __spark_entry__ as entry
+    # bench/oracle/smoke entry points opt into the WindowExec WARN
+    # silence (ADVICE r11 #3): sweeps over 240+ queries drown the log
+    # tail; interactive sessions keep the warning.
+    os.environ.setdefault("SPARK_GRAFT_QUIET_WINDOWEXEC", "1")
     from decisions_kinesis_spark.session import get_session
 
     spark = get_session(app_name="degenerate-sweep")

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import gc
 import math
+import os
 import re
 import sys
 from collections import Counter
@@ -356,6 +357,9 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entry_mod
+    # sweep entry points opt into the WindowExec WARN silence
+    # (ADVICE r11 #3); interactive sessions keep the warning.
+    os.environ.setdefault("SPARK_GRAFT_QUIET_WINDOWEXEC", "1")
     from decisions_kinesis_spark.session import get_session
 
     spark = get_session(app_name="oracle-check")

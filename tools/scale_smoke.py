@@ -179,6 +179,9 @@ def main() -> None:
     ops = tuple(sys.argv[2:]) or DEFAULT_OPS
 
     import __spark_entry__ as entry_mod
+    # sweep entry points opt into the WindowExec WARN silence
+    # (ADVICE r11 #3); interactive sessions keep the warning.
+    os.environ.setdefault("SPARK_GRAFT_QUIET_WINDOWEXEC", "1")
     from decisions_kinesis_spark.session import get_session
 
     spark = get_session(app_name="dks-scale-smoke")
