@@ -28,7 +28,23 @@ from pyspark.sql import types as T
 from decisions_kinesis_spark.sources.tables import load_table
 
 
+def _register_udtf_once(spark, name: str, cls) -> None:
+    """Register a UDTF once per SparkSession: re-registering on every
+    query call works but logs a ``SimpleTableFunctionRegistry: The
+    function ... replaced a previously registered function`` WARN per
+    call — the next-noisiest log line after the r11/r12 DataSource and
+    WindowExec hygiene fixes."""
+    seen = getattr(spark, "_dks_udtfs_registered", None)
+    if seen is None:
+        seen = set()
+        spark._dks_udtfs_registered = seen  # noqa: SLF001
+    if name not in seen:
+        spark.udtf.register(name, cls)
+        seen.add(name)
+
+
 @F.pandas_udf(T.DoubleType())
+
 def log_engagement(value: pd.Series) -> pd.Series:
     """Vectorized scoring: 2·ln(1+value) over Arrow batches."""
     import numpy as np
@@ -194,7 +210,7 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     docs.createOrReplaceTempView("_udtf_chunk_docs")
-    spark.udtf.register("dks_chunk_udtf", _ChunkUdtf)
+    _register_udtf_once(spark, "dks_chunk_udtf", _ChunkUdtf)
     return spark.sql(
         """
         SELECT d.doc_id, c.chunk_id, c.n_tokens, c.first_tok, c.last_tok
@@ -341,7 +357,7 @@ def udtf_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ev.createOrReplaceTempView("_udtf_win_events")
-    spark.udtf.register("dks_window_stats_udtf", _WindowStatsUdtf)
+    _register_udtf_once(spark, "dks_window_stats_udtf", _WindowStatsUdtf)
     return spark.sql(
         """
         SELECT * FROM dks_window_stats_udtf(
@@ -374,7 +390,7 @@ def udtf_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts")
     )
     ev.createOrReplaceTempView("_udtf_sess_events")
-    spark.udtf.register("dks_sessionize_udtf", _SessionizeUdtf)
+    _register_udtf_once(spark, "dks_sessionize_udtf", _SessionizeUdtf)
     return spark.sql(
         """
         SELECT * FROM dks_sessionize_udtf(
