@@ -369,8 +369,9 @@ def main() -> None:
     # resets (VERDICT r11 #1: stream-copy over pre-faulted buffers is
     # the resource that predicts totals; the fault gauge ships
     # alongside but never gates).  min() over start + every-40-queries
-    # + end samples: a squeeze present anywhere in a 200+-query run
-    # inflated part of it.
+    # + per-breach + end samples: a squeeze present anywhere in a
+    # 200+-query run inflated part of it, and breaches are sampled at
+    # the moment they happen.
     noisy_box = (
         n_floored >= 20
         and len(breached) > 0.05 * n_floored
@@ -411,7 +412,8 @@ def main() -> None:
             else None
         ),
         # box-health gauges, sampled at run start (plus any
-        # wait-for-quiet re-probes), every 40 queries, and run end.
+        # wait-for-quiet re-probes), every 40 queries, at each
+        # post-reprobe floor breach (stream only), and at run end.
         # stream: memcpy over pre-faulted reused buffers — the
         # resource that predicts totals (healthy ~10+); ALL gating
         # (pre-flight wait, reprobe skip, suppression) keys on it.
