@@ -176,6 +176,10 @@ def main() -> None:
     heap_mb: list[int] = [_jvm_heap_mb()]
     stream_bw: list[float] = [_stream_bw_gbps()]
     fault_bw: list[float] = [_fault_bw_gbps()]
+    # per-breach stream samples live in their OWN list (ADVICE r12):
+    # appending them to stream_bw broke the start/every-40/end index
+    # alignment with fault_bw that artifact readers pair positionally
+    stream_bw_breach: list[float] = []
     bw_waited_sec = 0
     if stream_bw[0] < 8.0:
         # pre-flight gauge (VERDICT r10 #1): a starved box produces a
@@ -218,6 +222,16 @@ def main() -> None:
                     " anyway",
                     file=sys.stderr,
                 )
+    # everything sampled so far is PRE-FLIGHT (initial + wait-loop
+    # probes).  The suppression gauge below must key on the timed
+    # loop's own samples only (ADVICE r12): a squeeze that lifted
+    # before the timed loop started is attribution context, not
+    # evidence that THIS loop's breaches were environmental.
+    n_preflight_bw = len(stream_bw)
+    # latest stream reading regardless of which list it landed in —
+    # the reprobe-skip gate keys on this, not on stream_bw[-1], so a
+    # breach-moment sample also flips the gate
+    bw_latest = stream_bw[-1]
 
     def _clear_memos() -> None:
         """Memo hygiene before EVERY timed pass (VERDICT r10 #2):
@@ -279,7 +293,7 @@ def main() -> None:
         # within one sample interval instead of freezing the pre-flight
         # verdict for the whole loop.
         floor = prior.get(name)
-        if floor and best > 2.0 * floor and best > 0.3 and stream_bw[-1] >= 8.0:
+        if floor and best > 2.0 * floor and best > 0.3 and bw_latest >= 8.0:
             reprobed[name] = best
             for _ in range(2):
                 best = min(best, _one_pass(fn))
@@ -291,9 +305,11 @@ def main() -> None:
             # query's 5 passes 16x (ann_ivf_topk 30.5 s vs 1.4 s
             # standalone minutes later) while every every-40-queries
             # sample read healthy — breaches are exactly when to look,
-            # and a ~20 ms probe per breach makes min(stream_bw) see
-            # any stall that is still in progress
-            stream_bw.append(_stream_bw_gbps())
+            # and a ~20 ms probe per breach lets the suppression min
+            # see any stall that is still in progress (recorded in its
+            # own list so stream_bw/fault_bw stay index-aligned)
+            stream_bw_breach.append(_stream_bw_gbps())
+            bw_latest = stream_bw_breach[-1]
         timings[name] = best
         run_order.append(name)
         # free THIS query's localCheckpoint blocks before the next one:
@@ -307,9 +323,10 @@ def main() -> None:
             heap_mb.append(_jvm_heap_mb())
             # mid-run bandwidth samples (ADVICE r11 #1): a squeeze that
             # hits only the interior of a 247-query loop must still be
-            # visible to min(stream_bw) and the reprobe-skip gate
+            # visible to the suppression min and the reprobe-skip gate
             stream_bw.append(_stream_bw_gbps())
             fault_bw.append(_fault_bw_gbps())
+            bw_latest = stream_bw[-1]
     if len(run_order) % 40 != 0:  # end sample, unless the loop just took one
         heap_mb.append(_jvm_heap_mb())
     stream_bw.append(_stream_bw_gbps())
@@ -368,14 +385,19 @@ def main() -> None:
     # measured STREAM gauge to CORROBORATE before suppressing floor
     # resets (VERDICT r11 #1: stream-copy over pre-faulted buffers is
     # the resource that predicts totals; the fault gauge ships
-    # alongside but never gates).  min() over start + every-40-queries
-    # + per-breach + end samples: a squeeze present anywhere in a
-    # 200+-query run inflated part of it, and breaches are sampled at
-    # the moment they happen.
+    # alongside but never gates).  min() over the TIMED LOOP's samples
+    # only — every-40-queries + per-breach + end (ADVICE r12): the
+    # starved pre-flight/wait probes stay in the artifact for
+    # attribution, but a squeeze that lifted before the timed loop
+    # started must not suppress floor resets for a loop that ran on a
+    # healthy box (that wrongly wiped _breached_prev and delayed
+    # two-run detection of a genuine broad regression).
+    timed_bw = stream_bw[n_preflight_bw:] + stream_bw_breach
+    timed_bw_min = min(timed_bw) if timed_bw else stream_bw[-1]
     noisy_box = (
         n_floored >= 20
         and len(breached) > 0.05 * n_floored
-        and min(stream_bw) < 8.0
+        and timed_bw_min < 8.0
     )
 
     # metric label says what the protocol IS: best pass per query
@@ -406,14 +428,15 @@ def main() -> None:
         # when suppression fired, name the corroborating gauge and its
         # reading (VERDICT r11 #1: the rationale must be in the artifact)
         "suppression_basis": (
-            f"stream_bw_gbps min={min(stream_bw)} < 8 corroborates"
+            f"timed-loop stream_bw min={timed_bw_min} < 8 corroborates"
             f" {len(breached)}/{n_floored} broad breach as environmental"
             if noisy_box
             else None
         ),
-        # box-health gauges, sampled at run start (plus any
-        # wait-for-quiet re-probes), every 40 queries, at each
-        # post-reprobe floor breach (stream only), and at run end.
+        # box-health gauges: stream_bw/fault_bw are PAIRED samples at
+        # run start (plus any wait-for-quiet re-probes), every 40
+        # queries, and at run end — same length, index-aligned.
+        # Per-breach stream samples ship separately below.
         # stream: memcpy over pre-faulted reused buffers — the
         # resource that predicts totals (healthy ~10+); ALL gating
         # (pre-flight wait, reprobe skip, suppression) keys on it.
@@ -422,6 +445,12 @@ def main() -> None:
         # continuity and squeeze attribution.
         "stream_bw_gbps": stream_bw,
         "fault_bw_gbps": fault_bw,
+        # stream samples taken AT each post-reprobe floor breach, in
+        # breach order (see floor_breached_final for the names)
+        "stream_bw_breach_gbps": stream_bw_breach,
+        # first `bw_preflight_samples` entries of the paired lists are
+        # pre-flight; the suppression min covers the rest + breaches
+        "bw_preflight_samples": n_preflight_bw,
         # seconds spent waiting for the squeeze to lift before the
         # timed loop (0 = box was healthy at pre-flight)
         "bw_wait_sec": bw_waited_sec,
@@ -455,14 +484,21 @@ def main() -> None:
     # read 15.9-30.5 s across 5 passes, standalone-reprobed to 1.4 s
     # minutes later) while the box reads healthy before and after — a
     # one-run breach is evidence of a stall, not a plan.  The previous
-    # run's breach list persists in the floor file (same sf key space,
-    # "_breached_prev"); a false reset also self-heals via min() on any
+    # run's breach list persists in the floor file under
+    # _meta.breached_prev; a false reset also self-heals via min() on any
     # later healthy run.  A query that errored THIS run keeps its prior
     # floor (a transient OOM must not erase the history the next run's
     # stall detection needs); only queries gone from the registry are
     # pruned.
+    # run metadata lives under the reserved "_meta" sub-object so the
+    # top-level namespace stays sf-keys-only (ADVICE r12); migrate the
+    # one release that wrote "_breached_prev" as a top-level sibling
+    meta = dict(all_floors.pop("_meta", None) or {})
+    legacy = all_floors.pop("_breached_prev", None)
+    if legacy and "breached_prev" not in meta:
+        meta["breached_prev"] = legacy
     prev_breached = set(
-        (all_floors.get("_breached_prev") or {}).get(sf_key) or []
+        (meta.get("breached_prev") or {}).get(sf_key) or []
     )
     registered = set(entry_mod.queries())
     new_floor = {
@@ -478,11 +514,17 @@ def main() -> None:
                 new_floor[name] = f0  # first breach: hold floor, remember
         else:
             new_floor[name] = min(f0, best) if f0 else best
-    breached_prev = dict(all_floors.get("_breached_prev") or {})
+    breached_prev = {
+        # prune every sf's memory against the live registry so renamed
+        # or removed queries don't linger in the breach lists forever
+        k: [n for n in v if n in registered]
+        for k, v in (meta.get("breached_prev") or {}).items()
+    }
     # a suppressed (noisy-box) run records no breach memory: its
     # breaches are environmental by the gauge's own testimony
     breached_prev[sf_key] = sorted(breached) if not noisy_box else []
-    all_floors["_breached_prev"] = breached_prev
+    meta["breached_prev"] = breached_prev
+    all_floors["_meta"] = meta
     all_floors[sf_key] = new_floor
     with open(floor_path, "w") as f:
         f.write(json.dumps(all_floors, sort_keys=True) + "\n")

@@ -737,15 +737,21 @@ def sql_udf_money_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale cents sum exact before the bounded mean divides out.
     """
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION dks_qmoney(x DOUBLE)"
-        " RETURNS BIGINT RETURN cast(floor(x * 100 + 0.5) as bigint)"
-    )
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION dks_cents_bucket(c BIGINT)"
-        " RETURNS STRING RETURN case when c < 10000000 then 'small'"
-        " when c < 20000000 then 'mid' else 'large' end"
-    )
+    # Once-per-session guard (mirrors udfs._register_udtf_once): the
+    # CREATE OR REPLACE re-issue works but logs a SimpleFunctionRegistry
+    # "replaced a previously registered function" WARN per call — the
+    # last log-hygiene nit after the r11/r12 DataSource/UDTF fixes.
+    if not getattr(spark, "_dks_sql_fns_registered", False):
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION dks_qmoney(x DOUBLE)"
+            " RETURNS BIGINT RETURN cast(floor(x * 100 + 0.5) as bigint)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION dks_cents_bucket(c BIGINT)"
+            " RETURNS STRING RETURN case when c < 10000000 then 'small'"
+            " when c < 20000000 then 'mid' else 'large' end"
+        )
+        spark._dks_sql_fns_registered = True  # noqa: SLF001
     return spark.sql(
         """
         SELECT dks_cents_bucket(dks_qmoney(o_totalprice)) AS bucket,

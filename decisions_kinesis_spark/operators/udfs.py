@@ -44,7 +44,6 @@ def _register_udtf_once(spark, name: str, cls) -> None:
 
 
 @F.pandas_udf(T.DoubleType())
-
 def log_engagement(value: pd.Series) -> pd.Series:
     """Vectorized scoring: 2·ln(1+value) over Arrow batches."""
     import numpy as np
