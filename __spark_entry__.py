@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "analytics_ext",
     "linalg",
     "clustering",
+    "sketches_ext",
     "pysource",
     "probes",
 )

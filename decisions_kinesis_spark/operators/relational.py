@@ -1724,10 +1724,13 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``E = α_m·m²/Σ2^(−M_j)`` (computed exactly as the scaled-integer
     ``α_ppm·m²·2^49 div (S·10⁶)`` with S = Σ2^(49−M_j) ≤ m·2^49, a
     bigint), and the signed error in ppm.  DELIBERATELY no small-range
-    linear-counting correction: it needs ln() (libm — the no-float
-    rule), and the operating envelope of HLL at 100 TB is n ≫ m where
-    the raw estimator is the right one; the err_ppm calibration column
-    makes the small-n bias VISIBLE instead of hiding it.
+    linear-counting correction HERE: the operating envelope of this
+    per-returnflag query is n ≫ m where the raw estimator is the right
+    one, and the err_ppm calibration column makes the small-n bias
+    VISIBLE instead of hiding it.  The correction itself lives in
+    ``sketches_ext.agg_hll_linear_counting`` (r13): ln(m/V) has the
+    finite domain V ∈ {1..m}, so it ships as a 256-entry exact-ppm
+    constant table — no libm at query time, the no-float rule holds.
 
     Scale: unlike KMV, HLL needs NO distinct pre-pass — register max
     is duplicate-insensitive — so the only shuffle is the m-bounded

@@ -150,3 +150,67 @@ def ccf_from_state(state: dict, types, max_lag: int) -> dict:
                     )
                 )
     return out
+
+
+def tdigest_recluster(cents: list[tuple]) -> list[tuple]:
+    """Pure-python reference for the log₂-tail recluster rule
+    (sketches_ext._recluster): centroids (w, vs, vmin, vmax) sorted by
+    full payload in mean order, bucketed by the tail-distance level of
+    twice-the-midpoint-rank.  Returns [(bkey, w, vs, vmin, vmax)]
+    sorted by bkey.  Raw rows enter as weight-1 centroids, so this one
+    function is both "build digest" and "merge digests"."""
+    if not cents:
+        return []
+    order = sorted(
+        cents, key=lambda c: (tdiv(c[1], c[0]), c[2], c[3], c[1], c[0])
+    )
+    nn = sum(c[0] for c in order)
+    lmax = ((nn - 1) // 2 + 1).bit_length() - 1
+    out: dict[int, list[int]] = {}
+    wb = 0
+    for w, vs, vmin, vmax in order:
+        rm2 = 2 * wb + w - 1
+        d = min(rm2, 2 * nn - 2 - rm2) // 2
+        lvl = (d + 1).bit_length() - 1
+        bkey = lvl if rm2 <= nn - 1 else 2 * lmax - lvl
+        b = out.setdefault(bkey, [0, 0, vmin, vmax])
+        b[0] += w
+        b[1] += vs
+        b[2] = min(b[2], vmin)
+        b[3] = max(b[3], vmax)
+        wb += w
+    return [(k, b[0], b[1], b[2], b[3]) for k, b in sorted(out.items())]
+
+
+def tdigest_quantile_rows(
+    hour_digests: dict, exact_vals: dict, pcts=(1, 5, 25, 50, 75, 95, 99)
+) -> dict:
+    """Reference read path: merge per-hour digests (values of
+    ``hour_digests[group] = {hr: [(bkey, w, vs, vmin, vmax)]}``) with
+    one recluster pass, then the rank-covering quantile estimates plus
+    the exact calibration from ``exact_vals[group]`` (the full value
+    multiset).  Returns {(group, pct): (n_rows, n_centroids, est_cents,
+    exact_cents, err_ppm)} matching sketch_tdigest_quantiles rows."""
+    out = {}
+    for g, by_hr in hour_digests.items():
+        flat = [
+            (w, vs, vmin, vmax)
+            for cl in by_hr.values()
+            for _bk, w, vs, vmin, vmax in cl
+        ]
+        merged = tdigest_recluster(flat)
+        n = sum(w for _bk, w, *_ in merged)
+        full = sorted(exact_vals[g])
+        assert n == len(full)
+        for p in pcts:
+            t = ((n - 1) * p) // 100
+            wb = 0
+            for _bk, w, vs, _vmin, _vmax in merged:
+                if wb <= t < wb + w:
+                    est = tdiv(vs, w)
+                    break
+                wb += w
+            exact = full[t]
+            err = None if exact == 0 else tdiv((est - exact) * 1_000_000, exact)
+            out[(g, p)] = (n, len(merged), est, exact, err)
+    return out

@@ -360,3 +360,102 @@ def test_weighted_poisson_matches_python_reference(
         for r in sample_weighted_poisson(spark, d).collect()
     }
     assert got == _py_weighted_poisson_reference(rows)
+
+
+# ---------------------------------------------------------------------------
+# HLL linear-counting correction (sketches_ext.agg_hll_linear_counting)
+# ---------------------------------------------------------------------------
+
+
+def _py_hll_lc_rollup(pairs):
+    """Pure-python reference for the whole agg_hll_linear_counting
+    pipeline: hashlib md5 registers, exact-integer raw estimator, the
+    Flajolet small-range gate with ln(m/V) recomputed here from
+    math.log (independent of the module's constant table)."""
+    per_part: dict[int, dict[int, int]] = {}
+    supp: dict[int, set] = {}
+    for pk, sk in pairs:
+        dg = hashlib.md5(str(sk).encode()).hexdigest()
+        reg = int(dg[:2], 16)
+        hv = int(dg[2:14], 16)
+        rho = 49 - hv.bit_length() if hv else 49
+        regs = per_part.setdefault(pk, {})
+        regs[reg] = max(regs.get(reg, 0), rho)
+        supp.setdefault(pk, set()).add(sk)
+    rollup: dict[int, list[int]] = {}
+    for pk, regs in per_part.items():
+        s_total = sum(2 ** (49 - mr) for mr in regs.values()) + (
+            256 - len(regs)
+        ) * 2**49
+        raw = (718273 * 256 * 256 * 2**49) // (s_total * 10**6)
+        v = 256 - len(regs)
+        if v > 0 and raw * 2 <= 5 * 256:
+            corr = (256 * round(math.log(256 / v) * 1_000_000)) // 10**6
+        else:
+            corr = raw
+        n_exact = len(supp[pk])
+        acc = rollup.setdefault(n_exact, [0, 0, 0, 0, 0])
+        acc[0] += 1
+        acc[1] += raw
+        acc[2] += corr
+        acc[3] += 1 if raw == n_exact else 0
+        acc[4] += 1 if corr == n_exact else 0
+    return {k: tuple(v) for k, v in rollup.items()}
+
+
+def _write_partsupp_lineitem(tmpdir, pairs):
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([p for p, _s in pairs], pa.int64()),
+                "l_suppkey": pa.array([s for _p, s in pairs], pa.int64()),
+            }
+        ),
+        str(tmpdir / "lineitem.parquet"),
+    )
+    return str(tmpdir)
+
+
+def _collect_hll_lc(spark, d):
+    from decisions_kinesis_spark.operators.sketches_ext import (
+        agg_hll_linear_counting,
+    )
+
+    return {
+        r["n_exact"]: (
+            r["n_parts"],
+            r["sum_raw_est"],
+            r["sum_corr_est"],
+            r["n_raw_match"],
+            r["n_corr_match"],
+        )
+        for r in agg_hll_linear_counting(spark, d).collect()
+    }
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(1, 1_000_000)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_hll_linear_counting_matches_python_reference(
+    spark, tmp_path_factory, pairs
+):
+    d = _write_partsupp_lineitem(tmp_path_factory.mktemp("lcfix"), pairs)
+    assert _collect_hll_lc(spark, d) == _py_hll_lc_rollup(pairs)
+
+
+def test_hll_lc_large_cardinality_takes_raw_branch(spark, tmp_path):
+    """5000 distinct suppliers on one part: every register is hit
+    (V=0), so the correction must fall back to the raw estimator —
+    the V>0 guard and the E ≤ 2.5m gate both exercised off."""
+    pairs = [(1, s) for s in range(1, 5001)]
+    d = _write_partsupp_lineitem(tmp_path, pairs)
+    got = _collect_hll_lc(spark, d)
+    assert got == _py_hll_lc_rollup(pairs)
+    (n_parts, sum_raw, sum_corr, _rm, _cm) = got[5000]
+    assert n_parts == 1
+    assert sum_corr == sum_raw  # raw branch: no table lookup fired
