@@ -20,6 +20,65 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def update_floor_state(
+    all_floors: dict,
+    sf_key: str,
+    prior: dict,
+    timings: dict,
+    breached: list,
+    noisy_box: bool,
+    registered: set,
+) -> None:
+    """Apply one run's evidence to the rolling-floor file state
+    (mutates ``all_floors``).  Pure bookkeeping, factored out of
+    main() so the rules ADVICE keeps refining are regression-tested
+    (tests/test_bench_floors.py) without running a bench:
+
+    - floor = min(prior, best) per query; a breach (>2.0× floor and
+      >0.3 s) resets the floor ONLY when the same query also breached
+      the PREVIOUS run (two-run rule — a localized stall can cover
+      every pass of one query in a single run);
+    - a noisy-box (suppressed) run resets nothing and records no
+      breach memory — its breaches are environmental by the gauge's
+      own testimony;
+    - queries that errored this run keep their prior floor; queries
+      gone from the registry are pruned, from floors AND from every
+      sf's breach memory;
+    - run metadata lives under the reserved "_meta" sub-object
+      (ADVICE r12: top level stays sf-keys-only); the one release
+      that wrote "_breached_prev" as a top-level sibling is migrated
+      on read.
+    """
+    meta = dict(all_floors.pop("_meta", None) or {})
+    legacy = all_floors.pop("_breached_prev", None)
+    if legacy and "breached_prev" not in meta:
+        meta["breached_prev"] = legacy
+    prev_breached = set(
+        (meta.get("breached_prev") or {}).get(sf_key) or []
+    )
+    new_floor = {
+        n: f0 for n, f0 in prior.items()
+        if n in registered and n not in timings
+    }
+    for name, best in timings.items():
+        f0 = prior.get(name)
+        if f0 and best > 2.0 * f0 and best > 0.3 and not noisy_box:
+            if name in prev_breached:
+                new_floor[name] = best  # persistent regression: reset
+            else:
+                new_floor[name] = f0  # first breach: hold, remember
+        else:
+            new_floor[name] = min(f0, best) if f0 else best
+    breached_prev = {
+        k: [n for n in v if n in registered]
+        for k, v in (meta.get("breached_prev") or {}).items()
+    }
+    breached_prev[sf_key] = sorted(breached) if not noisy_box else []
+    meta["breached_prev"] = breached_prev
+    all_floors["_meta"] = meta
+    all_floors[sf_key] = new_floor
+
+
 def main() -> None:
     # The driver parses stdout as ONE JSON line.  The JVM (progress
     # bars, occasional log4j misconfig warnings) writes straight to
@@ -475,57 +534,18 @@ def main() -> None:
         # persistent cluster of the same names across rounds is a code
         # regression even when each individual run read as noisy
         full["floor_breached_final"] = sorted(breached)
-    # Update the rolling floor: min(prior, this run) per query.  A query
-    # that breaches 2.0x after all probes in TWO CONSECUTIVE runs is a
-    # real regression — accept its new time as the floor so later runs
-    # measure against the current plan instead of re-probing forever.
-    # Single-run resets are banned: the first stream-gauge run proved a
-    # localized stall can cover one query's every pass (ann_ivf_topk
-    # read 15.9-30.5 s across 5 passes, standalone-reprobed to 1.4 s
-    # minutes later) while the box reads healthy before and after — a
-    # one-run breach is evidence of a stall, not a plan.  The previous
-    # run's breach list persists in the floor file under
-    # _meta.breached_prev; a false reset also self-heals via min() on any
-    # later healthy run.  A query that errored THIS run keeps its prior
-    # floor (a transient OOM must not erase the history the next run's
-    # stall detection needs); only queries gone from the registry are
-    # pruned.
-    # run metadata lives under the reserved "_meta" sub-object so the
-    # top-level namespace stays sf-keys-only (ADVICE r12); migrate the
-    # one release that wrote "_breached_prev" as a top-level sibling
-    meta = dict(all_floors.pop("_meta", None) or {})
-    legacy = all_floors.pop("_breached_prev", None)
-    if legacy and "breached_prev" not in meta:
-        meta["breached_prev"] = legacy
-    prev_breached = set(
-        (meta.get("breached_prev") or {}).get(sf_key) or []
+    # Rolling-floor bookkeeping (two-run breach rule, suppression,
+    # _meta migration, registry pruning) — see update_floor_state's
+    # docstring; the rationale history lives there with the rules.
+    update_floor_state(
+        all_floors,
+        sf_key,
+        prior,
+        timings,
+        breached,
+        noisy_box,
+        set(entry_mod.queries()),
     )
-    registered = set(entry_mod.queries())
-    new_floor = {
-        n: f0 for n, f0 in prior.items()
-        if n in registered and n not in timings
-    }
-    for name, best in timings.items():
-        f0 = prior.get(name)
-        if f0 and best > 2.0 * f0 and best > 0.3 and not noisy_box:
-            if name in prev_breached:
-                new_floor[name] = best  # persistent regression: reset
-            else:
-                new_floor[name] = f0  # first breach: hold floor, remember
-        else:
-            new_floor[name] = min(f0, best) if f0 else best
-    breached_prev = {
-        # prune every sf's memory against the live registry so renamed
-        # or removed queries don't linger in the breach lists forever
-        k: [n for n in v if n in registered]
-        for k, v in (meta.get("breached_prev") or {}).items()
-    }
-    # a suppressed (noisy-box) run records no breach memory: its
-    # breaches are environmental by the gauge's own testimony
-    breached_prev[sf_key] = sorted(breached) if not noisy_box else []
-    meta["breached_prev"] = breached_prev
-    all_floors["_meta"] = meta
-    all_floors[sf_key] = new_floor
     with open(floor_path, "w") as f:
         f.write(json.dumps(all_floors, sort_keys=True) + "\n")
     sys.stdout.flush()

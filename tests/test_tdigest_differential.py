@@ -202,3 +202,16 @@ def test_recluster_merge_mass_and_envelope(vals, n_parts):
     for _b, w, vs, vmin, vmax in merged:
         assert lo <= vmin <= vmax <= hi
         assert vmin * w <= vs <= vmax * w
+
+
+def test_tdigest_two_rows_single_bucket_fold(spark, tmp_path):
+    """n=2 is the lone tail-fold case (lmax=0 maps both tails to
+    bucket 0): one merged centroid of weight 2, every percentile
+    estimates the integer mean — pinned in the ENGINE, not just the
+    python reference."""
+    d = _write_events(tmp_path, [("A", 0, 1.00), ("A", 0, 3.00)])
+    got = _collect(spark, d)
+    assert set(got) == {("A", p) for p in _TD_PCTS}
+    for (_t, p), (n, n_cent, est, exact, err) in got.items():
+        assert (n, n_cent, est) == (2, 1, 200)  # mean of 100, 300
+        assert exact == (100 if ((n - 1) * p) // 100 == 0 else 300)
