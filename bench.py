@@ -237,8 +237,12 @@ def main() -> None:
     fault_bw: list[float] = [_fault_bw_gbps()]
     # per-breach stream samples live in their OWN list (ADVICE r12):
     # appending them to stream_bw broke the start/every-40/end index
-    # alignment with fault_bw that artifact readers pair positionally
-    stream_bw_breach: list[float] = []
+    # alignment with fault_bw that artifact readers pair positionally.
+    # Entries are (query_name, gbps) pairs — breaches happen in run
+    # order while floor_breached_final ships SORTED, so a bare list
+    # could not be attributed back to the query whose breach moment
+    # it sampled.
+    stream_bw_breach: list[list] = []
     bw_waited_sec = 0
     if stream_bw[0] < 8.0:
         # pre-flight gauge (VERDICT r10 #1): a starved box produces a
@@ -366,9 +370,10 @@ def main() -> None:
             # sample read healthy — breaches are exactly when to look,
             # and a ~20 ms probe per breach lets the suppression min
             # see any stall that is still in progress (recorded in its
-            # own list so stream_bw/fault_bw stay index-aligned)
-            stream_bw_breach.append(_stream_bw_gbps())
-            bw_latest = stream_bw_breach[-1]
+            # own list so stream_bw/fault_bw stay index-aligned, WITH
+            # the query name so the sample attributes to its breach)
+            stream_bw_breach.append([name, _stream_bw_gbps()])
+            bw_latest = stream_bw_breach[-1][1]
         timings[name] = best
         run_order.append(name)
         # free THIS query's localCheckpoint blocks before the next one:
@@ -451,7 +456,9 @@ def main() -> None:
     # started must not suppress floor resets for a loop that ran on a
     # healthy box (that wrongly wiped _breached_prev and delayed
     # two-run detection of a genuine broad regression).
-    timed_bw = stream_bw[n_preflight_bw:] + stream_bw_breach
+    timed_bw = stream_bw[n_preflight_bw:] + [
+        g for _n, g in stream_bw_breach
+    ]
     timed_bw_min = min(timed_bw) if timed_bw else stream_bw[-1]
     noisy_box = (
         n_floored >= 20
@@ -504,8 +511,10 @@ def main() -> None:
         # continuity and squeeze attribution.
         "stream_bw_gbps": stream_bw,
         "fault_bw_gbps": fault_bw,
-        # stream samples taken AT each post-reprobe floor breach, in
-        # breach order (see floor_breached_final for the names)
+        # (query_name, gbps) pairs sampled AT each post-reprobe floor
+        # breach, in breach order — the name makes each reading
+        # attributable (floor_breached_final is sorted, so position
+        # alone could not recover which query's breach was sampled)
         "stream_bw_breach_gbps": stream_bw_breach,
         # first `bw_preflight_samples` entries of the paired lists are
         # pre-flight; the suppression min covers the rest + breaches

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from decisions_kinesis_spark.operators.relational import (
+    _HLL_E0,
     _HLL_EST_DUCK,
     _HLL_EST_SPARK,
     _HLL_HV_DUCK,
@@ -360,7 +361,9 @@ def agg_hll_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_present"),
             F.sum(
-                F.expr("shiftleft(cast(1 as bigint), 49 - mreg)")
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), {_HLL_E0} - mreg)"
+                )
             ).alias("s_present"),
         )
         .select(
@@ -368,7 +371,7 @@ def agg_hll_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{_HLL_M} - n_present").alias("v_zero"),
             F.expr(
                 f"s_present + ({_HLL_M} - n_present)"
-                " * shiftleft(cast(1 as bigint), 49)"
+                f" * shiftleft(cast(1 as bigint), {_HLL_E0})"
             ).alias("s_total"),
         )
         .select(
@@ -482,8 +485,8 @@ _HLL_LC_ORACLE = f"""
     sums AS (
         SELECT l_partkey,
                ({_HLL_M} - count(*))::BIGINT AS v_zero,
-               (sum(1::BIGINT << (49 - mreg))
-                + ({_HLL_M} - count(*)) * (1::BIGINT << 49))::BIGINT
+               (sum(1::BIGINT << ({_HLL_E0} - mreg))
+                + ({_HLL_M} - count(*)) * (1::BIGINT << {_HLL_E0}))::BIGINT
                    AS s_total
         FROM regs GROUP BY 1
     ),

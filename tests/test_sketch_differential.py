@@ -459,3 +459,21 @@ def test_hll_lc_large_cardinality_takes_raw_branch(spark, tmp_path):
     (n_parts, sum_raw, sum_corr, _rm, _cm) = got[5000]
     assert n_parts == 1
     assert sum_corr == sum_raw  # raw branch: no table lookup fired
+
+
+def test_hll_lc_empty_table_yields_no_rows(spark, tmp_path):
+    d = _write_partsupp_lineitem(tmp_path, [])
+    assert _collect_hll_lc(spark, d) == {}
+
+
+def test_hll_lc_single_row_pinned(spark, tmp_path):
+    """One (part, supplier) row: 1 register set, V=255, raw ≈ α·m,
+    corrected = 256·ln(256/255) — exactly 1.  Pinned in the engine,
+    independent of the hypothesis sampler."""
+    pairs = [(7, 42)]
+    d = _write_partsupp_lineitem(tmp_path, pairs)
+    got = _collect_hll_lc(spark, d)
+    assert got == _py_hll_lc_rollup(pairs)
+    (n_parts, sum_raw, sum_corr, raw_match, corr_match) = got[1]
+    assert (n_parts, sum_corr, corr_match) == (1, 1, 1)
+    assert raw_match == 0  # raw sits at the ~α·m tier for n=1
