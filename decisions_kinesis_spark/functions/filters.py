@@ -53,11 +53,15 @@ def json_object_valid(payload: Column) -> Column:
     valid JSON *and* top-level object — arrays/scalars/garbage all fail
     and therefore pass the filter stage unfiltered (:705-708).
     """
-    # strip ALL leading whitespace (JObject.Parse accepts any — plain
-    # ltrim only strips 0x20, so "\n{...}" would misclassify as invalid)
-    return F.get_json_object(payload, "$").isNotNull() & F.regexp_replace(
-        payload, r"^\s+", ""
-    ).startswith("{")
+    # Leading whitespace is allowed (JObject.Parse accepts any — plain
+    # ltrim only strips 0x20, so "\n{...}" would misclassify as
+    # invalid).  One regexp MATCH per row: the previous spelling
+    # (regexp_replace + startswith) allocated a stripped copy of every
+    # payload before testing its first byte; rlike '^\s*\{' is the
+    # same boolean with no intermediate string.
+    return F.get_json_object(payload, "$").isNotNull() & payload.rlike(
+        r"^\s*\{"
+    )
 
 
 def _verb_expr(v: Column, verb: FilterVerb, value: str) -> Column:

@@ -55,10 +55,17 @@ _DIST_SQL = (
 
 
 def _quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, qv bigint[]) — the shared ×10⁴ half-up quantization."""
-    return load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.expr(_QV_SQL).alias("qv")
-    )
+    """(vec_id, qv bigint[]) — the shared ×10⁴ half-up quantization.
+
+    The parallelism guard matters downstream: this frame is
+    localCheckpointed and crossJoined against the centroids every Lloyd
+    iteration — on a single-split fixture all N·K distance folds would
+    otherwise run on one core (no-op at scale)."""
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
+    return ensure_parallelism(
+        load_table(spark, "embeddings", sf_dir)
+    ).select("vec_id", F.expr(_QV_SQL).alias("qv"))
 
 
 #: single-slot memo for the Lloyd loop: the three kmeans queries share

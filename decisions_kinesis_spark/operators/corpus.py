@@ -34,6 +34,7 @@ from decisions_kinesis_spark.operators.textops import (
     _TOKS,
 )
 from decisions_kinesis_spark.functions.ordering import range_prefix
+from decisions_kinesis_spark.functions.parallel import ensure_parallelism
 from decisions_kinesis_spark.sources.tables import load_table
 
 #: floor-based 4dp round — identical IEEE op sequence in both engines
@@ -126,8 +127,15 @@ def quality_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize the generator array, now without its two shuffles and
     doc-chars join (measured 5.0 s → 2.4 s warm at sf0.1 on local[32]).
     """
+    # the per-doc gram folds are the heaviest scan-side compute in the
+    # corpus family; a small fixture arrives as ONE input split, so
+    # without the parallelism guard the whole query runs single-core
+    # (measured 3.7 s single-task vs 1.2 s spread at sf0.1 — no-op at
+    # scale where the scan is already multi-split)
     return repetition_flags(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        ensure_parallelism(
+            load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        )
     )
 
 
@@ -217,7 +225,7 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     division.  Measured 20×-data wall-clock ratio dropped 11.6×→~4×
     with this shape (tools/scale_smoke.py).
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -295,7 +303,7 @@ def lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized unigram-count join (AQE-sized, the TF-IDF
     document-frequency shape) and a 1-row total broadcast.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     toks = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
     # unigram model over ALL token positions
     tok = toks.select(F.explode("toks").alias("t")).select(
@@ -392,7 +400,7 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     type table (vocabulary-scale, not corpus-scale); N1+(··) is a
     1-row broadcast.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -508,7 +516,7 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to text by re-hashing (documented; keeps every shuffle at
     8-byte keys).
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     toks = docs.select(F.expr(_TOKS).alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -632,7 +640,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the linear-shuffle alternative to a distributed suffix
     array.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
         F.size("toks") >= _SUBSTR_N
     )
@@ -803,7 +811,9 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair vocabulary is ≤ alphabet², so the final shuffle is tiny
     regardless of corpus size.
     """
-    docs = load_table(spark, "documents", sf_dir).select("text")
+    docs = ensure_parallelism(
+        load_table(spark, "documents", sf_dir).select("text")
+    )
     toks = docs.select(F.explode(F.expr(_TOKS)).alias("w")).filter(
         F.length("w") >= 2
     )
@@ -860,7 +870,7 @@ def tokenize_bpe_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-word token counts join back on the word-type key and reduce
     per doc with map-side combine.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
     wt = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     vocab = bpe_pair_counts(spark, sf_dir).groupBy().agg(
@@ -933,7 +943,9 @@ def _bpe_iter_state(spark: SparkSession, sf_dir: str):
     round jobs at construction time (see stage_cache module doc)."""
 
     def _build():
-        docs = load_table(spark, "documents", sf_dir).select("text")
+        docs = ensure_parallelism(
+            load_table(spark, "documents", sf_dir).select("text")
+        )
         wt = (
             docs.select(F.explode(F.expr(_TOKS)).alias("w"))
             .groupBy("w")
@@ -1046,7 +1058,7 @@ def tokenize_bpe_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(F.expr("array_sort(collect_list(u))").alias("units"))
     )
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
     wt = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     enc = (
@@ -1105,8 +1117,14 @@ def doc_token_grams(docs: DataFrame) -> DataFrame:
     frame — the shared gram pipeline of ``decontam_eval_overlap`` and
     the streaming decontamination shape (tests/test_streaming_decontam):
     tokenize, slide the fixed-width window, hash each gram to one
-    8-byte key.  Documents shorter than the gram width emit nothing."""
-    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
+    8-byte key.  Documents shorter than the gram width emit nothing.
+
+    The tokenize→window→hash chain is scan-side per-row compute; the
+    parallelism guard spreads a single-split small input across the
+    cluster (no-op at scale — see functions/parallel.py)."""
+    toks = ensure_parallelism(docs).select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    ).filter(
         F.size("toks") >= _SUBSTR_N
     )
     return toks.select(
@@ -1599,9 +1617,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts collapse occurrences before any join (the lm_bigram_score
     shape); the per-doc fold is a bigint sum + integer division.
     """
-    docs = load_table(spark, "documents", sf_dir).select(
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", "text"
-    )
+    ))
     toks = docs.select("doc_id", "lang", F.expr(_TOKS).alias("toks")).filter(
         F.size("toks") >= 1
     )

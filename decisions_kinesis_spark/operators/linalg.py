@@ -51,7 +51,9 @@ def embedding_power_iteration_pc1(
     checkpoints only the 64-row direction (the
     ``bpe_merges_iterative`` constant-plan lesson).
     """
-    emb = load_table(spark, "embeddings", sf_dir)
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
     e = (
         emb.select(
             F.col("vec_id").alias("row"),
@@ -165,7 +167,9 @@ def embedding_pc1_projection_stats(
     """
     from decisions_kinesis_spark.functions.rounding import fl4
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
     v = embedding_power_iteration_pc1(spark, sf_dir).select(
         "pos", F.col("component").alias("val")
     )

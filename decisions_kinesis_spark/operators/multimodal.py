@@ -37,7 +37,11 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: treat document text bytes as an opaque media blob —
     the container has no real media fixtures, so this exercises the
     binary-column plumbing with deterministic content."""
-    docs = load_table(spark, "documents", sf_dir)
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
+    # blob decode downstream is per-row heavy Arrow work; spread the
+    # single-split fixture scan (no-op at scale)
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("blob"),

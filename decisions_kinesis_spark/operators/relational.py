@@ -975,7 +975,11 @@ def json_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary parse per row, k pointer walks per path); the only shuffle
     is the |types|-key aggregate, map-side combined.
     """
-    ev = load_table(spark, "events", sf_dir)
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
+    # scan-side JSON→VARIANT parse is the per-row cost here; spread the
+    # single-split fixture scan (no-op at scale)
+    ev = ensure_parallelism(load_table(spark, "events", sf_dir))
     v = ev.select(
         "event_type",
         F.parse_json("props").alias("v"),
@@ -1028,20 +1032,34 @@ def json_nested_array_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized nested document — the deep-payload counterpart of the
     flat filter DSL (both engines index into the same serialized JSON).
     """
-    ev = load_table(spark, "events", sf_dir)
-    nested = ev.withColumn(
-        "doc",
-        F.to_json(
-            F.struct(
-                F.struct(
-                    F.col("event_type").alias("type"),
-                    F.col("user_id").alias("uid"),
-                ).alias("meta"),
-                F.array(
-                    F.get_json_object("props", "$.k"), F.col("event_id").cast("string")
-                ).alias("tags"),
+    # explode(array(...)) barrier: as a plain projected column the
+    # derived ``doc`` would be inlined into all four get_json_object
+    # consumers below (4 to_json serializations + inner props parse per
+    # row — the payload_filter_contains_ci lesson); the 1-row Generate
+    # materializes it once.  ensure_parallelism spreads the scan-side
+    # JSON work across cores (single-split small fixture; no-op at
+    # scale).
+    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+
+    ev = ensure_parallelism(load_table(spark, "events", sf_dir))
+    nested = ev.select(
+        "event_id",
+        F.explode(
+            F.array(
+                F.to_json(
+                    F.struct(
+                        F.struct(
+                            F.col("event_type").alias("type"),
+                            F.col("user_id").alias("uid"),
+                        ).alias("meta"),
+                        F.array(
+                            F.get_json_object("props", "$.k"),
+                            F.col("event_id").cast("string"),
+                        ).alias("tags"),
+                    )
+                )
             )
-        ),
+        ).alias("doc"),
     )
     return nested.select(
         "event_id",

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from decisions_kinesis_spark.functions.parallel import ensure_parallelism
 from decisions_kinesis_spark.sources.tables import load_table, table_count
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -44,6 +45,17 @@ def _as_double(col: str) -> F.Column:
     return F.col(col).cast("array<double>")
 
 
+def _emb_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v double[]) corpus frame with the parallelism guard —
+    the one spelling every similarity query starts from.  Heavy
+    per-row work (interpreted HOF dot folds) follows the scan in this
+    family, so a single-split small fixture must spread (no-op at
+    scale)."""
+    return ensure_parallelism(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the first 10 vectors as queries.
 
@@ -55,9 +67,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one reducer per query).  The (cos, vec_id) total order
     makes the two-stage result identical to the global top-k.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double("embedding").alias("v")
-    ).withColumn("nv", F.expr(_NORM.format(v="v")))
+    emb = _emb_v(spark, sf_dir).withColumn("nv", F.expr(_NORM.format(v="v")))
+    return _cosine_truth_frame(emb)
+
+
+def _cosine_truth_frame(emb: DataFrame) -> DataFrame:
+    """Brute-force top-k over a (vec_id, v, nv) frame — the method
+    tail, shared by the standalone query and the recall calibration
+    (which feeds a checkpointed shared corpus frame)."""
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -145,10 +162,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is an equi-join on bucket — each query meets ~N/256 rows
     instead of N.  Output keeps n_candidates so recall is observable.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double("embedding").alias("v")
-    ).withColumn("nv", F.expr(_NORM.format(v="v")))
-    bucketed = emb.withColumn("bucket", _bucket_expr())
+    emb = _emb_v(spark, sf_dir).withColumn("nv", F.expr(_NORM.format(v="v")))
+    return _lsh_best_frame(emb.withColumn("bucket", _bucket_expr()))
+
+
+def _lsh_best_frame(bucketed: DataFrame) -> DataFrame:
+    """Single-probe best-neighbor tail over a (vec_id, v, nv, bucket)
+    frame — shared by the standalone query and the recall calibration."""
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -194,10 +214,12 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×(n_planes+1).  n_candidates makes the recall/cost trade
     observable next to the single-probe variant.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double("embedding").alias("v")
-    ).withColumn("nv", F.expr(_NORM.format(v="v")))
-    bucketed = emb.withColumn("bucket", _bucket_expr())
+    emb = _emb_v(spark, sf_dir).withColumn("nv", F.expr(_NORM.format(v="v")))
+    return _lsh_multiprobe_frame(emb.withColumn("bucket", _bucket_expr()))
+
+
+def _lsh_multiprobe_frame(bucketed: DataFrame) -> DataFrame:
+    """Hamming-1 multi-probe tail over a (vec_id, v, nv, bucket) frame."""
     probes = F.array(
         F.col("qbucket"),
         *[
@@ -340,7 +362,7 @@ def ann_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a, b) key pair of two rank-≤k frames, each at most k·N rows.
     """
     emb = (
-        load_table(spark, "embeddings", sf_dir)
+        ensure_parallelism(load_table(spark, "embeddings", sf_dir))
         .select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("nv", F.expr(_NORM.format(v="v")))
     )
@@ -418,10 +440,18 @@ def ann_lsh_centered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     list (broadcast query side, ≤ |queries|·bucket rows expanded).
     """
     emb = (
-        load_table(spark, "embeddings", sf_dir)
+        ensure_parallelism(load_table(spark, "embeddings", sf_dir))
         .select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("nv", F.expr(_NORM.format(v="v")))
     )
+    return _centered_topk(spark, sf_dir, emb)
+
+
+def _centered_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> DataFrame:
+    """Centered-integer-LSH top-k tail over a (vec_id, v, nv) frame —
+    shared by the standalone query and the recall calibration."""
     nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))
     bucketed = _centered_int_buckets(emb, nbits)
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -482,7 +512,7 @@ def ann_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed.
     """
     emb = (
-        load_table(spark, "embeddings", sf_dir)
+        ensure_parallelism(load_table(spark, "embeddings", sf_dir))
         .select("vec_id", _as_double("embedding").alias("v"))
     )
     nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))
@@ -561,9 +591,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     before its shuffle, unlike a window which would move all N·k rows;
     the probe join is an equi-join on cent_id.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
+    emb = _emb_v(spark, sf_dir)
     assigned = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
     return _ivf_probe_topk(assigned)
 
@@ -616,9 +644,15 @@ def ann_ivf_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: centroids broadcast (64 rows at any N); assignment reduces
     map-side; the probe equi-join moves each query's single cell.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
+    emb = _emb_v(spark, sf_dir)
+    return _capped_topk(spark, sf_dir, emb)
+
+
+def _capped_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> DataFrame:
+    """Fixed-budget (C=64) assignment + probe over a (vec_id, v)
+    frame — shared by the standalone query and the recall calibration."""
     cents = _seed_centroids(
         spark, sf_dir, emb,
         mod=table_count(spark, "embeddings", sf_dir) // _IVF_C_CAP,
@@ -633,26 +667,43 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate cost).  Same topology as ann_ivf_topk; only the probe
     set per query grows.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double("embedding").alias("v")
-    ).withColumn("nv", F.expr(_NORM.format(v="v")))
-    cents = _seed_centroids(spark, sf_dir, emb).withColumn(
-        "ncv", F.expr(_NORM.format(v="cv"))
+    emb = _emb_v(spark, sf_dir)
+    assigned = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
+    return _nprobe2_topk(spark, sf_dir, assigned)
+
+
+def _nprobe2_topk(
+    spark: SparkSession, sf_dir: str, assigned: DataFrame
+) -> DataFrame:
+    """nprobe=2 tail over an assigned (vec_id, v, nv, cent_id) frame.
+
+    The probe set (each query's two nearest centroids) is re-scored
+    over the QUERY rows only (n_queries × ~√N pairs — trivial) instead
+    of ranking the full N×k scored frame, so the corpus-wide expansion
+    exists once, inside the shared assignment; the re-score uses the
+    identical cosine spelling, so the probe choice is bit-identical.
+    """
+    cents = _seed_centroids(
+        spark, sf_dir, assigned.select("vec_id", "v")
+    ).withColumn("ncv", F.expr(_NORM.format(v="cv")))
+    scored_q = (
+        assigned.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "v", "nv")
+        .join(F.broadcast(cents))
+        .withColumn(
+            "ccos",
+            F.expr(
+                _PAIR_COS.format(
+                    dot=_DOT.format(a="v", b="cv"), na="nv", nb="ncv"
+                )
+            ),
+        )
     )
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "ccos",
-        F.expr(
-            _PAIR_COS.format(dot=_DOT.format(a="v", b="cv"), na="nv", nb="ncv")
-        ),
-    )
-    assigned = _argmin_assign(scored)
     # probe set: the query's two nearest centroids — the rank-2 window
-    # runs over the QUERY rows only (k × n_queries rows, trivial), so
-    # the full expanded frame still reduces map-side in _argmin_assign
+    # runs over the QUERY rows only (k × n_queries rows, trivial)
     wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
     probes = (
-        scored.filter(F.col("vec_id") < _N_QUERIES)
-        .withColumn("ark", F.row_number().over(wa))
+        scored_q.withColumn("ark", F.row_number().over(wa))
         .filter(F.col("ark") <= 2)
     ).select(
         F.col("vec_id").alias("query_id"),
@@ -715,14 +766,17 @@ def _seed_centroids(
     )
 
 
-def _ivf_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_refined_centroids(
+    spark: SparkSession, sf_dir: str, assigned0: DataFrame | None = None
+) -> DataFrame:
     """One integer-quantized Lloyd step over the seeded assignment →
     (cent_id, cv).  Exposed as a helper so tests can compare the
-    quantized mean against the true float mean directly."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    assigned0 = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
+    quantized mean against the true float mean directly.  ``assigned0``
+    lets a composition (ann_recall_at_k) feed the shared materialized
+    seeded assignment instead of rebuilding it."""
+    if assigned0 is None:
+        emb = _emb_v(spark, sf_dir)
+        assigned0 = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
     # element-wise mean per cell over integer-quantized member values —
     # exact bigint sums keep partial aggregation ON (see ann_ivf_refined
     # docstring); the collect_list below gathers d=64 (pos, m) structs
@@ -768,32 +822,22 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces; the 0.5e-9 per-element quantization is noise relative to
     cosine assignment at 6 decimals.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    refined = _ivf_refined_centroids(spark, sf_dir)
+    emb = _emb_v(spark, sf_dir)
+    return _refined_topk(spark, sf_dir, emb, None)
+
+
+def _refined_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    assigned0: DataFrame | None,
+) -> DataFrame:
+    """Refined-centroid assignment + nprobe=1 probe over a (vec_id, v)
+    frame; ``assigned0`` optionally feeds the shared seeded assignment
+    into the Lloyd step (recall composition)."""
+    refined = _ivf_refined_centroids(spark, sf_dir, assigned0)
     assigned = _assign_cents(emb, refined)
-    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nv").alias("qnv"),
-        F.col("cent_id").alias("qcent"),
-    )
-    cand = assigned.join(
-        F.broadcast(q),
-        (F.col("cent_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id")),
-    ).withColumn(
-        "cos",
-        F.expr(
-            _PAIR_COS.format(dot=_DOT.format(a="v", b="qv"), na="nv", nb="qnv")
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
-    )
+    return _ivf_probe_topk(assigned)
 
 
 _SEMDEDUP_PRUNE_PCT = 20  # flag the 20% most centroid-redundant per cell
@@ -825,7 +869,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE window over cent_id — a single bounded shuffle whose
     partitions are ~sqrt(N)-member cells, not the corpus.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = ensure_parallelism(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", _as_double("embedding").alias("v")
     )
     # shared IVF assignment; _argmin_assign carries the winner's ccos
@@ -868,24 +912,31 @@ def pq_reconstruction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation (no window shuffle of the expanded
     frame).
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = ensure_parallelism(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
     mod = max(1, table_count(spark, "embeddings", sf_dir) // _PQ_K)
+    # ``sv·sv`` and ``cv·cv`` are per-ROW quantities: compute each once
+    # on its own side of the broadcast join instead of re-folding them
+    # inside the pair expression (K× and N× redundantly) — the
+    # ``_PAIR_COS`` precomputed-norm lesson applied to squared-L2.
+    # d2 = svv − 2·(sv·cv) + cvv evaluates the same doubles in the
+    # same order, so every d2i is bit-identical.
     subs = emb.select(
         "vec_id",
         "label",
         F.posexplode(F.expr(_pq_sub_expr("v"))).alias("m", "sv"),
-    )
+    ).withColumn("svv", F.expr(_DOT.format(a="sv", b="sv")))
     cw = subs.filter((F.col("vec_id") % mod) == 0).select(
         F.col("m").alias("cm"),
         F.col("vec_id").alias("code_id"),
         F.col("sv").alias("cv"),
+        F.col("svv").alias("cvv"),
     )
     d2 = (
-        F.expr(_DOT.format(a="sv", b="sv"))
+        F.col("svv")
         - 2 * F.expr(_DOT.format(a="sv", b="cv"))
-        + F.expr(_DOT.format(a="cv", b="cv"))
+        + F.col("cvv")
     )
     scored = subs.join(F.broadcast(cw), F.col("m") == F.col("cm")).withColumn(
         "d2i", F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("bigint")
@@ -955,27 +1006,38 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on vec_id against the (bucketable) code table — the plan
     degrades to one co-located join, never to a vector-wide shuffle.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
+    emb = _emb_v(spark, sf_dir)
     assigned = _assign_cents(emb, _seed_centroids(spark, sf_dir, emb))
+    return _pq_topk(spark, sf_dir, emb, assigned)
+
+
+def _pq_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, assigned: DataFrame
+) -> DataFrame:
+    """IVF-PQ/ADC tail over a (vec_id, v) frame and its seeded
+    assignment — shared by the standalone query and the recall
+    calibration (which feeds the checkpointed shared assignment)."""
     mod = max(1, table_count(spark, "embeddings", sf_dir) // _PQ_K)
     norm = emb.withColumn("nv0", F.expr(_NORM.format(v="v"))).withColumn(
         "vn", F.expr("transform(v, x -> x / nv0)")
     )
+    # per-side squared norms computed once (pq_reconstruction_stats
+    # comment): d2 = svv − 2·(sv·cv) + cvv is bit-identical, 1 pair
+    # fold instead of 3.
     subs = norm.select(
         "vec_id", F.posexplode(F.expr(_pq_sub_expr("vn"))).alias("m", "sv")
-    )
+    ).withColumn("svv", F.expr(_DOT.format(a="sv", b="sv")))
     cw = subs.filter((F.col("vec_id") % mod) == 0).select(
         F.col("m").alias("cm"),
         F.col("vec_id").alias("code_id"),
         F.col("sv").alias("cv"),
+        F.col("svv").alias("cvv"),
     )
     d2i = F.floor(
         (
-            F.expr(_DOT.format(a="sv", b="sv"))
+            F.col("svv")
             - 2 * F.expr(_DOT.format(a="sv", b="cv"))
-            + F.expr(_DOT.format(a="cv", b="cv"))
+            + F.col("cvv")
         )
         * F.lit(1e6)
         + F.lit(0.5)
@@ -994,7 +1056,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qsubs = q.withColumn("qvn", F.expr("transform(qv, x -> x / qnv)")).select(
         "query_id", F.posexplode(F.expr(_pq_sub_expr("qvn"))).alias("m", "sv")
-    )
+    ).withColumn("svv", F.expr(_DOT.format(a="sv", b="sv")))
     adc = (
         qsubs.join(F.broadcast(cw), F.col("m") == F.col("cm"))
         .select("query_id", "m", F.col("code_id"), d2i.alias("qd2i"))
@@ -1062,7 +1124,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     requirement makes this approximate (like all LSH dedup); the
     brute-force ``ann_cosine_topk`` is the exact baseline.
     """
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = ensure_parallelism(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", _as_double("embedding").alias("v")
     )
     # cached corpus count sizes the blocking; planes are inlined as
@@ -1196,25 +1258,48 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: builder().localCheckpoint(eager=True),
         )
 
+    # Shared expensive heads, materialized ONCE for the whole report
+    # (guide §2.4 — remove repeated work outright): every method
+    # pipeline starts from the same (vec_id, v, nv) corpus frame, the
+    # two raw-LSH methods share one bucketed frame, and four IVF
+    # variants share the seeded √N assignment (the N·√N dot-product
+    # pass).  Each frame helper is the SAME code the standalone query
+    # runs, so every method's rows are bit-identical to its standalone
+    # oracle — only the number of times the shared heads execute
+    # changes (9 emb scans → 1, 4 seeded assignments → 1).
+    embn = _cached(
+        "embn",
+        lambda: _emb_v(spark, sf_dir).withColumn(
+            "nv", F.expr(_NORM.format(v="v"))
+        ),
+    )
+    emb = embn.select("vec_id", "v")
+    assigned = _cached(
+        "assigned",
+        lambda: _assign_cents(emb, _seed_centroids(spark, sf_dir, emb)),
+    )
+    bucketed = _cached(
+        "bucketed", lambda: embn.withColumn("bucket", _bucket_expr())
+    )
     truth = _cached(
         "truth",
-        lambda: ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+        lambda: _cosine_truth_frame(embn).select("query_id", "neighbor_id"),
     )
-    top_k = lambda fn: lambda: fn(spark, sf_dir).select(  # noqa: E731
+    top_k = lambda fr: lambda: fr().select(  # noqa: E731
         "query_id", "neighbor_id"
     )
-    best = lambda fn: lambda: fn(spark, sf_dir).filter(  # noqa: E731
+    best = lambda fr: lambda: fr().filter(  # noqa: E731
         F.col("best_neighbor").isNotNull()
     ).select("query_id", F.col("best_neighbor").alias("neighbor_id"))
     methods = (
-        ("lsh_bucket", best(ann_lsh_bucketed)),
-        ("lsh_multiprobe", best(ann_lsh_multiprobe)),
-        ("ivf_nprobe1", top_k(ann_ivf_topk)),
-        ("ivf_nprobe2", top_k(ann_ivf_nprobe2)),
-        ("ivf_refined", top_k(ann_ivf_refined)),
-        ("ivf_pq", top_k(ann_ivf_pq)),
-        ("ivf_capped", top_k(ann_ivf_capped_topk)),
-        ("lsh_centered", top_k(ann_lsh_centered_topk)),
+        ("lsh_bucket", best(lambda: _lsh_best_frame(bucketed))),
+        ("lsh_multiprobe", best(lambda: _lsh_multiprobe_frame(bucketed))),
+        ("ivf_nprobe1", top_k(lambda: _ivf_probe_topk(assigned))),
+        ("ivf_nprobe2", top_k(lambda: _nprobe2_topk(spark, sf_dir, assigned))),
+        ("ivf_refined", top_k(lambda: _refined_topk(spark, sf_dir, emb, assigned))),
+        ("ivf_pq", top_k(lambda: _pq_topk(spark, sf_dir, emb, assigned))),
+        ("ivf_capped", top_k(lambda: _capped_topk(spark, sf_dir, emb))),
+        ("lsh_centered", top_k(lambda: _centered_topk(spark, sf_dir, embn))),
     )
     n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
     out = None
@@ -1291,7 +1376,7 @@ def ann_recall_mean_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(cast(embedding as array<double>), x -> x + {_SHIFT_CAL}D)"
     )
     emb = (
-        load_table(spark, "embeddings", sf_dir)
+        ensure_parallelism(load_table(spark, "embeddings", sf_dir))
         .select("vec_id", shifted.alias("v"))
         .withColumn("nv", F.expr(_NORM.format(v="v")))
     )

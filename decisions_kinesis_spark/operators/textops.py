@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from decisions_kinesis_spark.functions.parallel import ensure_parallelism
 from decisions_kinesis_spark.sources.tables import load_table
 
 _TOKS = r"filter(split(lower(text), '\\s+'), x -> x != '')"
@@ -396,7 +397,9 @@ def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan AQE can re-balance.  Docs shorter than the span width drop out
     (no spans to score) in both engines.
     """
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = ensure_parallelism(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     toks = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(
         F.size("toks") >= _SPAN_N
     )
@@ -440,6 +443,9 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row corpus stats broadcast; tf/df aggs combine map-side; ranking
     is a per-query top-k window (WindowGroupLimit partial top-k).
     """
+    # deliberately NO parallelism guard here: measured A/B at sf0.1
+    # showed no win (the per-row explode is cheap relative to the
+    # groupBy shuffles that follow immediately)
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
     return _bm25_topk(*_lex_inputs(tok))
@@ -533,7 +539,9 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = ensure_parallelism(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     # materialized once: tf / df / dl each consume the explode, and
     # both rankers consume those — the dedup shingle-frame discipline
     tok = docs.select(

@@ -10,6 +10,12 @@ Checked properties:
 - ``python_eval``         — row-at-a-time Python in the plan (slow path);
 - ``arrow_eval``          — Arrow-batched Python (the sanctioned path);
 - ``shuffles``            — exchange count (each is a cluster barrier);
+- ``parallelism_guards``  — keyless round-robin repartitions from
+  ``ensure_parallelism`` (functions/parallel.py).  Counted separately
+  from ``shuffles``: the guard only fires when the input arrives in
+  fewer splits than ``defaultParallelism`` (a small-fixture artifact —
+  at 100 TB the scan is already multi-split and the guard is a no-op),
+  so it is not part of the scale shape these audits assert.
 - ``codegen_spans``       — WholeStageCodegen regions.
 """
 
@@ -29,6 +35,7 @@ class PlanAudit:
     broadcast_joins: int = 0
     sortmerge_joins: int = 0
     shuffles: int = 0
+    parallelism_guards: int = 0
     codegen_spans: int = 0
     python_eval: bool = False
     arrow_eval: bool = False
@@ -78,6 +85,12 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     # plans and as "*(n) Op" prefixes in compact toString() output
     span_ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     span_ids |= set(re.findall(r"\*\((\d+)\) ", plan))
+    # keyless round-robin repartitions are the ensure_parallelism
+    # small-fixture guard (the only keyless repartition in query paths
+    # — verified by grep), not a scale-shape shuffle (module doc)
+    guards = len(
+        re.findall(r"Exchange RoundRobinPartitioning\(\d+\), REPARTITION_BY_NUM", plan)
+    )
     return PlanAudit(
         plan=plan,
         pushed_filters=[p for p in pushed if p.strip()],
@@ -88,8 +101,10 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         broadcast_joins=plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
         sortmerge_joins=plan.count("SortMergeJoin"),
-        # BroadcastExchange is not a shuffle — only count data shuffles
-        shuffles=plan.count("Exchange") - plan.count("BroadcastExchange"),
+        # BroadcastExchange is not a shuffle — only count data shuffles;
+        # the keyless round-robin parallelism guard is tracked apart
+        shuffles=plan.count("Exchange") - plan.count("BroadcastExchange") - guards,
+        parallelism_guards=guards,
         codegen_spans=len(span_ids),
         python_eval="BatchEvalPython" in plan,
         arrow_eval=("ArrowEvalPython" in plan)
