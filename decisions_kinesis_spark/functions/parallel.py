@@ -18,3 +18,45 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df
+
+
+def repartition_for_python(df: DataFrame, *cols: str) -> DataFrame:
+    """Keyed repartition sized for a PYTHON-COMPUTE-BOUND stage.
+
+    AQE coalesces a plain keyed exchange (``REPARTITION_BY_COL`` /
+    required distribution) by BYTES — correct for shuffle-bound JVM
+    stages, wrong for a stage whose cost is per-row Python (a UDTF /
+    grouped pandas consumer): a few MB of input coalesces to 1-3 tasks
+    and the Python eval serializes on that many cores.  An explicit
+    partition count plans ``REPARTITION_BY_NUM``, which AQE leaves
+    alone, and it satisfies the downstream operator's clustered
+    distribution so no second exchange appears (verified in plans).
+
+    The count is scale-adaptive, never a local constant: at least one
+    wave of the cluster (``defaultParallelism``), growing with the
+    optimizer's input-size estimate at the session's advisory
+    partition size — so a 100 TB input still gets bytes-proportional
+    partitioning while a fixture-sized input gets full-cluster
+    parallelism.  Same rows in every group either way: partitioning
+    never changes values, only placement.
+    """
+    import math
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        advisory = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                spark.conf.get(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+                )
+            )
+        )
+        by_bytes = math.ceil(size / max(1, advisory))
+    except Exception:  # stats unavailable — fall back to one wave
+        by_bytes = 0
+    n = max(sc.defaultParallelism, by_bytes)
+    return df.repartition(n, *cols)

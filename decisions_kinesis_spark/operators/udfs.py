@@ -344,7 +344,14 @@ def udtf_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if not _HAVE_UDTF:  # pragma: no cover
         raise NotImplementedError("Python UDTFs need pyspark >= 4")
-    ev = (
+    from decisions_kinesis_spark.functions.parallel import repartition_for_python
+
+    # the UDTF eval loop is the cost here; pre-partition by the UDTF's
+    # own key at Python-stage width (REPARTITION_BY_NUM — AQE's
+    # bytes-based coalescing otherwise squeezes the eval onto 1-3
+    # cores; no second exchange appears, the clustered distribution is
+    # already satisfied — see functions/parallel.py)
+    ev = repartition_for_python(
         load_table(spark, "events", sf_dir)
         .where(F.col("user_id") % 10 == 3)
         .select(
@@ -353,7 +360,9 @@ def udtf_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             "value",
             F.date_trunc("HOUR", "ts").alias("win_start"),
-        )
+        ),
+        "user_id",
+        "win_start",
     )
     ev.createOrReplaceTempView("_udtf_win_events")
     _register_udtf_once(spark, "dks_window_stats_udtf", _WindowStatsUdtf)
@@ -383,10 +392,15 @@ def udtf_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if not _HAVE_UDTF:  # pragma: no cover
         raise NotImplementedError("Python UDTFs need pyspark >= 4")
-    ev = (
+    from decisions_kinesis_spark.functions.parallel import repartition_for_python
+
+    # Python-stage-width pre-partition by the UDTF key (see
+    # udtf_window_stats / functions/parallel.py)
+    ev = repartition_for_python(
         load_table(spark, "events", sf_dir)
         .where(F.col("user_id") % 10 == 0)
-        .select("user_id", "event_id", "ts")
+        .select("user_id", "event_id", "ts"),
+        "user_id",
     )
     ev.createOrReplaceTempView("_udtf_sess_events")
     _register_udtf_once(spark, "dks_sessionize_udtf", _SessionizeUdtf)
