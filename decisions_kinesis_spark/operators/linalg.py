@@ -51,9 +51,10 @@ def embedding_power_iteration_pc1(
     checkpoints only the 64-row direction (the
     ``bpe_merges_iterative`` constant-plan lesson).
     """
-    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
-
-    emb = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
+    # deliberately NO parallelism guard (measured A/B at sf0.1: OFF
+    # 1.09 s vs ON 1.90 s best-of-4 — the iteration joins dominate,
+    # not the scan-side explode, and the loop re-pays the exchange)
+    emb = load_table(spark, "embeddings", sf_dir)
     e = (
         emb.select(
             F.col("vec_id").alias("row"),
@@ -167,9 +168,10 @@ def embedding_pc1_projection_stats(
     """
     from decisions_kinesis_spark.functions.rounding import fl4
 
-    from decisions_kinesis_spark.functions.parallel import ensure_parallelism
-
-    emb = ensure_parallelism(load_table(spark, "embeddings", sf_dir))
+    # deliberately NO parallelism guard (measured A/B at sf0.1: OFF
+    # 1.33 s vs ON 2.65 s best-of-4 — composes power_iteration, which
+    # already measured against the guard)
+    emb = load_table(spark, "embeddings", sf_dir)
     v = embedding_power_iteration_pc1(spark, sf_dir).select(
         "pos", F.col("component").alias("val")
     )

@@ -439,8 +439,11 @@ def ann_lsh_centered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k is a bounded window over each query's candidate
     list (broadcast query side, ≤ |queries|·bucket rows expanded).
     """
+    # deliberately NO parallelism guard (measured A/B at sf0.1: OFF
+    # 0.75 s vs ON 0.98 s best-of-4 — the centered pipeline reduces to
+    # a 64-row mean immediately; the exchange is pure overhead)
     emb = (
-        ensure_parallelism(load_table(spark, "embeddings", sf_dir))
+        load_table(spark, "embeddings", sf_dir)
         .select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("nv", F.expr(_NORM.format(v="v")))
     )
@@ -511,8 +514,11 @@ def ann_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit-string transport if the raw count past that bound is ever
     needed.
     """
+    # deliberately NO parallelism guard (measured A/B at sf0.1: OFF
+    # 0.73 s vs ON 0.97 s best-of-4 — same aggregate-early shape as
+    # ann_lsh_centered_topk)
     emb = (
-        ensure_parallelism(load_table(spark, "embeddings", sf_dir))
+        load_table(spark, "embeddings", sf_dir)
         .select("vec_id", _as_double("embedding").alias("v"))
     )
     nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))

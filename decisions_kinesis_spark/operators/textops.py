@@ -539,9 +539,10 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = ensure_parallelism(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    )
+    # deliberately NO parallelism guard (measured A/B at sf0.1: OFF
+    # 2.07 s vs ON 2.83 s best-of-4 — the explode feeds groupBy
+    # shuffles immediately, the retrieval_bm25_topk shape)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     # materialized once: tf / df / dl each consume the explode, and
     # both rankers consume those — the dedup shingle-frame discipline
     tok = docs.select(

@@ -430,3 +430,25 @@ def test_mad_outliers_single_flag_pass(spark):
     a.assert_no_python()
     assert a.broadcast_joins >= 2  # med frame + mad frame
     assert "CartesianProduct" not in a.plan
+
+
+def test_udtf_exchange_is_python_stage_width(spark):
+    """The UDTF input exchange must be the explicit REPARTITION_BY_NUM
+    from repartition_for_python — AQE's bytes-based coalescing would
+    squeeze the per-row Python eval onto 1-3 cores on small inputs —
+    and the explicit partitioning must satisfy the UDTF's clustered
+    distribution (exactly ONE exchange in the plan)."""
+    from decisions_kinesis_spark.operators import udfs
+
+    a = audit_plan(udfs.udtf_window_stats(spark, SF))
+    assert "REPARTITION_BY_NUM" in a.plan
+    assert a.plan.count("Exchange") == 1, a.plan
+    assert "ArrowEvalPythonUDTF" in a.plan
+
+
+def test_repartition_for_python_floor_is_cluster_width(spark):
+    from decisions_kinesis_spark.functions.parallel import repartition_for_python
+
+    df = repartition_for_python(spark.range(100), "id")
+    want = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() >= want
