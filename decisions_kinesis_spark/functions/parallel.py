@@ -39,6 +39,19 @@ def repartition_for_python(df: DataFrame, *cols: str) -> DataFrame:
     partitioning while a fixture-sized input gets full-cluster
     parallelism.  Same rows in every group either way: partitioning
     never changes values, only placement.
+
+    Exchange-count contract: the downstream UDTF plans its own
+    ``REPARTITION_BY_COL`` exchange at exactly
+    ``spark.sql.shuffle.partitions``, and EnsureRequirements elides it
+    only when the child partitioning matches INCLUDING the partition
+    count (HashPartitioning.semanticEquals).  So the explicit exchange
+    is planned at exactly that count — one exchange, never two — and
+    when the session's shuffle setting is BELOW the wanted Python
+    width, the pre-repartition is skipped outright: the UDTF's own
+    exchange would re-partition the rows regardless, so an explicit
+    one could only add a second full shuffle without widening the
+    Python stage (that session's width is the shuffle setting the
+    operator owner chose).
     """
     import math
 
@@ -58,5 +71,8 @@ def repartition_for_python(df: DataFrame, *cols: str) -> DataFrame:
         by_bytes = math.ceil(size / max(1, advisory))
     except Exception:  # stats unavailable — fall back to one wave
         by_bytes = 0
-    n = max(sc.defaultParallelism, by_bytes)
-    return df.repartition(n, *cols)
+    want = max(sc.defaultParallelism, by_bytes)
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if sp < want:
+        return df
+    return df.repartition(sp, *cols)

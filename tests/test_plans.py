@@ -433,22 +433,58 @@ def test_mad_outliers_single_flag_pass(spark):
 
 
 def test_udtf_exchange_is_python_stage_width(spark):
-    """The UDTF input exchange must be the explicit REPARTITION_BY_NUM
-    from repartition_for_python — AQE's bytes-based coalescing would
-    squeeze the per-row Python eval onto 1-3 cores on small inputs —
-    and the explicit partitioning must satisfy the UDTF's clustered
-    distribution (exactly ONE exchange in the plan)."""
+    """When the session's shuffle width covers the wanted Python width,
+    the UDTF input is ONE explicit REPARTITION_BY_NUM exchange at
+    exactly spark.sql.shuffle.partitions — the count match is what
+    lets EnsureRequirements elide the UDTF's own REPARTITION_BY_COL
+    exchange (HashPartitioning.semanticEquals includes the partition
+    COUNT, so any other number plans two full shuffles)."""
     from decisions_kinesis_spark.operators import udfs
 
-    a = audit_plan(udfs.udtf_window_stats(spark, SF))
-    assert "REPARTITION_BY_NUM" in a.plan
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    width = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        a = audit_plan(udfs.udtf_window_stats(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert f"{width}), REPARTITION_BY_NUM" in a.plan, a.plan
     assert a.plan.count("Exchange") == 1, a.plan
     assert "ArrowEvalPythonUDTF" in a.plan
 
 
-def test_repartition_for_python_floor_is_cluster_width(spark):
+def test_udtf_narrow_session_keeps_single_exchange(spark):
+    """When the session's shuffle width is BELOW the wanted Python
+    width (this suite's session: 8 < defaultParallelism), a
+    pre-exchange cannot widen the Python stage — the UDTF's own
+    PARTITION BY exchange re-partitions the rows regardless — so
+    repartition_for_python backs off and the plan carries exactly ONE
+    exchange instead of two full shuffles of the same rows."""
+    from decisions_kinesis_spark.operators import udfs
+
+    a = audit_plan(udfs.udtf_window_stats(spark, SF))
+    assert a.plan.count("Exchange") == 1, a.plan
+    assert "REPARTITION_BY_COL" in a.plan
+    assert "ArrowEvalPythonUDTF" in a.plan
+
+
+def test_repartition_for_python_matches_session_shuffle_width(spark):
     from decisions_kinesis_spark.functions.parallel import repartition_for_python
 
-    df = repartition_for_python(spark.range(100), "id")
     want = spark.sparkContext.defaultParallelism
-    assert df.rdd.getNumPartitions() >= want
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(2 * want))
+    try:
+        wide = repartition_for_python(spark.range(100), "id")
+        # covered session: exactly the shuffle width (count match → the
+        # downstream REPARTITION_BY_COL exchange can be elided)
+        assert wide.rdd.getNumPartitions() == 2 * want
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # narrow session (suite default 8 < defaultParallelism): unchanged
+    # input — a pre-shuffle could not widen the Python stage here
+    base = spark.range(100)
+    assert (
+        repartition_for_python(base, "id").rdd.getNumPartitions()
+        == base.rdd.getNumPartitions()
+    )
