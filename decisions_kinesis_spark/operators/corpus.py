@@ -34,7 +34,10 @@ from decisions_kinesis_spark.operators.textops import (
     _TOKS,
 )
 from decisions_kinesis_spark.functions.ordering import range_prefix
-from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+from decisions_kinesis_spark.functions.parallel import (
+    checkpoint_parallel,
+    ensure_parallelism,
+)
 from decisions_kinesis_spark.sources.tables import load_table
 
 #: floor-based 4dp round — identical IEEE op sequence in both engines
@@ -311,12 +314,7 @@ def lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # vocabulary-sized unigram counts feed the grand total AND the
     # scoring join — one materialization, not two unigram explodes
-    cnt_tok = (
-        tok.groupBy("gv")
-        .agg(F.count("*").alias("c_tok"))
-        .localCheckpoint(eager=True)
-    )
-    total = cnt_tok.groupBy().agg(F.sum("c_tok").alias("n_total"))
+    cnt_tok_lazy = tok.groupBy("gv").agg(F.count("*").alias("c_tok"))
     bi = toks.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
@@ -335,12 +333,14 @@ def lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BIGHASH.format(e="b.gu")).alias("gu"),
         F.expr(_BIGHASH.format(e="b.gv")).alias("gv"),
     )
-    # same three-consumer shape as lm_bigram_score — materialize once
-    doc_tf = (
-        bi.groupBy("doc_id", "gb", "gu", "gv")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+    # same three-consumer shape as lm_bigram_score — materialize once;
+    # the unigram-count and per-doc-bigram pipelines are independent,
+    # so their jobs overlap (guide §2.6)
+    cnt_tok, doc_tf = checkpoint_parallel(
+        cnt_tok_lazy,
+        bi.groupBy("doc_id", "gb", "gu", "gv").agg(F.count("*").alias("tf")),
     )
+    total = cnt_tok.groupBy().agg(F.sum("c_tok").alias("n_total"))
     cnt_bi = doc_tf.groupBy("gb").agg(F.sum("tf").alias("c_bi"))
     cnt_uni = doc_tf.groupBy("gu").agg(F.sum("tf").alias("c_uni"))
     scored = (
@@ -975,41 +975,42 @@ def _bpe_iter_state(spark: SparkSession, sf_dir: str):
             )
             # the argmax merge of this round; (n desc, pk asc) total
             # order makes the pick deterministic in both engines
-            top = (
-                pairs.orderBy(F.desc("n"), F.asc("pk"))
-                .limit(1)
+            top = pairs.orderBy(F.desc("n"), F.asc("pk")).limit(1).select(
+                F.expr("split(pk, char(31))[0]").alias("ml"),
+                F.expr("split(pk, char(31))[1]").alias("mr"),
+                "n",
+            )
+            # ONE materialization per round (was two: argmax checkpoint
+            # + apply checkpoint — 40 sequential driver actions for 20
+            # rounds): the 1-row argmax rides the apply job as a
+            # broadcast subtree, and the round's merge row is read back
+            # off the checkpointed per-type frame, where the broadcast
+            # columns are constant across rows (filter+limit(1) is
+            # deterministic because every surviving row carries the
+            # same single top row).  char(30) sentinel keeps the fold
+            # an identity if a round ever finds no pair (left join);
+            # that round then contributes no merge row, exactly as the
+            # empty-argmax frame did before.
+            nxt = (
+                syms.join(F.broadcast(top), F.lit(True), "left")
+                .withColumn("_ml", F.expr("coalesce(ml, char(30))"))
+                .withColumn("_mr", F.expr("coalesce(mr, char(30))"))
                 .select(
-                    F.expr("split(pk, char(31))[0]").alias("ml"),
-                    F.expr("split(pk, char(31))[1]").alias("mr"),
-                    "n",
+                    "w", "tf", F.expr(_BPE_APPLY).alias("s"), "ml", "mr", "n"
                 )
                 .localCheckpoint(eager=True)
             )
             merges.append(
-                top.select(
+                nxt.filter(F.col("ml").isNotNull())
+                .limit(1)
+                .select(
                     F.lit(r).cast("bigint").alias("merge_round"),
                     F.col("ml").alias("lhs"),
                     F.col("mr").alias("rhs"),
                     "n",
                 )
             )
-            # apply the merge to every type; char(30) sentinel keeps the
-            # fold an identity if a round ever finds no pair (left join)
-            syms = (
-                syms.join(
-                    F.broadcast(
-                        top.select(
-                            F.col("ml").alias("_ml"), F.col("mr").alias("_mr")
-                        )
-                    ),
-                    F.lit(True),
-                    "left",
-                )
-                .withColumn("_ml", F.expr("coalesce(_ml, char(30))"))
-                .withColumn("_mr", F.expr("coalesce(_mr, char(30))"))
-                .select("w", "tf", F.expr(_BPE_APPLY).alias("s"))
-                .localCheckpoint(eager=True)
-            )
+            syms = nxt.select("w", "tf", "s")
         out = merges[0]
         for m in merges[1:]:
             out = out.unionByName(m)
@@ -1796,20 +1797,24 @@ def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     total broadcast.
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    gopher, rep, cls = (
-        stage_cache.get_or_build(
-            spark,
-            f"funnel:{stage}",
-            sf_dir,
-            lambda fn=fn: fn(spark, sf_dir)
-            .select("doc_id", "keep")
-            .localCheckpoint(eager=True),
-        )
-        for stage, fn in (
-            ("gopher", quality_gopher_flags),
-            ("repetition", quality_repetition_flags),
-            ("qcls", quality_classifier_score),
-        )
+    # the three gate pipelines are independent — overlap their jobs
+    # (guide §2.6) instead of materializing them one after another
+    gopher, rep, cls = stage_cache.build_many(
+        spark,
+        [
+            (
+                f"funnel:{stage}",
+                sf_dir,
+                lambda fn=fn: fn(spark, sf_dir)
+                .select("doc_id", "keep")
+                .localCheckpoint(eager=True),
+            )
+            for stage, fn in (
+                ("gopher", quality_gopher_flags),
+                ("repetition", quality_repetition_flags),
+                ("qcls", quality_classifier_score),
+            )
+        ],
     )
     j = (
         docs.join(gopher.withColumnRenamed("keep", "kg"), "doc_id", "left")
@@ -1871,22 +1876,27 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction time (see stage_cache module doc).
     """
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    gopher, rep, cls, sub, dec = (
-        stage_cache.get_or_build(
-            spark,
-            f"funnel:{stage}",
-            sf_dir,
-            lambda fn=fn, cols=cols: fn(spark, sf_dir)
-            .select(*cols)
-            .localCheckpoint(eager=True),
-        )
-        for stage, fn, cols in (
-            ("gopher", quality_gopher_flags, ("doc_id", "keep")),
-            ("repetition", quality_repetition_flags, ("doc_id", "keep")),
-            ("qcls", quality_classifier_score, ("doc_id", "keep")),
-            ("substr", dedup_exact_substring, ("doc_id", "flagged")),
-            ("decontam", decontam_eval_overlap, ("doc_id", "contaminated")),
-        )
+    # the five stage pipelines are independent of each other — overlap
+    # their jobs from a small driver pool (guide §2.6) so the funnel
+    # pays ~max(stage) instead of sum(stage)
+    gopher, rep, cls, sub, dec = stage_cache.build_many(
+        spark,
+        [
+            (
+                f"funnel:{stage}",
+                sf_dir,
+                lambda fn=fn, cols=cols: fn(spark, sf_dir)
+                .select(*cols)
+                .localCheckpoint(eager=True),
+            )
+            for stage, fn, cols in (
+                ("gopher", quality_gopher_flags, ("doc_id", "keep")),
+                ("repetition", quality_repetition_flags, ("doc_id", "keep")),
+                ("qcls", quality_classifier_score, ("doc_id", "keep")),
+                ("substr", dedup_exact_substring, ("doc_id", "flagged")),
+                ("decontam", decontam_eval_overlap, ("doc_id", "contaminated")),
+            )
+        ],
     )
     j = (
         docs.join(gopher, "doc_id", "left")

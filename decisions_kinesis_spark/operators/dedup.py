@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from decisions_kinesis_spark.functions.parallel import checkpoint_parallel
 from decisions_kinesis_spark.operators.textops import _DUCK_QUALITY, _STOP_SQL
 from decisions_kinesis_spark.sources.tables import load_table
 
@@ -437,8 +438,11 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    sh_c = _doc_shingles(corpus).localCheckpoint(eager=True)
-    sh_n = _doc_shingles(batch).localCheckpoint(eager=True)
+    # independent shingle pipelines (corpus vs batch) — overlap their
+    # materialization jobs (guide §2.6)
+    sh_c, sh_n = checkpoint_parallel(
+        _doc_shingles(corpus), _doc_shingles(batch)
+    )
     cand = (
         _band_table(sh_n)
         .alias("n")
@@ -882,13 +886,19 @@ def connected_components(
     Oracle: DuckDB recursive CTE computing min-label reachability —
     same fixpoint, declaratively.
     """
-    pairs = pairs.select("doc_a", "doc_b").cache()
+    pairs = pairs.select("doc_a", "doc_b")
     # Adaptive strategy: the near-dup graph is far smaller than the
     # corpus.  Below the threshold, a driver-side union-find finishes in
     # microseconds (standard tail strategy for distributed CC); above
     # it, run distributed label propagation.  Same fixpoint either way.
-    edge_rows = pairs.count()
-    if edge_rows <= driver_max_edges:
+    # The size probe and the edge fetch are ONE bounded action
+    # (limit(threshold+1).collect() — CollectLimit stops pulling as
+    # soon as the cap is exceeded), not a cache + count + collect
+    # triple: the small branch — the common case, near-dup graphs are
+    # corpus-sparse — runs the pair pipeline exactly once, and the
+    # driver holds at most threshold+1 rows either way.
+    head = pairs.limit(driver_max_edges + 1).collect()
+    if len(head) <= driver_max_edges:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -897,13 +907,15 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in pairs.collect():
+        for r in head:
             ra, rb = find(r.doc_a), find(r.doc_b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = sorted((n, find(n)) for n in parent)
-        pairs.unpersist()
         return spark.createDataFrame(rows, "doc_id long, cluster long")
+    del head
+    pairs = pairs.cache()
+    edge_rows = pairs.count()
     # Size-derived partitioning: ~250k undirected edges (500k directed
     # rows) per partition, capped by the session's shuffle parallelism —
     # correct at 10k edges and at 10B edges alike (never a hardcoded

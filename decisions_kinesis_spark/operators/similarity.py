@@ -1256,13 +1256,15 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from decisions_kinesis_spark.operators import stage_cache
 
-    def _cached(name: str, builder) -> DataFrame:
-        return stage_cache.get_or_build(
-            spark,
+    def _spec(name: str, builder):
+        return (
             f"annrecall:{name}",
             sf_dir,
             lambda: builder().localCheckpoint(eager=True),
         )
+
+    def _cached(name: str, builder) -> DataFrame:
+        return stage_cache.get_or_build(spark, *_spec(name, builder))
 
     # Shared expensive heads, materialized ONCE for the whole report
     # (guide §2.4 — remove repeated work outright): every method
@@ -1280,16 +1282,25 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     emb = embn.select("vec_id", "v")
-    assigned = _cached(
-        "assigned",
-        lambda: _assign_cents(emb, _seed_centroids(spark, sf_dir, emb)),
-    )
-    bucketed = _cached(
-        "bucketed", lambda: embn.withColumn("bucket", _bucket_expr())
-    )
-    truth = _cached(
-        "truth",
-        lambda: _cosine_truth_frame(embn).select("query_id", "neighbor_id"),
+    # The three second-level heads depend only on the materialized embn
+    # frame and not on each other — build them CONCURRENTLY (guide §2.6:
+    # overlap independent jobs so the N·√N assignment pass back-fills
+    # the truth pass's tail instead of waiting for it).
+    assigned, bucketed, truth = stage_cache.build_many(
+        spark,
+        [
+            _spec(
+                "assigned",
+                lambda: _assign_cents(emb, _seed_centroids(spark, sf_dir, emb)),
+            ),
+            _spec("bucketed", lambda: embn.withColumn("bucket", _bucket_expr())),
+            _spec(
+                "truth",
+                lambda: _cosine_truth_frame(embn).select(
+                    "query_id", "neighbor_id"
+                ),
+            ),
+        ],
     )
     top_k = lambda fr: lambda: fr().select(  # noqa: E731
         "query_id", "neighbor_id"
@@ -1308,6 +1319,13 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh_centered", top_k(lambda: _centered_topk(spark, sf_dir, embn))),
     )
     n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
+    # The eight method tails are independent given the shared heads —
+    # materialize them through the same concurrent build (guide §2.6);
+    # report assembly below reads the memoized frames in method order,
+    # so rows and values are identical to the sequential build.
+    stage_cache.build_many(
+        spark, [_spec(mname, builder) for mname, builder in methods]
+    )
     out = None
     for mname, builder in methods:
         preds = _cached(mname, builder)

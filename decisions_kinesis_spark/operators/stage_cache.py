@@ -33,13 +33,33 @@ keep measuring the operator, not the memo.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import SparkSession
 
 _CACHE: OrderedDict[tuple[str, str, str], object] = OrderedDict()
 _MAX_ENTRIES = 24
+
+#: bookkeeping lock (cache dict + key-lock table); never held while a
+#: builder runs, so concurrent builds of DIFFERENT keys proceed freely
+_LOCK = threading.Lock()
+#: per-key build locks: two threads asking for the SAME missing key run
+#: the builder once (the second blocks, then reads the memo)
+_KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
+
+
+def _lookup(key: tuple[str, str, str]) -> tuple[bool, object]:
+    with _LOCK:
+        app = key[0]
+        for k in [k for k in _CACHE if k[0] != app]:
+            del _CACHE[k]
+            _KEY_LOCKS.pop(k, None)
+        if key in _CACHE:
+            _CACHE.move_to_end(key)
+            return True, _CACHE[key]
+        return False, None
 
 
 def get_or_build(
@@ -47,21 +67,69 @@ def get_or_build(
 ) -> object:
     """Return the memoized value for (current session, name, dataset_key),
     building (and thereby materializing) it on first use."""
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _CACHE if k[0] != app]:
-        del _CACHE[k]
-    key = (app, name, dataset_key)
-    if key in _CACHE:
-        _CACHE.move_to_end(key)
-        return _CACHE[key]
-    val = builder()
-    _CACHE[key] = val
-    while len(_CACHE) > _MAX_ENTRIES:
-        _CACHE.popitem(last=False)
+    key = (spark.sparkContext.applicationId, name, dataset_key)
+    hit, val = _lookup(key)
+    if hit:
+        return val
+    with _LOCK:
+        key_lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with key_lock:
+        hit, val = _lookup(key)  # built while we waited for the lock
+        if hit:
+            return val
+        val = builder()
+        with _LOCK:
+            _CACHE[key] = val
+            while len(_CACHE) > _MAX_ENTRIES:
+                old, _ = _CACHE.popitem(last=False)
+                _KEY_LOCKS.pop(old, None)
     return val
+
+
+def build_many(
+    spark: SparkSession,
+    specs: Sequence[tuple[str, str, Callable[[], object]]],
+    max_workers: int = 4,
+) -> list[object]:
+    """get_or_build every (name, dataset_key, builder) spec, running the
+    cache MISSES concurrently from a small driver thread pool (guide
+    §2.6 — overlap independent jobs): each builder eager-materializes
+    its own frame, and Spark back-fills one stage's straggler tail with
+    the next stage's tasks instead of serializing whole jobs.  Results
+    come back in spec order; values are identical to sequential builds
+    (each stage is an independent pipeline — only the job overlap
+    changes).  A handful of in-flight jobs is plenty; more just fight
+    for executor slots."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    missing = [
+        i
+        for i, (name, dkey, _) in enumerate(specs)
+        if not _lookup((spark.sparkContext.applicationId, name, dkey))[0]
+    ]
+    if len(missing) > 1:
+        wrap = inheritable_thread_target(spark)  # session form inherits tags
+        with ThreadPoolExecutor(
+            max_workers=min(len(missing), max_workers)
+        ) as pool:
+            futures = [
+                pool.submit(
+                    wrap(
+                        lambda s=specs[i]: get_or_build(spark, s[0], s[1], s[2])
+                    )
+                )
+                for i in missing
+            ]
+            for f in futures:  # surface the first builder error verbatim
+                f.result()
+    return [get_or_build(spark, n, d, b) for n, d, b in specs]
 
 
 def clear() -> None:
     """Drop every memoized stage frame (checkpoint RDDs are reclaimed by
     the ContextCleaner once the refs drop)."""
-    _CACHE.clear()
+    with _LOCK:
+        _CACHE.clear()
+        _KEY_LOCKS.clear()
