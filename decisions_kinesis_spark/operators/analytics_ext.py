@@ -1863,6 +1863,12 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("x"),
             "y",
         )
+        # FOUR consumers replay this subtree otherwise (both pair-join
+        # sides, the residual join, n_points) — and it contains the
+        # only data-proportional stage (the raw-scan hourly reduce).
+        # Materialize the calendar-bounded series once (guide §2.4);
+        # one scan instead of four.
+        .localCheckpoint(eager=True)
     )
     p1, p2 = pts.alias("p1"), pts.alias("p2")
     pairs = p1.join(

@@ -1870,8 +1870,15 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_partkey"
     )
     pairs = spark.createDataFrame(list(_KMV_PAIRS), "fa string, fb string")
+    # The register hash is a function of l_partkey alone, so the
+    # per-register max over raw rows equals the max over DISTINCT
+    # (flag, part) rows — and the exact side needs that distinct frame
+    # anyway.  Materialize it once: one scan+dedup feeds both sides,
+    # and the md5 work runs over |distinct| rows, not |rows| (guide
+    # §2.3 — aggregate before you hash/shuffle).
+    d = li.distinct().localCheckpoint(eager=True)
     regs = (
-        li.select(
+        d.select(
             "l_returnflag",
             F.expr(_HLL_REG_SPARK.format(k="l_partkey")).alias("reg"),
             F.expr(_HLL_HV_SPARK.format(k="l_partkey")).alias("hv"),
@@ -1914,7 +1921,7 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ea + eb - union_est").alias("inter_est"),
         )
     )
-    fp = li.distinct().join(
+    fp = d.join(
         F.broadcast(pairs),
         (F.col("l_returnflag") == F.col("fa"))
         | (F.col("l_returnflag") == F.col("fb")),
@@ -2720,35 +2727,33 @@ def quantile_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_QS_HV_SPARK).alias("hv"),
     )
     vc = li.groupBy("l_returnflag", "pq").agg(F.count("*").alias("cnt"))
-    cum = vc.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.partitionBy("l_returnflag")
-            .orderBy("pq")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # group total n_rows rides the SAME flag partitioning as the
+    # cumulative window (one exchange, a second WindowExec pass) —
+    # previously a second evaluation of the whole vc aggregation plus
+    # a broadcast join computed it (Spark replays lazy subtrees once
+    # per consumer; guide §2.4)
+    cum = (
+        vc.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.partitionBy("l_returnflag")
+                .orderBy("pq")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "n_rows", F.sum("cnt").over(Window.partitionBy("l_returnflag"))
+        )
+        .withColumn("t50", F.expr("((n_rows - 1) * 5) div 10 + 1"))
+        .withColumn("t90", F.expr("((n_rows - 1) * 9) div 10 + 1"))
+    )
+    exact = cum.groupBy("l_returnflag", "n_rows").agg(
+        F.min(F.when(F.col("cum") >= F.col("t50"), F.col("pq"))).alias(
+            "exact_median_q"
         ),
-    )
-    tpos = (
-        vc.groupBy("l_returnflag")
-        .agg(F.sum("cnt").alias("n_rows"))
-        .select(
-            "l_returnflag",
-            "n_rows",
-            F.expr("((n_rows - 1) * 5) div 10 + 1").alias("t50"),
-            F.expr("((n_rows - 1) * 9) div 10 + 1").alias("t90"),
-        )
-    )
-    exact = (
-        cum.join(F.broadcast(tpos), "l_returnflag")
-        .groupBy("l_returnflag", "n_rows")
-        .agg(
-            F.min(F.when(F.col("cum") >= F.col("t50"), F.col("pq"))).alias(
-                "exact_median_q"
-            ),
-            F.min(F.when(F.col("cum") >= F.col("t90"), F.col("pq"))).alias(
-                "exact_p90_q"
-            ),
-        )
+        F.min(F.when(F.col("cum") >= F.col("t90"), F.col("pq"))).alias(
+            "exact_p90_q"
+        ),
     )
     samp = (
         li.withColumn(

@@ -346,8 +346,17 @@ def agg_hll_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_partkey", "l_suppkey"
     )
+    # This is a CALIBRATION query: the exact side needs the distinct
+    # (part, supplier) frame regardless, so the register build shares
+    # it — md5/ρ run over |distinct| rows instead of |rows| (registers
+    # hash l_suppkey alone, and max-ρ is duplicate-insensitive, so the
+    # registers are bit-identical).  No new shuffle: the exact
+    # count_distinct paid this dedup anyway.  The production shape
+    # WITHOUT an exact side stays agg_hll_distinct's: registers
+    # straight off the scan, no distinct pre-pass.
+    d = li.distinct().localCheckpoint(eager=True)
     regs = (
-        li.select(
+        d.select(
             "l_partkey",
             F.expr(_HLL_REG_SPARK.format(k="l_suppkey")).alias("reg"),
             F.expr(_HLL_HV_SPARK.format(k="l_suppkey")).alias("hv"),
@@ -385,8 +394,9 @@ def agg_hll_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_HLL_LC_SPARK).alias("corr_est"),
         )
     )
-    exact = li.groupBy("l_partkey").agg(
-        F.count_distinct("l_suppkey").alias("n_exact")
+    exact = d.groupBy("l_partkey").agg(
+        # d is distinct, so non-null count == count_distinct(l_suppkey)
+        F.count("l_suppkey").alias("n_exact")
     )
     return (
         per_part.join(exact, "l_partkey")

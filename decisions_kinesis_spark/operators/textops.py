@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+from decisions_kinesis_spark.functions.parallel import (
+    checkpoint_parallel,
+    ensure_parallelism,
+)
 from decisions_kinesis_spark.sources.tables import load_table
 
 _TOKS = r"filter(split(lower(text), '\\s+'), x -> x != '')"
@@ -548,7 +551,13 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.expr(_TOKS)).alias("term")
     ).localCheckpoint(eager=True)
-    tf, df_t, dl = _lex_inputs(tok)
+    # The fusion plan consumes tf/df_t 2x and dl 3x (both rankers +
+    # the n_docs agg), and Spark replays a lazy subtree once PER
+    # consumer — materialize the three (mutually independent) lexical
+    # inputs once, with their jobs overlapped (guide §2.4/§2.6).  All
+    # three are bounded: tf/df_t by the query-term broadcast, dl one
+    # row per doc.
+    tf, df_t, dl = checkpoint_parallel(*_lex_inputs(tok))
     # n_docs for the tf-idf idf = docs with ≥1 token = dl's row count
     nd = dl.agg(F.count("*").alias("n_docs"))
     agg_b = (
