@@ -244,6 +244,11 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "lineitem", sf_dir)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        # four consumers (the n_orders action, both self-join sides,
+        # per-part counts) would each replay the scan+dedup — the
+        # n_orders pre-count already materializes this frame once and
+        # threw it away; keep it instead (guide §2.4)
+        .localCheckpoint(eager=True)
     )
     n_orders = li.select("o").distinct().count()
     pairs = (

@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from decisions_kinesis_spark.functions.parallel import ensure_parallelism
+from decisions_kinesis_spark.functions.parallel import (
+    checkpoint_parallel,
+    ensure_parallelism,
+)
 from decisions_kinesis_spark.sources.tables import load_table, table_count
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -395,6 +398,11 @@ def ann_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         directed.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MUTUAL_K)
         .select("a_id", "b_id", "cos", "rk")
+        # both sides of the mutuality self-join read this frame, and a
+        # lazy subtree replays per consumer — materialize the
+        # k·N-bounded top-k once (guide §2.4) so the bucket join +
+        # cosine scoring + window run once, not twice
+        .localCheckpoint(eager=True)
     )
     e1, e2 = ranked.alias("e1"), ranked.alias("e2")
     return (
@@ -1421,10 +1429,14 @@ def ann_recall_mean_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted = F.expr(
         f"transform(cast(embedding as array<double>), x -> x + {_SHIFT_CAL}D)"
     )
+    # the shifted/normalized corpus feeds 4+ consumers (truth both
+    # sides, both indexes) and a lazy subtree replays per consumer —
+    # materialize once (guide §2.4)
     emb = (
         ensure_parallelism(load_table(spark, "embeddings", sf_dir))
         .select("vec_id", shifted.alias("v"))
         .withColumn("nv", F.expr(_NORM.format(v="v")))
+        .localCheckpoint(eager=True)
     )
     nbits = _adaptive_nbits(table_count(spark, "embeddings", sf_dir))
 
@@ -1466,20 +1478,24 @@ def ann_recall_mean_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nv").alias("qnv"),
     )
-    truth = (
+    # truth (N×queries brute force, read 3×: n_truth + both methods'
+    # hit joins) and the two index frames (read 3× each: both _cands
+    # sides + buckets_used) are independent given emb — materialize
+    # them with overlapped jobs (guide §2.4/§2.6)
+    truth, cen, raw = checkpoint_parallel(
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn("cos", cos)
         .withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= _TOP_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id")),
+        _centered_int_buckets(emb, nbits),
+        emb.withColumn("bucket", _bucket_expr(nbits)),
     )
-
-    cen = _centered_int_buckets(emb, nbits)
-    raw = emb.withColumn("bucket", _bucket_expr(nbits))
-    cen_cand = _cands(cen)
+    # the candidate frames are read 2-3× (budget, top-k, unbudgeted
+    # count) — materialize both, overlapped
+    cen_cand, raw_cand = checkpoint_parallel(_cands(cen), _cands(raw))
     # per-query scoring budget = the centered index's candidate count
     budget = cen_cand.groupBy("query_id").agg(F.count("*").alias("b"))
-    raw_cand = _cands(raw)
     raw_budgeted = (
         raw_cand.withColumn(
             "scan_rk",
