@@ -2051,10 +2051,18 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_partkey"
     )
     pairs = spark.createDataFrame(list(_KMV_PAIRS), "fa string, fb string")
-    h = li.select(
-        "l_returnflag",
-        F.expr(_KMV_HASH_SPARK).alias("hv"),
-    ).distinct()
+    # h feeds the candidate expansion AND both membership probes (3
+    # consumers), members feeds kmin and the probe join (2) — a lazy
+    # subtree replays per consumer, so the md5+distinct pass and the
+    # per-pair bottom-k window each ran multiple times (guide §2.4)
+    h = (
+        li.select(
+            "l_returnflag",
+            F.expr(_KMV_HASH_SPARK).alias("hv"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     cand = (
         h.join(
             F.broadcast(pairs),
@@ -2065,8 +2073,10 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("fa", "fb").orderBy(F.asc("hv"))
-    members = cand.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= _KMV_K
+    members = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .localCheckpoint(eager=True)  # ≤ pairs·k rows
     )
     kmin = members.groupBy("fa", "fb").agg(
         F.max("hv").alias("vk"), F.count("*").alias("k_actual")

@@ -450,8 +450,14 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # showed no win (the per-row explode is cheap relative to the
     # groupBy shuffles that follow immediately)
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
-    return _bm25_topk(*_lex_inputs(tok))
+    # tf/df_t/dl each replay the explode, and dl is read twice in the
+    # scoring tail — materialize the token frame once and the three
+    # (mutually independent) lexical inputs with overlapped jobs, the
+    # retrieval_hybrid_rrf discipline (guide §2.4/§2.6)
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("term")
+    ).localCheckpoint(eager=True)
+    return _bm25_topk(*checkpoint_parallel(*_lex_inputs(tok)))
 
 
 def _lex_inputs(tok: DataFrame):
