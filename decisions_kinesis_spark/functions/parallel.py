@@ -31,9 +31,13 @@ def checkpoint_parallel(*dfs: DataFrame) -> list[DataFrame]:
 
     from pyspark import inheritable_thread_target
 
+    if not dfs:
+        return []
     if len(dfs) == 1:
         return [dfs[0].localCheckpoint(eager=True)]
     wrap = inheritable_thread_target(dfs[0].sparkSession)
+    if not callable(wrap):  # classic mode (PYSPARK_PIN_THREAD=false):
+        wrap = lambda f: f  # the session form returns the session itself
     with ThreadPoolExecutor(max_workers=min(len(dfs), 4)) as pool:
         futures = [
             pool.submit(wrap(lambda d=d: d.localCheckpoint(eager=True)))
@@ -94,7 +98,11 @@ def repartition_for_python(df: DataFrame, *cols: str) -> DataFrame:
     except Exception:  # stats unavailable — fall back to one wave
         by_bytes = 0
     want = max(sc.defaultParallelism, by_bytes)
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" on vendor runtimes: the elision
+        # contract can't be checked — degrade to the plain wanted width
+        return df.repartition(want, *cols)
     if sp < want:
         return df
     return df.repartition(sp, *cols)

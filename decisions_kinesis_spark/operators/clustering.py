@@ -96,11 +96,15 @@ def _kmeans_loop(
     expanded frame); (2) UPDATE — posexplode members to (cluster, pos,
     q), exact bigint sums reduce map-side over K·d groups, new
     component = sum div count (truncating), re-collect the d-bounded
-    array per centroid.  Each iteration checkpoints only the
+    array per centroid.  Each iteration checkpoints ONLY the
     assignment (reused by stats AND update — avoids recomputing the
-    N·K distance frame twice) and the ≤K-row centroid frame (the
-    iterative-self-join lesson: unbounded lineage re-executes every
-    prior round).
+    N·K distance frame twice); the ≤K-row centroid frame is left lazy
+    and rides the next round's assign job as a broadcast subtree
+    (r14: one driver action per round instead of two — the BPE
+    round-fusion shape).  Lineage still never compounds: every lazy
+    centroid frame hangs off that round's CHECKPOINTED assignment,
+    so the analyzed plan stays constant-size across rounds (the
+    iterative-self-join lesson).
 
     An emptied cluster simply disappears (no members → no updated
     centroid → never assigned again) — identical on the oracle side,
@@ -116,10 +120,10 @@ def _kmeans_loop(
     if hit is not None:
         return hit
     vecs = _quantized_vectors(spark, sf_dir).localCheckpoint(eager=True)
-    cents = (
-        vecs.filter(F.col("vec_id") < _K)
-        .select(F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv"))
-        .localCheckpoint(eager=True)
+    # seed centroids stay lazy too: a K-row filter off the checkpointed
+    # vectors, consumed once by round 1's broadcast
+    cents = vecs.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
     )
     stats: list[DataFrame] = []
     assign = None
@@ -151,15 +155,18 @@ def _kmeans_loop(
             .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
             .select("cent_id", "pos0", F.expr("s div n").alias("cval"))
         )
-        cents = (
-            upd.groupBy("cent_id")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos0,"
-                    " cval))), s -> s.cval)"
-                ).alias("cv")
-            )
-            .localCheckpoint(eager=True)
+        # the ≤K-row centroid frame stays LAZY: it rides the NEXT
+        # round's assign job as a broadcast subtree (the BPE round-
+        # fusion shape — one driver action per round instead of two).
+        # Lineage stays bounded because it hangs off the round's
+        # CHECKPOINTED assignment + vectors, never off a prior lazy
+        # round; consumers that read it more than once (ch_index)
+        # materialize their own copy.
+        cents = upd.groupBy("cent_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos0,"
+                " cval))), s -> s.cval)"
+            ).alias("cv")
         )
         l1 = upd.groupBy("cent_id").agg(
             F.sum(F.abs(F.col("cval"))).alias("centroid_l1")
@@ -270,6 +277,10 @@ def embedding_kmeans_ch_index(
     reduced map-side; g is a d-group reduce; B is K·d-sized arithmetic.
     """
     _stats, assign, cents, vecs = _kmeans_loop(spark, sf_dir)
+    # the final centroid frame is consumed twice below (W's broadcast
+    # join and B) — materialize THIS query's copy once (≤K rows) so the
+    # update aggregation behind it doesn't replay per consumer
+    cents = cents.localCheckpoint(eager=True)
     sz = assign.groupBy("cent_id").agg(F.count("*").alias("n"))
     w = (
         assign.drop("dist")

@@ -896,7 +896,13 @@ def connected_components(
     # soon as the cap is exceeded), not a cache + count + collect
     # triple: the small branch — the common case, near-dup graphs are
     # corpus-sparse — runs the pair pipeline exactly once, and the
-    # driver holds at most threshold+1 rows either way.
+    # driver holds at most threshold+1 rows either way.  Known trade
+    # (ADVICE r13): the ABOVE-threshold branch pays the pair pipeline
+    # twice (probe, then cache+count) — accepted because near-dup
+    # graphs are corpus-sparse by construction (LSH pairs pass a
+    # jaccard>=0.5 verify), so the small branch is the operating
+    # envelope; caching before the probe would charge every small
+    # graph a cache write to speed up the rare giant one.
     head = pairs.limit(driver_max_edges + 1).collect()
     if len(head) <= driver_max_edges:
         parent: dict[int, int] = {}

@@ -2041,22 +2041,31 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes every estimate exactly replayable in DuckDB (the
     ``agg_kmv_distinct`` contract).
 
-    Scale: one (flag, hash) distinct reused by all pairs; per-pair
+    Scale: one (flag, part) distinct shrinks the corpus once for BOTH
+    sides (hashing runs over |distinct| rows — guide §2.3); per-pair
     k-smallest is a WindowGroupLimit partial top-k; the both-sides
     membership check joins the ≤ pairs·k member rows (tiny) back to
     the hash frame on (hv, flag) equi-keys; exact counts are one
-    map-side-combining pass over the pair-expanded fact rows.
+    map-side-combining pass over the pair-expanded DISTINCT rows.
     """
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_returnflag", "l_partkey"
     )
     pairs = spark.createDataFrame(list(_KMV_PAIRS), "fa string, fb string")
+    # ONE (flag, part) distinct frame feeds the hash side AND the
+    # exact side (the agg_hll_set_ops discipline, guide §2.3
+    # "aggregate before you hash/shuffle"): the md5 runs over
+    # |distinct| rows instead of |rows|, and the exact side's
+    # pair-expanded aggregation shrinks by the same factor — its
+    # inner countDistinct(flag) also collapses to count(*) because
+    # (flag, part) rows are already unique.
+    d = li.distinct().localCheckpoint(eager=True)
     # h feeds the candidate expansion AND both membership probes (3
     # consumers), members feeds kmin and the probe join (2) — a lazy
     # subtree replays per consumer, so the md5+distinct pass and the
     # per-pair bottom-k window each ran multiple times (guide §2.4)
     h = (
-        li.select(
+        d.select(
             "l_returnflag",
             F.expr(_KMV_HASH_SPARK).alias("hv"),
         )
@@ -2094,13 +2103,15 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_both"))
     )
     exact = (
-        li.join(
+        d.join(
             F.broadcast(pairs),
             (F.col("l_returnflag") == F.col("fa"))
             | (F.col("l_returnflag") == F.col("fb")),
         )
         .groupBy("fa", "fb", "l_partkey")
-        .agg(F.count_distinct("l_returnflag").alias("nf"))
+        # (flag, part) rows are distinct and flag ∈ {fa, fb}, so the
+        # row count per (pair, part) IS the distinct-flag count
+        .agg(F.count("*").alias("nf"))
         .groupBy("fa", "fb")
         .agg(
             F.count("*").alias("union_exact"),

@@ -80,9 +80,13 @@ def get_or_build(
         val = builder()
         with _LOCK:
             _CACHE[key] = val
+            # key locks OUTLIVE LRU eviction (ADVICE r13): popping a
+            # lock another thread still waits on would let two builders
+            # run concurrently for one key after re-request.  Locks are
+            # dropped only by clear() and cross-session eviction (the
+            # old app's builders are gone with its JVM).
             while len(_CACHE) > _MAX_ENTRIES:
-                old, _ = _CACHE.popitem(last=False)
-                _KEY_LOCKS.pop(old, None)
+                _CACHE.popitem(last=False)
     return val
 
 
@@ -111,6 +115,8 @@ def build_many(
     ]
     if len(missing) > 1:
         wrap = inheritable_thread_target(spark)  # session form inherits tags
+        if not callable(wrap):  # classic mode returns the session itself
+            wrap = lambda f: f
         with ThreadPoolExecutor(
             max_workers=min(len(missing), max_workers)
         ) as pool:

@@ -465,14 +465,23 @@ def test_udtf_exchange_is_python_stage_width(spark):
 
 def test_udtf_narrow_session_keeps_single_exchange(spark):
     """When the session's shuffle width is BELOW the wanted Python
-    width (this suite's session: 8 < defaultParallelism), a
-    pre-exchange cannot widen the Python stage — the UDTF's own
-    PARTITION BY exchange re-partitions the rows regardless — so
+    width, a pre-exchange cannot widen the Python stage — the UDTF's
+    own PARTITION BY exchange re-partitions the rows regardless — so
     repartition_for_python backs off and the plan carries exactly ONE
-    exchange instead of two full shuffles of the same rows."""
+    exchange instead of two full shuffles of the same rows.  The
+    narrow width is set EXPLICITLY (ADVICE r13: relying on the suite
+    default of 8 being < defaultParallelism breaks on ≤8-core boxes)."""
     from decisions_kinesis_spark.operators import udfs
 
-    a = audit_plan(udfs.udtf_window_stats(spark, SF))
+    if spark.sparkContext.defaultParallelism < 2:
+        pytest.skip("no width below defaultParallelism on a 1-core box")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    narrow = max(1, spark.sparkContext.defaultParallelism // 2)
+    spark.conf.set("spark.sql.shuffle.partitions", str(narrow))
+    try:
+        a = audit_plan(udfs.udtf_window_stats(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a.plan.count("Exchange") == 1, a.plan
     assert "REPARTITION_BY_COL" in a.plan
     assert "ArrowEvalPythonUDTF" in a.plan
@@ -491,10 +500,17 @@ def test_repartition_for_python_matches_session_shuffle_width(spark):
         assert wide.rdd.getNumPartitions() == 2 * want
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # narrow session (suite default 8 < defaultParallelism): unchanged
-    # input — a pre-shuffle could not widen the Python stage here
-    base = spark.range(100)
-    assert (
-        repartition_for_python(base, "id").rdd.getNumPartitions()
-        == base.rdd.getNumPartitions()
-    )
+    # narrow session: unchanged input — a pre-shuffle could not widen
+    # the Python stage here.  Width set explicitly below the wanted
+    # width (ADVICE r13: the suite default of 8 is not narrow on
+    # ≤8-core boxes).
+    narrow = max(1, want // 2)
+    spark.conf.set("spark.sql.shuffle.partitions", str(narrow))
+    try:
+        base = spark.range(100)
+        assert (
+            repartition_for_python(base, "id").rdd.getNumPartitions()
+            == base.rdd.getNumPartitions()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

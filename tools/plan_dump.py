@@ -1,4 +1,4 @@
-"""Dump ``explain("formatted")`` for named queries into plans/r13/.
+"""Dump ``explain("formatted")`` for named queries into plans/$SPARK_GRAFT_PLANDIR (default r14)/.
 
     python tools/plan_dump.py <suffix> <query> [<query> ...]
     SPARK_GRAFT_REPO=/path python tools/plan_dump.py before ...
@@ -6,7 +6,7 @@
 The repo whose code is dumped comes from $SPARK_GRAFT_REPO (default:
 this file's repo) — point it at a detached worktree of an older commit
 to capture "before" plans; output always lands in THIS repo's
-plans/r13/ as <query>_<suffix>.txt.
+plans/<dir>/ as <query>_<suffix>.txt.
 """
 
 from __future__ import annotations
@@ -24,7 +24,9 @@ def main() -> None:
     sys.path.insert(0, code_repo)
     os.environ.setdefault("SPARK_GRAFT_QUIET_WINDOWEXEC", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = os.path.join(_HERE, "plans", "r13")
+    out_dir = os.path.join(
+        _HERE, "plans", os.environ.get("SPARK_GRAFT_PLANDIR", "r14")
+    )
 
     # bind the package to code_repo FIRST: __spark_entry__ hardcodes
     # sys.path.insert(0, "/root/repo"), which would otherwise resolve
