@@ -975,63 +975,87 @@ def _bpe_iter_state(spark: SparkSession, sf_dir: str):
         syms = wt.withColumn(
             "s", F.expr("filter(split(w, ''), x -> x != '')")
         ).localCheckpoint(eager=True)
+        # Size the ROUND frames by the type count, not by the corpus
+        # shuffle width: the type table is the Zipf-collapsed word
+        # vocabulary (31 rows at sf0.1), and each of the 20 round jobs
+        # otherwise schedules ~70 near-empty tasks for it (measured
+        # ~0.4 s/round of pure scheduling).  coalesce can only NARROW —
+        # at 100 TB the multi-million-type table keeps one partition
+        # per ~50k types (bounded per-task fold work); the count is a
+        # ~50 ms scan of the checkpoint just written.
+        rp = max(1, syms.count() // 50_000 + 1)
+        if rp < syms.rdd.getNumPartitions():
+            syms = syms.coalesce(rp)
         merges = []
-        for r in range(1, _BPE_ITER_ROUNDS + 1):
-            pairs = (
-                # the size guard matters: Spark sequence(1, 0) DESCENDS
-                # ([1, 0]), so a 1-symbol word would index out of bounds
-                syms.filter(F.size("s") >= 2)
-                .select(
-                    "tf",
-                    F.explode(
-                        F.expr(
-                            "transform(sequence(1, size(s) - 1),"
-                            " i -> concat(element_at(s, i), char(31),"
-                            "             element_at(s, i + 1)))"
-                        )
-                    ).alias("pk"),
+        # The 20 round jobs run over the BOUNDED type table (explicitly
+        # sized by rp above), where AQE's value (bytes-coalescing, skew
+        # splitting) is nil and its per-stage re-optimization latency
+        # is charged ~3 stages × 20 rounds (measured warm in-process
+        # A/B ×2: loop 5.0-6.3 s with AQE, 3.8-4.7 s without).  Scoped
+        # to the loop and restored — the corpus-scale init above keeps
+        # AQE.
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            for r in range(1, _BPE_ITER_ROUNDS + 1):
+                pairs = (
+                    # the size guard matters: Spark sequence(1, 0) DESCENDS
+                    # ([1, 0]), so a 1-symbol word would index out of bounds
+                    syms.filter(F.size("s") >= 2)
+                    .select(
+                        "tf",
+                        F.explode(
+                            F.expr(
+                                "transform(sequence(1, size(s) - 1),"
+                                " i -> concat(element_at(s, i), char(31),"
+                                "             element_at(s, i + 1)))"
+                            )
+                        ).alias("pk"),
+                    )
+                    .groupBy("pk")
+                    .agg(F.sum("tf").alias("n"))
                 )
-                .groupBy("pk")
-                .agg(F.sum("tf").alias("n"))
-            )
-            # the argmax merge of this round; (n desc, pk asc) total
-            # order makes the pick deterministic in both engines
-            top = pairs.orderBy(F.desc("n"), F.asc("pk")).limit(1).select(
-                F.expr("split(pk, char(31))[0]").alias("ml"),
-                F.expr("split(pk, char(31))[1]").alias("mr"),
-                "n",
-            )
-            # ONE materialization per round (was two: argmax checkpoint
-            # + apply checkpoint — 40 sequential driver actions for 20
-            # rounds): the 1-row argmax rides the apply job as a
-            # broadcast subtree, and the round's merge row is read back
-            # off the checkpointed per-type frame, where the broadcast
-            # columns are constant across rows (filter+limit(1) is
-            # deterministic because every surviving row carries the
-            # same single top row).  char(30) sentinel keeps the fold
-            # an identity if a round ever finds no pair (left join);
-            # that round then contributes no merge row, exactly as the
-            # empty-argmax frame did before.
-            nxt = (
-                syms.join(F.broadcast(top), F.lit(True), "left")
-                .withColumn("_ml", F.expr("coalesce(ml, char(30))"))
-                .withColumn("_mr", F.expr("coalesce(mr, char(30))"))
-                .select(
-                    "w", "tf", F.expr(_BPE_APPLY).alias("s"), "ml", "mr", "n"
-                )
-                .localCheckpoint(eager=True)
-            )
-            merges.append(
-                nxt.filter(F.col("ml").isNotNull())
-                .limit(1)
-                .select(
-                    F.lit(r).cast("bigint").alias("merge_round"),
-                    F.col("ml").alias("lhs"),
-                    F.col("mr").alias("rhs"),
+                # the argmax merge of this round; (n desc, pk asc) total
+                # order makes the pick deterministic in both engines
+                top = pairs.orderBy(F.desc("n"), F.asc("pk")).limit(1).select(
+                    F.expr("split(pk, char(31))[0]").alias("ml"),
+                    F.expr("split(pk, char(31))[1]").alias("mr"),
                     "n",
                 )
-            )
-            syms = nxt.select("w", "tf", "s")
+                # ONE materialization per round (was two: argmax checkpoint
+                # + apply checkpoint — 40 sequential driver actions for 20
+                # rounds): the 1-row argmax rides the apply job as a
+                # broadcast subtree, and the round's merge row is read back
+                # off the checkpointed per-type frame, where the broadcast
+                # columns are constant across rows (filter+limit(1) is
+                # deterministic because every surviving row carries the
+                # same single top row).  char(30) sentinel keeps the fold
+                # an identity if a round ever finds no pair (left join);
+                # that round then contributes no merge row, exactly as the
+                # empty-argmax frame did before.
+                nxt = (
+                    syms.join(F.broadcast(top), F.lit(True), "left")
+                    .withColumn("_ml", F.expr("coalesce(ml, char(30))"))
+                    .withColumn("_mr", F.expr("coalesce(mr, char(30))"))
+                    .select(
+                        "w", "tf", F.expr(_BPE_APPLY).alias("s"), "ml", "mr", "n"
+                    )
+                    .coalesce(rp)
+                    .localCheckpoint(eager=True)
+                )
+                merges.append(
+                    nxt.filter(F.col("ml").isNotNull())
+                    .limit(1)
+                    .select(
+                        F.lit(r).cast("bigint").alias("merge_round"),
+                        F.col("ml").alias("lhs"),
+                        F.col("mr").alias("rhs"),
+                        "n",
+                    )
+                )
+                syms = nxt.select("w", "tf", "s")
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         out = merges[0]
         for m in merges[1:]:
             out = out.unionByName(m)
