@@ -93,7 +93,7 @@ def get_or_build(
 def build_many(
     spark: SparkSession,
     specs: Sequence[tuple[str, str, Callable[[], object]]],
-    max_workers: int = 4,
+    max_workers: int = 6,
 ) -> list[object]:
     """get_or_build every (name, dataset_key, builder) spec, running the
     cache MISSES concurrently from a small driver thread pool (guide
@@ -103,7 +103,10 @@ def build_many(
     come back in spec order; values are identical to sequential builds
     (each stage is an independent pipeline — only the job overlap
     changes).  A handful of in-flight jobs is plenty; more just fight
-    for executor slots."""
+    for executor slots.  Width 6 (r14): at 4, the 5-gate funnel and the
+    8-tail recall composition serialized their overflow specs behind
+    the pool — measured interleaved ×4, corpus_funnel_report best
+    3.30 → 3.03 s and spread 3.3-4.6 → 3.0-3.2 at width 6."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
